@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column <-> Expression converters.
+  *
+  * Spark 4.x wraps classic Column internals behind `ColumnNode`; building a
+  * [[Column]] from a custom Catalyst [[Expression]] (and back) goes through
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is package-private.
+  * This object lives in the `org.apache.spark.sql` package tree solely to
+  * re-export those two converters for graft's custom expressions.
+  */
+object Shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over views named after the fixture
+tables, sorts columns by name and rows by all columns, and diffs values.
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            if a is None or b is None:
+                return False
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b
+    except TypeError:
+        pass
+    return a == b
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_df = canon(con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
+            oracle_df = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if list(spark_df.columns) != list(oracle_df.columns):
+            print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(oracle_df.columns)}")
+            ok = False
+        elif len(spark_df) != len(oracle_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(oracle_df)}")
+            ok = False
+        else:
+            sv, ov = spark_df.values.tolist(), oracle_df.values.tolist()
+            for i, (r1, r2) in enumerate(zip(sv, ov)):
+                bad = [(c, x, y) for c, (x, y) in
+                       zip(spark_df.columns, zip(r1, r2)) if not cells_equal(x, y)]
+                if bad:
+                    print(f"FAIL {name}: row {i} diff {bad[:3]}")
+                    ok = False
+                    break
+        if ok:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
