@@ -1,0 +1,226 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the vector / text pipeline operators.
+  *
+  * These are native expressions (not UDFs) so they stay inside Tungsten:
+  * no serialization boundary, and [[CosineSimilarity]] participates in
+  * whole-stage codegen — the hot operation of the similarity-search path
+  * (SURVEY §2.3, §7.3(c)). The rest are `CodegenFallback` (evaluated per
+  * row on InternalRow) which is still UDF-free and allocation-light.
+  */
+
+/** Cosine similarity of two float vectors, accumulated in double.
+  *
+  * Accumulation is sequential (index order) so results are reproducible
+  * and match a straightforward loop in any other engine. Returns NaN for
+  * zero-norm inputs (never occurs in the fixtures).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getFloat($i);
+          double $yi = $b.getFloat($i);
+          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash of a token array (near-duplicate sketch).
+  *
+  * Per token: xxHash64, then each of the 64 hash bits votes +1/-1 on the
+  * corresponding output bit; the fingerprint sets bits with a positive
+  * tally. Documents within small Hamming distance are near-duplicates.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Polynomial rolling hash of a whole string (document fingerprint).
+  *
+  * Karp–Rabin style: h = Σ byte·B^i mod M with B=257, M=2^61−1, computed
+  * incrementally left-to-right — the building block of shift-resistant
+  * fingerprinting.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  private final val M = (1L << 61) - 1
+  private final val B = 257L
+
+  private def mulmod(a: Long, b: Long): Long = {
+    // 128-bit multiply mod 2^61-1 via Math.multiplyHigh
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var res = (lo & M) + ((lo >>> 61) | (hi << 3))
+    if (res >= M) res -= M
+    res
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = mulmod(h, B) + (bytes(i) & 0xffL)
+      if (h >= M) h -= M
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hashes of all
+  * character k-grams, reduced by taking the minimum in each sliding window
+  * of w consecutive k-gram hashes. Output is the distinct, sorted set —
+  * a compact, position-robust document signature.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < k) return new GenericArrayData(Array.empty[Long])
+    val grams = new Array[Long](s.length - k + 1)
+    var i = 0
+    while (i + k <= s.length) {
+      grams(i) = XxHash64Function.hash(
+        UTF8String.fromString(s.substring(i, i + k)), StringType, 7L)
+      i += 1
+    }
+    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    var j = 0
+    while (j + w <= grams.length) {
+      var m = grams(j); var t = j + 1
+      while (t < j + w) { if (grams(t) < m) m = grams(t); t += 1 }
+      picked += m
+      j += 1
+    }
+    if (picked.isEmpty) picked += grams.min
+    new GenericArrayData(picked.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Random-hyperplane LSH signature of a float vector (Charikar, STOC'02).
+  *
+  * Bit b is the sign of ⟨v, r_b⟩ where r_b is a deterministic ±1
+  * pseudo-random hyperplane derived from murmur3(b, dim). Vectors with
+  * small angle agree on most bits, so equal signatures bucket candidates
+  * for approximate nearest-neighbor search.
+  */
+case class HyperplaneSignature(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(bits >= 1 && bits <= 64, "bits must be in [1,64]")
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.numElements()) {
+        dot += v.getFloat(d).toDouble * HyperplaneSignature.plane(b, d)
+        d += 1
+      }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HyperplaneSignature {
+  /** Deterministic ±1 hyperplane component for (bit, dim). */
+  def plane(bit: Int, dim: Int): Double = {
+    import scala.util.hashing.MurmurHash3
+    val h = MurmurHash3.finalizeHash(
+      MurmurHash3.mix(MurmurHash3.mix(0x9747b28c, bit), dim), 2)
+    if ((h & 1) == 0) 1.0 else -1.0
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact and near-duplicate (SURVEY §2.3).
+  *
+  * All variants are shuffle-based DataFrame plans with no driver-side
+  * loops, so they scale to arbitrary corpus sizes:
+  *
+  *  - exact: hash-groupBy on the key (or a digest of it) — one shuffle.
+  *  - MinHash+LSH: shingle → 64 minhashes → 16 bands × 4 rows →
+  *    bucket-join candidates → exact-Jaccard verify. Shuffles are on
+  *    doc_id (signature agg) and (band, bucket) (candidate join); hot
+  *    buckets (boilerplate shingles) are the skew risk at 100 TB — AQE
+  *    skew-join plus the distinct-pair dedup keep it bounded.
+  *  - SimHash: 64-bit sketch; banded self-join on 16-bit chunks finds all
+  *    pairs within Hamming distance 3 (pigeonhole over 4 chunks).
+  */
+object Dedup {
+
+  /** Exact dedup on explicit key columns (keeps an arbitrary row). */
+  def exact(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Exact dedup keeping the minimum id per key — deterministic
+    * representative, verifiable against a GROUP BY oracle. */
+  def exactKeepMinId(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** (id, shingles) — distinct word n-gram sets per document. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextAnalysis.shingleSet(col(textCol), n).as("shingles"))
+
+  /** MinHash signatures: per document, the minimum murmur3 hash of its
+    * shingles under `numHashes` seed variations, as one array column.
+    * Computed with explode + groupBy-min aggregations — partial (map-side)
+    * aggregation keeps the shuffle narrow at scale. */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int = 64): DataFrame = {
+    val exploded = shingles.select(col("id"), explode(col("shingles")).as("sh"))
+    val mins = (0 until numHashes).map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: documents sharing any (band, bucket) are candidates.
+    * Returns distinct (a_id, b_id) with a_id < b_id. */
+  def lshCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val banded = sigs.select(col("id"), posexplode(
+      array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)).as(Seq("band", "bucket")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates verified by exact Jaccard. */
+  def minHashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleN).cache()
+    val cands = lshCandidates(minHashSignatures(sets, numHashes), bands, numHashes / bands)
+    cands
+      .join(sets.select(col("id").as("a_id"), col("shingles").as("sa")), "a_id")
+      .join(sets.select(col("id").as("b_id"), col("shingles").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(TextAnalysis.jaccard(col("sa"), col("sb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** SimHash near-dup pairs within a Hamming radius (≤ chunks−1).
+    * Banded on 16-bit chunks so at least one chunk must match exactly. */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    import graft.functions.Functions.simhash64
+    val sh = docs.select(col(idCol).as("id"),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("chunk", "ck")))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+        col("a.ck") === col("b.ck") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -169,7 +169,7 @@ object Relational {
         .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rnk")
         .orderBy($"o_custkey", $"rnk")
     }, Some("""
-      SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -303,7 +303,7 @@ object Relational {
       SELECT p_partkey,
              upper(p_brand) AS brand_u,
              lower(p_type) AS type_l,
-             length(p_name) AS name_len,
+             CAST(length(p_name) AS INT) AS name_len,
              substring(p_name, 1, 10) AS name_pfx,
              concat_ws('|', p_brand, p_type) AS brand_type,
              regexp_replace(p_type, ' ', '_', 'g') AS type_us

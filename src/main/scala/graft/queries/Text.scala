@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Tables => T}
+import graft.operators.{Dedup, TextAnalysis}
+import graft.functions.Functions._
+
+/** Text-analysis + deduplication suite over the `documents` table
+  * (SURVEY §2.3: the LLM-data-pipeline operators).
+  */
+object Text {
+
+  val all: Seq[Q] = Seq(
+
+    // --- exact dedup -----------------------------------------------------
+    Q("q24_dedup_exact", (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .groupBy(md5($"text").as("text_md5"))
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY doc_id""")),
+
+    Q("q25_dedup_key", (s, d) => {
+      import s.implicits._
+      Dedup.exactKeepMinId(T.documents(s, d), Seq("lang", "source"), "doc_id")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT lang, source, min(doc_id) AS doc_id, count(*) AS n_dups
+      FROM documents GROUP BY lang, source ORDER BY doc_id""")),
+
+    // --- token counting / quality / language ID -------------------------
+    Q("q26_token_count", (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_tokens"),
+          length($"text").as("n_chars_calc"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+             CAST(length(text) AS INT) AS n_chars_calc
+      FROM documents ORDER BY doc_id""")),
+
+    Q("q27_quality", (s, d) => {
+      import s.implicits._
+      val ws = TextAnalysis.tokens($"text")
+      T.documents(s, d)
+        .select($"doc_id",
+          size(ws).as("n_tokens"),
+          round(TextAnalysis.stopwordRatio(ws), 6).as("stopword_ratio"),
+          round(length(regexp_replace($"text", "\\s+", "")) / size(ws), 6).as("avg_token_len"),
+          round(least(lit(1.0), size(ws) / lit(200.0)) *
+            (lit(1.0) - TextAnalysis.stopwordRatio(ws)), 6).as("quality_score"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      m AS (SELECT doc_id,
+                   CAST(len(ws) AS INT) AS n_tokens,
+                   len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(ws) AS swr,
+                   length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(ws) AS atl
+            FROM t)
+      SELECT doc_id, n_tokens,
+             round(swr, 6) AS stopword_ratio,
+             round(atl, 6) AS avg_token_len,
+             round(least(1.0, n_tokens / 200.0) * (1.0 - swr), 6) AS quality_score
+      FROM m ORDER BY doc_id""")),
+
+    Q("q28_langid", (s, d) => {
+      import s.implicits._
+      val ws = TextAnalysis.tokens($"text")
+      T.documents(s, d)
+        .select($"doc_id", TextAnalysis.languageGuess(ws).as("lang_guess"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents)
+      SELECT doc_id,
+             CASE WHEN len(list_filter(ws, x -> x IN ('the','and','of'))) > 0 THEN 'en'
+                  WHEN len(list_filter(ws, x -> x IN ('der','und','die'))) > 0 THEN 'de'
+                  WHEN len(list_filter(ws, x -> x IN ('el','la','los'))) > 0 THEN 'es'
+                  ELSE 'unknown' END AS lang_guess
+      FROM t ORDER BY doc_id""")),
+
+    // --- near-duplicate detection ---------------------------------------
+    Q("q29_shingle_jaccard", (s, d) => {
+      import s.implicits._
+      val sets = Dedup.shingleSets(
+        T.documents(s, d).filter($"doc_id" < 500), "doc_id", "text")
+      val a = sets.select($"id".as("a_id"), $"shingles".as("sa"))
+      val b = sets.select($"id".as("b_id"), $"shingles".as("sb"))
+      a.join(b, $"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          round(TextAnalysis.jaccard($"sa", $"sb"), 6).as("sim"))
+        .filter($"sim" >= 0.5)
+        .orderBy($"a_id", $"b_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents WHERE doc_id < 500),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       round(len(list_intersect(a.s, b.s)) * 1.0 /
+                             len(list_distinct(list_concat(a.s, b.s))), 6) AS sim
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT a_id, b_id, sim FROM pairs WHERE sim >= 0.5
+      ORDER BY a_id, b_id""")),
+
+    Q("q30_minhash_lsh", (s, d) => {
+      import s.implicits._
+      Dedup.minHashNearDupPairs(T.documents(s, d), "doc_id", "text", 0.5)
+        .orderBy($"a_id", $"b_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       round(len(list_intersect(a.s, b.s)) * 1.0 /
+                             len(list_distinct(list_concat(a.s, b.s))), 6) AS sim
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT a_id, b_id, sim FROM pairs WHERE sim >= 0.5
+      ORDER BY a_id, b_id""")),
+
+    // rows-only: SimHash (xxHash64 basis — not expressible in DuckDB)
+    Q("q31_simhash", (s, d) => {
+      import s.implicits._
+      Dedup.simHashNearDupPairs(T.documents(s, d), "doc_id", "text", maxHamming = 8)
+        .orderBy($"a_id", $"b_id")
+    }, None),
+
+    // rows-only: rolling-hash + winnowing fingerprints (custom expressions)
+    Q("q36_fingerprint", (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id",
+          rolling_hash($"text").as("fp64"),
+          size(winnow_fingerprint($"text")).as("n_winnow"))
+        .orderBy($"doc_id")
+    }, None)
+  )
+}

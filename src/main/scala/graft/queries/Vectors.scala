@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Tables => T}
+import graft.operators.{Multimodal, Similarity}
+
+/** Similarity-search + multimodal suite over `embeddings`/`documents`
+  * (SURVEY §2.3). Cosine similarity is a custom codegen'd Catalyst
+  * expression; ranking always uses the rounded similarity with id
+  * tie-break so results are stable across engines.
+  */
+object Vectors {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q32_cosine_topk", (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), 5)
+        .select($"probe_id", $"vec_id", $"sim", $"rnk")
+        .orderBy($"probe_id", $"rnk")
+    }, Some("""
+      SELECT probe_id, vec_id, sim, CAST(rnk AS INT) AS rnk FROM (
+        SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                          b.vec_id) AS rnk
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 10) t
+      WHERE rnk <= 5 ORDER BY probe_id, rnk""")),
+
+    Q("q33_near_pairs", (s, d) => {
+      import s.implicits._
+      Similarity.nearPairs(T.embeddings(s, d), 0.3, 300)
+        .orderBy($"a_id", $"b_id")
+    }, Some("""
+      SELECT a_id, b_id, sim FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300) t
+      WHERE sim >= 0.3 ORDER BY a_id, b_id""")),
+
+    // rows-only: approximate NN via banded random-hyperplane LSH
+    Q("q34_ann_lsh", (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      Similarity.annTopK(emb, emb.filter($"vec_id" < 10), 5)
+        .select($"probe_id", $"vec_id", $"sim", $"rnk")
+        .orderBy($"probe_id", $"rnk")
+    }, None),
+
+    Q("q35_vector_stats", (s, d) => {
+      import s.implicits._
+      val sq = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val sm = aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double"))
+      T.embeddings(s, d)
+        .select($"vec_id",
+          round(sqrt(sq), 6).as("l2norm"),
+          round(sm / size($"embedding"), 6).as("mean_val"),
+          array_min($"embedding").as("min_val"),
+          array_max($"embedding").as("max_val"))
+        .orderBy($"vec_id")
+    }, Some("""
+      SELECT vec_id,
+             round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2norm,
+             round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val,
+             list_min(embedding) AS min_val,
+             list_max(embedding) AS max_val
+      FROM embeddings ORDER BY vec_id""")),
+
+    // --- multimodal binary plumbing --------------------------------------
+    Q("q40_multimodal_meta", (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"doc_id",
+          octet_length(encode($"text", "UTF-8")).as("n_bytes"),
+          ascii(substring($"text", 1, 1)).as("first_code"))
+        .select($"doc_id", $"n_bytes", $"first_code",
+          (lit(64) + pmod($"n_bytes", lit(192))).as("width"),
+          (lit(64) + pmod($"first_code", lit(128))).as("height"),
+          lit(3).as("channels"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                        ascii(substring(text, 1, 1)) AS first_code
+                 FROM documents)
+      SELECT doc_id, n_bytes, first_code,
+             64 + (n_bytes % 192) AS width,
+             64 + (first_code % 128) AS height,
+             3 AS channels
+      FROM t ORDER BY doc_id""")),
+
+    // rows-only: partition-batched decode through the stub codec
+    Q("q41_multimodal_decode", (s, d) => {
+      import s.implicits._
+      Multimodal.decodeMeta(s, Multimodal.withPayload(T.documents(s, d), "text"))
+        .select($"doc_id", $"width", $"height", $"channels", $"n_bytes",
+          round($"feat_norm", 6).as("feat_norm"))
+        .orderBy($"doc_id")
+    }, None)
+  )
+}
