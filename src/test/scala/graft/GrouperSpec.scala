@@ -1,0 +1,140 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+
+import scala.concurrent.Await
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.Grouper
+
+/** Behavioral contracts of the micro-batch façade, mirroring the
+  * reference's test blocks (`/root/reference/test/grouper/core_test.clj`,
+  * mapping in FIXTURES.md §B).
+  */
+class GrouperSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import scala.language.postfixOps
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def await[T](f: scala.concurrent.Future[T]): T = Await.result(f, 60.seconds)
+
+  test("invalid arguments are rejected at construction (test:7-16)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    intercept[IllegalArgumentException] {
+      Grouper.start[Int, Int](spark, ds => Seq(), capacity = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Grouper.start[Int, Int](spark, ds => Seq(), capacity = 10, intervalMs = Some(-5L))
+    }
+    intercept[IllegalArgumentException] {
+      Grouper.start[Int, Int](spark, null, capacity = 10)
+    }
+  }
+
+  test("close drains all submitted items (test:18-28)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val acc = new AtomicInteger(0)
+    // no interval: flush only on capacity/close, like :interval nil
+    val g = Grouper.startScalar[Int, String](spark, ds => {
+      acc.addAndGet(ds.collect().sum); "increased"
+    }, capacity = 100, intervalMs = None)
+    val f1 = g.submit(1)
+    val f2 = g.submit(2)
+    g.close()
+    assert(acc.get() == 3)
+    assert(await(f1) == "increased" && await(f2) == "increased")
+    assert(!g.isRunning)
+  }
+
+  test("submit returns a derefable promise (test:30-36)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val g = Grouper.start[Int, Int](spark, ds => ds.collect().toSeq.map(_ + 1), capacity = 10)
+    try assert(await(g.submit(1)) == 2)
+    finally g.close()
+  }
+
+  test("callbacks fire on success, errbacks on batch failure (test:38-49)") {
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val err = new AtomicReference[Throwable]()
+    val g = Grouper.start[String, String](spark,
+      ds => ds.collect().toSeq.map(_.toUpperCase), capacity = 10)
+    try {
+      val ok1 = g.submit("hello", callback = seen.add(_))
+      val ok2 = g.submit("world", callback = seen.add(_))
+      await(ok1); await(ok2)
+      assert(seen.toArray.toSet == Set("HELLO", "WORLD"))
+      // a null element makes its whole batch fail (batch-granularity,
+      // core.clj:80-83); the stream itself survives
+      val bad = g.submit(null, errback = err.set(_))
+      val e = intercept[Exception](await(bad))
+      assert(e.isInstanceOf[NullPointerException])
+      assert(err.get().isInstanceOf[NullPointerException])
+      // stream still running and usable after the failed batch
+      assert(g.isRunning)
+      assert(await(g.submit("again")) == "AGAIN")
+    } finally g.close()
+  }
+
+  test("submit after close is rejected (test:51-58)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val g = Grouper.start[Int, Int](spark, ds => ds.collect().toSeq, capacity = 10)
+    g.close()
+    val e = intercept[RuntimeException](g.submit(1))
+    assert(e.getMessage.contains("is closed"))
+  }
+
+  test("collection result maps positionally (test:60-63)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val g = Grouper.start[Int, Int](spark, ds => ds.collect().toSeq.map(_ + 1), capacity = 10)
+    try {
+      val f0 = g.submit(0)
+      val f1 = g.submit(1)
+      assert(await(f0) == 1)
+      assert(await(f1) == 2)
+    } finally g.close()
+  }
+
+  test("scalar result broadcasts to all items in the batch (test:65-68)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val g = Grouper.startScalar[Int, Int](spark, _ => 100, capacity = 10)
+    try {
+      val fs = (1 to 5).map(g.submit(_))
+      assert(fs.map(await(_)).toSet == Set(100))
+    } finally g.close()
+  }
+
+  test("short result collections pad trailing items with null (core.clj:74-76)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val g = Grouper.start[Int, String](spark,
+      ds => ds.collect().toSeq.take(1).map(i => s"v$i"), capacity = 100, intervalMs = None)
+    val f0 = g.submit(0)
+    val f1 = g.submit(1)
+    g.close()
+    assert(await(f0) == "v0")
+    assert(await(f1) == null)
+  }
+
+  test("micro-batches execute sequentially (documented deviation from test:70-87)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val inBatch = new AtomicBoolean(false)
+    val overlapped = new AtomicBoolean(false)
+    val g = Grouper.startScalar[Int, Int](spark, ds => {
+      if (!inBatch.compareAndSet(false, true)) overlapped.set(true)
+      Thread.sleep(30)
+      inBatch.set(false)
+      ds.count().toInt
+    }, capacity = 2, intervalMs = Some(10L))
+    try {
+      val fs = (1 to 10).map(g.submit(_))
+      fs.foreach(await(_))
+      assert(!overlapped.get(), "micro-batches must not run concurrently")
+    } finally g.close()
+  }
+}
