@@ -22,6 +22,10 @@ object Functions {
   def winnow_fingerprint(text: Column, k: Int = 7, w: Int = 4): Column =
     Shims.column(WinnowFingerprint(Shims.expression(text), k, w))
 
+  /** Distinct word n-gram shingles of a string column (single tokenize). */
+  def word_shingles(text: Column, n: Int = 3): Column =
+    Shims.column(WordShingles(Shims.expression(text), n))
+
   /** Random-hyperplane LSH signature of an `array<float>` column. */
   def hyperplane_signature(vec: Column, bits: Int = 16): Column =
     Shims.column(HyperplaneSignature(Shims.expression(vec), bits))

@@ -180,6 +180,40 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a whitespace-tokenized string.
+  *
+  * Equivalent to split + transform(sequence, concat_ws) + array_distinct,
+  * but tokenizes exactly once per row — the composed higher-order-function
+  * form re-evaluates the split inside every lambda invocation (interpreted,
+  * ~200 regex splits per document), which dominated the near-dup pipeline.
+  * First-occurrence order is preserved, matching `array_distinct`.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i + n <= words.length) {
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray())
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Random-hyperplane LSH signature of a float vector (Charikar, STOC'02).
   *
   * Bit b is the sign of ⟨v, r_b⟩ where r_b is a deterministic ±1
@@ -216,11 +250,24 @@ case class HyperplaneSignature(child: Expression, bits: Int)
 }
 
 object HyperplaneSignature {
-  /** Deterministic ±1 hyperplane component for (bit, dim). */
-  def plane(bit: Int, dim: Int): Double = {
+  private final val MaxCachedBits = 64
+  private final val MaxCachedDims = 1024
+
+  /** Plane components are pure functions of (bit, dim); precompute the
+    * common range once per JVM so signature evaluation is a table lookup
+    * (the hash-per-component version dominated ANN bucketing time). */
+  private lazy val cached: Array[Array[Double]] =
+    Array.tabulate(MaxCachedBits, MaxCachedDims)(planeUncached)
+
+  private def planeUncached(bit: Int, dim: Int): Double = {
     import scala.util.hashing.MurmurHash3
     val h = MurmurHash3.finalizeHash(
       MurmurHash3.mix(MurmurHash3.mix(0x9747b28c, bit), dim), 2)
     if ((h & 1) == 0) 1.0 else -1.0
   }
+
+  /** Deterministic ±1 hyperplane component for (bit, dim). */
+  def plane(bit: Int, dim: Int): Double =
+    if (bit < MaxCachedBits && dim < MaxCachedDims) cached(bit)(dim)
+    else planeUncached(bit, dim)
 }

@@ -75,6 +75,30 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Exact shingle-Jaccard pairs via an inverted index: explode shingles,
+    * self-join on the shingle, count common shingles per pair, then
+    * |A∩B| / (|A|+|B|−|A∩B|). Pairs sharing no shingle are never
+    * materialized — the scale path for brute-force similarity (the naive
+    * cross-join is O(n²) in documents; this is linear in the posting
+    * lists). Hot shingles are the skew risk; AQE skew-join handles them.
+    */
+  def shingleJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+    val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
+    val ex = sets.select(col("id"), explode(col("shingles")).as("sh"))
+    val common = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("ni"))
+    common
+      .join(sizes.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("ni") / (col("na") + col("nb") - col("ni")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** SimHash near-dup pairs within a Hamming radius (≤ chunks−1).
     * Banded on 16-bit chunks so at least one chunk must match exactly. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,

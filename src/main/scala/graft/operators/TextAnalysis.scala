@@ -31,9 +31,11 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Distinct word n-gram shingle set of a raw text column. */
+  /** Distinct word n-gram shingle set of a raw text column.
+    * Uses the native [[graft.functions.WordShingles]] expression: the
+    * composed HOF form re-tokenizes inside every lambda invocation. */
   def shingleSet(text: Column, n: Int = 3): Column =
-    array_distinct(wordShingles(tokens(text), n))
+    graft.functions.Functions.word_shingles(text, n)
 
   /** |A ∩ B| / |A ∪ B| over two array columns (set semantics). */
   def jaccard(a: Column, b: Column): Column =

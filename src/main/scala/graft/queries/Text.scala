@@ -90,14 +90,8 @@ object Text {
     // --- near-duplicate detection ---------------------------------------
     Q("q29_shingle_jaccard", (s, d) => {
       import s.implicits._
-      val sets = Dedup.shingleSets(
-        T.documents(s, d).filter($"doc_id" < 500), "doc_id", "text")
-      val a = sets.select($"id".as("a_id"), $"shingles".as("sa"))
-      val b = sets.select($"id".as("b_id"), $"shingles".as("sb"))
-      a.join(b, $"a_id" < $"b_id")
-        .select($"a_id", $"b_id",
-          round(TextAnalysis.jaccard($"sa", $"sb"), 6).as("sim"))
-        .filter($"sim" >= 0.5)
+      Dedup.shingleJaccardPairs(
+        T.documents(s, d).filter($"doc_id" < 500), "doc_id", "text", 0.5)
         .orderBy($"a_id", $"b_id")
     }, Some("""
       WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
