@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Structured Streaming capability coverage (SURVEY §2.2 streaming rows):
+  * watermarks + event-time windows, streaming dedup, and custom state via
+  * flatMapGroupsWithState.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermark + tumbling event-time window emits closed windows only") {
+    import spark.implicits._
+    val src = MemoryStream[(Timestamp, String)](spark)
+    val agg = src.toDS().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"k", $"n")
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData((ts(0), "a"), (ts(1), "a"), (ts(6), "b"))
+      q.processAllAvailable()
+      // advance event time far past the watermark: first windows close
+      src.addData((ts(40), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((ts(0), "a", 2L), (ts(5), "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates suppresses re-sent ids across batches") {
+    import spark.implicits._
+    val src = MemoryStream[(Long, String)](spark)
+    val deduped = src.toDS().toDF("id", "v").dropDuplicates("id")
+    val q = deduped.writeStream.format("memory").queryName("dd_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      src.addData((1L, "x"), (2L, "y"))
+      q.processAllAvailable()
+      src.addData((1L, "x-again"), (3L, "z"))
+      q.processAllAvailable()
+      val ids = spark.table("dd_out").select("id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-key counts across batches") {
+    import spark.implicits._
+    val src = MemoryStream[(String, Int)](spark)
+    val counted = src.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((key, total))
+      }
+    val q = counted.toDF("k", "total").writeStream
+      .format("memory").queryName("st_out").outputMode(OutputMode.Append).start()
+    try {
+      src.addData(("a", 1), ("a", 2), ("b", 3))
+      q.processAllAvailable()
+      src.addData(("a", 4))
+      q.processAllAvailable()
+      val last = spark.table("st_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map("a" -> 3L, "b" -> 1L))
+    } finally q.stop()
+  }
+}

@@ -21,6 +21,11 @@ def canon(df):
 def cells_equal(a, b):
     if a is None and b is None:
         return True
+    if hasattr(a, "__len__") and not isinstance(a, str):
+        try:
+            return list(a) == list(b)
+        except Exception:
+            return False
     try:
         if isinstance(a, float) or isinstance(b, float):
             if a is None or b is None:
