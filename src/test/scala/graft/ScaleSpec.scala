@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("saltedJoin equals plain inner join on a skewed key") {
+    import spark.implicits._
+    // one hot key (0) carrying most rows
+    val large = (1 to 1000).map(i => (if (i % 10 == 0) i.toLong else 0L, i))
+      .toDF("k", "v")
+    val small = Seq((0L, "hot"), (10L, "ten"), (20L, "twenty")).toDF("k", "name")
+    val expected = large.join(small, "k").select("k", "v", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Scale.saltedJoin(large, small, "k", salts = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == expected)
+    assert(salted.nonEmpty)
+  }
+
+  test("writePartitioned produces prunable directory layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").toString
+    val df = Seq((1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0),
+      (3, "2024-01-01", 30.0)).toDF("id", "day", "v")
+    Scale.writePartitioned(df, dir, Seq("day"))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("day="))
+    assert(dirs.toSet == Set("day=2024-01-01", "day=2024-01-02"))
+    // partition filter prunes: only one partition's rows are read
+    val pruned = spark.read.parquet(dir).filter($"day" === "2024-01-01")
+    assert(pruned.collect().map(_.getAs[Int]("id")).toSet == Set(1, 3))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"))
+  }
+}
