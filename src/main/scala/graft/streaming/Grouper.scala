@@ -20,7 +20,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *    capacity buffer below), or on close-drain (`core.clj:58-66` ≙
   *    `processAllAvailable` + `stop`);
   *  - FIFO within a batch (`core.clj:129-130`): requests carry a sequence
-  *    id and the batch is processed in id order;
+  *    id and each batch is processed in id order;
   *  - positional result alignment with null padding (`core.clj:72-76`):
   *    a short result collection completes trailing requests with null;
   *  - scalar broadcast (`core.clj:73`): `startScalar` delivers one value
@@ -31,60 +31,66 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *  - closed rejection (`core.clj:40-41`): submit after close throws
   *    `RuntimeException("Grouper is closed")`;
   *  - backpressure (`core.clj:44`): submit blocks while `capacity`
-  *    requests are outstanding.
+  *    requests are outstanding;
+  *  - pool parallelism (`core.clj:85-97`, `test:79-87`): `parallelism`
+  *    independent streaming lanes execute batches concurrently, like the
+  *    reference's fixed thread pool; with `parallelism = 1`, batches are
+  *    strictly sequential (the reference's inline/no-pool mode,
+  *    `core.clj:133-135`).
   *
-  * Deviations (documented, SURVEY §7.4): completion is observed per
-  * micro-batch rather than per row, and micro-batches execute
-  * sequentially (Spark's model) instead of on a concurrent pool — the
-  * pool's parallelism maps to task parallelism inside each batch.
+  * Deviation (documented, SURVEY §7.4): completion is observed per
+  * micro-batch rather than per row — Spark has no per-row futures; the
+  * façade's promises are driver-resident by design (request/response API).
   */
 final class Grouper[A, B] private (
     spark: SparkSession,
     runBatch: Dataset[A] => Either[B, Seq[B]],
     capacity: Int,
-    intervalMs: Option[Long])(implicit encA: Encoder[A]) {
+    intervalMs: Option[Long],
+    parallelism: Int)(implicit encA: Encoder[A]) {
 
   private val seq = new AtomicLong(0L)
   private val running = new AtomicBoolean(true)
   private val pending = new ConcurrentHashMap[Long, (Promise[B], B => Unit, Throwable => Unit)]()
   private val lock = new Object
   // held-back submissions for interval=None (flush only on capacity/close)
-  private val buffer = new ArrayBuffer[(Long, A)]
+  private val buffers = Array.fill(parallelism)(new ArrayBuffer[(Long, A)])
 
   private implicit val reqEnc: Encoder[(Long, A)] =
     Encoders.tuple(Encoders.scalaLong, encA)
 
-  private val source = MemoryStream[(Long, A)](spark)(reqEnc)
-
-  private val query: StreamingQuery = {
-    import org.apache.spark.sql.functions.col
-    source.toDS()
-      .writeStream
-      .trigger(Trigger.ProcessingTime(intervalMs.getOrElse(10L)))
-      .foreachBatch { (batch: Dataset[(Long, A)], _: Long) =>
-        val ordered = batch.orderBy(col("_1"))
-        val ids = ordered.select(col("_1")).as(Encoders.scalaLong).collect()
-        if (ids.nonEmpty) {
-          try {
-            val payloads = ordered.map(_._2)(encA)
-            runBatch(payloads) match {
-              case Left(scalar) =>
-                ids.foreach(complete(_, scalar))
-              case Right(results) =>
-                // positional zip; pad missing tail with null (core.clj:74-76)
-                ids.zipWithIndex.foreach { case (id, i) =>
-                  complete(id, if (i < results.length) results(i) else null.asInstanceOf[B])
-                }
+  private val lanes: Array[(MemoryStream[(Long, A)], StreamingQuery)] =
+    Array.tabulate(parallelism) { _ =>
+      import org.apache.spark.sql.functions.col
+      val source = MemoryStream[(Long, A)](spark)(reqEnc)
+      val query = source.toDS()
+        .writeStream
+        .trigger(Trigger.ProcessingTime(intervalMs.getOrElse(10L)))
+        .foreachBatch { (batch: Dataset[(Long, A)], _: Long) =>
+          val ordered = batch.orderBy(col("_1"))
+          val ids = ordered.select(col("_1")).as(Encoders.scalaLong).collect()
+          if (ids.nonEmpty) {
+            try {
+              val payloads = ordered.map(_._2)(encA)
+              runBatch(payloads) match {
+                case Left(scalar) =>
+                  ids.foreach(complete(_, scalar))
+                case Right(results) =>
+                  // positional zip; pad missing tail with null (core.clj:74-76)
+                  ids.zipWithIndex.foreach { case (id, i) =>
+                    complete(id, if (i < results.length) results(i) else null.asInstanceOf[B])
+                  }
+              }
+            } catch {
+              case e: Throwable => ids.foreach(fail(_, e))
             }
-          } catch {
-            case e: Throwable => ids.foreach(fail(_, e))
+            lock.synchronized(lock.notifyAll())
           }
-          lock.synchronized(lock.notifyAll())
+          ()
         }
-        ()
-      }
-      .start()
-  }
+        .start()
+      (source, query)
+    }
 
   private def complete(id: Long, value: B): Unit = {
     val entry = pending.remove(id)
@@ -102,7 +108,7 @@ final class Grouper[A, B] private (
     }
   }
 
-  def isRunning: Boolean = running.get() && query.isActive
+  def isRunning: Boolean = running.get() && lanes.forall(_._2.isActive)
 
   /** Submit one element; returns a future completed when the element's
     * micro-batch has been processed (the reference's promise,
@@ -114,21 +120,26 @@ final class Grouper[A, B] private (
       while (pending.size() >= capacity) lock.wait(100)
     }
     val id = seq.getAndIncrement()
+    val lane = (id % parallelism).toInt
     val p = Promise[B]()
     pending.put(id, (p, callback, errback))
     lock.synchronized {
       if (intervalMs.isEmpty) {
-        buffer += ((id, elem))
-        if (buffer.length >= capacity) flushBuffer()
-      } else source.addData((id, elem))
+        buffers(lane) += ((id, elem))
+        if (buffers.map(_.length).sum >= capacity) flushBuffers()
+      } else lanes(lane)._1.addData((id, elem))
     }
     p.future
   }
 
-  private def flushBuffer(): Unit = {
-    if (buffer.nonEmpty) {
-      source.addData(buffer.toSeq)
-      buffer.clear()
+  private def flushBuffers(): Unit = {
+    var lane = 0
+    while (lane < parallelism) {
+      if (buffers(lane).nonEmpty) {
+        lanes(lane)._1.addData(buffers(lane).toSeq)
+        buffers(lane).clear()
+      }
+      lane += 1
     }
   }
 
@@ -136,10 +147,9 @@ final class Grouper[A, B] private (
     * request is processed before this returns. */
   def close(): Unit = {
     if (running.compareAndSet(true, false)) {
-      lock.synchronized(flushBuffer())
-      query.processAllAvailable()
-      query.stop()
-      query.awaitTermination()
+      lock.synchronized(flushBuffers())
+      lanes.foreach(_._2.processAllAvailable())
+      lanes.foreach { case (_, q) => q.stop(); q.awaitTermination() }
     }
   }
 
@@ -149,22 +159,25 @@ final class Grouper[A, B] private (
 
 object Grouper {
 
-  private def validate(capacity: Int, intervalMs: Option[Long]): Unit = {
+  private def validate(capacity: Int, intervalMs: Option[Long], parallelism: Int): Unit = {
     require(capacity > 0, s"capacity must be a positive integer: $capacity")
     intervalMs.foreach(i => require(i > 0, s"interval must be a positive integer: $i"))
+    require(parallelism > 0, s"parallelism must be a positive integer: $parallelism")
   }
 
   /** Start with a collection-result processor: results align positionally
     * with the batch's elements (`core.clj:102-105`). The processor sees
     * the micro-batch as a `Dataset[A]` in submission order and must
-    * return rows 1:1 (short results are null-padded). */
+    * return rows 1:1 (short results are null-padded). `parallelism` is
+    * the reference's `:pool` — concurrent batch lanes. */
   def start[A, B](spark: SparkSession,
       proc: Dataset[A] => Seq[B],
       capacity: Int,
-      intervalMs: Option[Long] = Some(50L))(implicit encA: Encoder[A]): Grouper[A, B] = {
-    validate(capacity, intervalMs)
+      intervalMs: Option[Long] = Some(50L),
+      parallelism: Int = 1)(implicit encA: Encoder[A]): Grouper[A, B] = {
+    validate(capacity, intervalMs, parallelism)
     require(proc != null, "proc must be a function")
-    new Grouper[A, B](spark, ds => Right(proc(ds)), capacity, intervalMs)
+    new Grouper[A, B](spark, ds => Right(proc(ds)), capacity, intervalMs, parallelism)
   }
 
   /** Start with a scalar-result processor: the single value is broadcast
@@ -172,9 +185,10 @@ object Grouper {
   def startScalar[A, B](spark: SparkSession,
       proc: Dataset[A] => B,
       capacity: Int,
-      intervalMs: Option[Long] = Some(50L))(implicit encA: Encoder[A]): Grouper[A, B] = {
-    validate(capacity, intervalMs)
+      intervalMs: Option[Long] = Some(50L),
+      parallelism: Int = 1)(implicit encA: Encoder[A]): Grouper[A, B] = {
+    validate(capacity, intervalMs, parallelism)
     require(proc != null, "proc must be a function")
-    new Grouper[A, B](spark, ds => Left(proc(ds)), capacity, intervalMs)
+    new Grouper[A, B](spark, ds => Left(proc(ds)), capacity, intervalMs, parallelism)
   }
 }

@@ -35,6 +35,9 @@ class GrouperSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Grouper.start[Int, Int](spark, null, capacity = 10)
     }
+    intercept[IllegalArgumentException] {
+      Grouper.start[Int, Int](spark, ds => Seq(), capacity = 10, parallelism = 0)
+    }
   }
 
   test("close drains all submitted items (test:18-28)") {
@@ -121,7 +124,26 @@ class GrouperSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(await(f1) == null)
   }
 
-  test("micro-batches execute sequentially (documented deviation from test:70-87)") {
+  test("parallelism > 1 executes batches concurrently like the reference pool (test:79-87)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val active = new AtomicInteger(0)
+    val maxActive = new AtomicInteger(0)
+    val g = Grouper.startScalar[Int, Int](spark, ds => {
+      val now = active.incrementAndGet()
+      maxActive.getAndUpdate(m => math.max(m, now))
+      Thread.sleep(300)
+      active.decrementAndGet()
+      ds.count().toInt
+    }, capacity = 100, intervalMs = Some(10L), parallelism = 4)
+    try {
+      val fs = (1 to 16).map(g.submit(_))
+      fs.foreach(await(_))
+      assert(maxActive.get() > 1,
+        s"expected concurrent batches with parallelism=4, saw max ${maxActive.get()}")
+    } finally g.close()
+  }
+
+  test("parallelism = 1 executes micro-batches sequentially (core.clj:133-135)") {
     implicit val enc = org.apache.spark.sql.Encoders.scalaInt
     val inBatch = new AtomicBoolean(false)
     val overlapped = new AtomicBoolean(false)
