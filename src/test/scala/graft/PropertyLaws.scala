@@ -1,0 +1,102 @@
+package graft
+
+import scala.concurrent.Await
+import scala.concurrent.duration._
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Grouper
+import graft.operators.TextAnalysis
+import graft.functions.Functions._
+
+/** Algebraic laws from SURVEY §5.2: result-arity and scalar-broadcast
+  * (the reference's core contracts, `core.clj:72-76`), dedup idempotence,
+  * aggregation partition-invariance (partial ≡ final), and similarity
+  * function properties.
+  */
+object PropertyLaws extends Properties("graft") {
+
+  // streaming rounds are seconds each — keep sample counts proportionate
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = Session.local(4)
+  import spark.implicits._
+
+  private val smallInts = Gen.listOf(Gen.chooseNum(-100, 100))
+
+  property("dedup is idempotent") = forAll(smallInts) { xs =>
+    val df = xs.toDF("v")
+    val once = df.dropDuplicates("v")
+    once.count() == once.dropDuplicates("v").count() &&
+      once.count() == xs.distinct.size
+  }
+
+  property("aggregation is partition-invariant (partial ≡ final)") =
+    forAll(smallInts, Gen.chooseNum(1, 8)) { (xs, parts) =>
+      val df = xs.map(x => (x % 5, x.toLong)).toDF("k", "v")
+      val direct = df.groupBy($"k").agg(sum($"v")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val repart = df.repartition(parts, $"k").groupBy($"k").agg(sum($"v"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      direct == repart
+    }
+
+  property("jaccard is bounded, symmetric, and reflexive on shingle sets") =
+    forAll(Gen.listOfN(6, Gen.identifier), Gen.listOfN(6, Gen.identifier)) { (wa, wb) =>
+      val df = Seq((0L, wa.mkString(" ")), (1L, wb.mkString(" ")))
+        .toDF("id", "text")
+        .select($"id", TextAnalysis.shingleSet($"text", 2).as("s"))
+      val pairs = df.as("a").crossJoin(df.as("b"))
+        .select($"a.id".as("i"), $"b.id".as("j"),
+          TextAnalysis.jaccard($"a.s", $"b.s").as("jac"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+      val selfOk = pairs((0L, 0L)).forall(v => math.abs(v - 1.0) < 1e-12)
+      val symOk = pairs((0L, 1L)) == pairs((1L, 0L))
+      val boundOk = pairs.values.flatten.forall(v => v >= 0.0 && v <= 1.0)
+      selfOk && symOk && boundOk
+    }
+
+  property("cosine similarity is symmetric and reflexive") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+        .suchThat(_.exists(_ != 0.0f))) { v =>
+      val df = Seq((0L, v.toArray), (1L, v.map(x => -x).toArray))
+        .toDF("id", "e")
+      val c = df.as("a").crossJoin(df.as("b"))
+        .select($"a.id".as("i"), $"b.id".as("j"),
+          cosine_similarity($"a.e", $"b.e").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      math.abs(c((0L, 0L)) - 1.0) < 1e-9 &&
+        c((0L, 1L)) == c((1L, 0L)) &&
+        math.abs(c((0L, 1L)) + 1.0) < 1e-9
+    }
+
+  property("grouper: |results| = |items| with a map proc (result-arity)") =
+    forAll(Gen.listOfN(5, Gen.listOf(Gen.chooseNum(-50, 50)))) { batches =>
+      val g = Grouper.start[Int, Int](spark,
+        ds => ds.collect().toSeq.map(_ * 2), capacity = 1000, intervalMs = None)
+      try {
+        val futures = batches.flatten.map(g.submit(_))
+        g.close()
+        val results = futures.map(Await.result(_, 60.seconds))
+        results.length == batches.flatten.length &&
+          results == batches.flatten.map(_ * 2)
+      } finally if (g.isRunning) g.close()
+    }
+
+  property("grouper: scalar result broadcasts to every item") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-50, 50))) { xs =>
+      val g = Grouper.startScalar[Int, Long](spark,
+        ds => ds.count(), capacity = 1000, intervalMs = None)
+      try {
+        val futures = xs.map(g.submit(_))
+        g.close()
+        val results = futures.map(Await.result(_, 60.seconds))
+        results.toSet == Set(xs.length.toLong)
+      } finally if (g.isRunning) g.close()
+    }
+}
