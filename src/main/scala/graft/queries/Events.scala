@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.sources.{Tables => T}
+import graft.operators.AsOf
 
 /** Event-stream suite: JSON extraction, event-time windows, sessionization,
   * exact + sketch statistics, and a true Structured Streaming query
@@ -110,6 +111,30 @@ object Events {
       s.table(qn).orderBy($"event_type")
     }, Some("""
       SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // as-of join: each purchase picks up the user's most recent signup
+    // at or before it (union + running-last window; one shuffle on key)
+    Q("q48_asof_join", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts")
+      val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
+      AsOf.asofJoin(purchases, signups, "user_id", "ts", "ts", Seq("ts"))
+        .select($"event_id", $"user_id", $"ts",
+          coalesce($"asof_ts", epoch).as("last_signup_ts"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT p.event_id, p.user_id, p.ts,
+             coalesce(s.ts, TIMESTAMP '1970-01-01 00:00:00') AS last_signup_ts
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                      WHERE event_type = 'signup') s
+        ON p.user_id = s.user_id AND s.ts <= p.ts
+      ORDER BY p.event_id"""))
   )
 }

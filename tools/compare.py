@@ -27,6 +27,12 @@ def cells_equal(a, b):
         except Exception:
             return False
     try:
+        import pandas as pd
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    try:
         if isinstance(a, float) or isinstance(b, float):
             if a is None or b is None:
                 return False
