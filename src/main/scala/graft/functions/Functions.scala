@@ -6,6 +6,34 @@ import org.apache.spark.sql.graft.Shims
 /** Column-level API over graft's custom Catalyst expressions. */
 object Functions {
 
+  /** Expression builders by SQL name (shared by [[registerAll]] and
+    * [[graft.GraftExtensions]]). Literal-int options are read from the
+    * call site with documented defaults. */
+  private[graft] val sqlBuilders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def litInt(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+    }
+    Seq(
+      "cosine_similarity" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+      "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
+      "rolling_hash" -> ((es: Seq[Expression]) => RollingHash(es(0))),
+      "word_shingles" -> ((es: Seq[Expression]) =>
+        WordShingles(es(0), if (es.length > 1) litInt(es(1), "shingle size") else 3)),
+      "winnow_fingerprint" -> ((es: Seq[Expression]) =>
+        WinnowFingerprint(es(0),
+          if (es.length > 1) litInt(es(1), "k") else 7,
+          if (es.length > 2) litInt(es(2), "w") else 4)),
+      "hyperplane_signature" -> ((es: Seq[Expression]) =>
+        HyperplaneSignature(es(0), if (es.length > 1) litInt(es(1), "bits") else 16))
+    )
+  }
+
+  /** Make all graft functions callable from `spark.sql` on this session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlBuilders.foreach { case (name, b) => Shims.registerFunction(spark, name, b) }
+
   /** Cosine similarity of two `array<float>` columns (codegen'd, double accumulation). */
   def cosine_similarity(a: Column, b: Column): Column =
     Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))

@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on an existing session (the
+    * `FunctionRegistry` lives behind `sessionState`, also package-private).
+    * For session-construction-time registration use
+    * [[graft.GraftExtensions]] with `spark.sql.extensions` instead. */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

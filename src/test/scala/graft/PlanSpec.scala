@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan guards: the properties that keep queries fast at scale
+  * must survive refactors — filter/column pushdown to the parquet scan,
+  * broadcast joins for dimensions, partial aggregation, and no accidental
+  * cartesian products in the similarity pipeline.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Session.local(4)
+  private val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to parquet scan and columns pruned") {
+    val p = plan("q01_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$p")
+    assert(!p.contains("l_orderkey"), "scan should prune unused columns")
+  }
+
+  test("q02: quantity filter reaches the scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"))
+  }
+
+  test("q04: dimension joins broadcast, aggregation is partial+final") {
+    val p = plan("q04_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q29: inverted-index jaccard has no cartesian product") {
+    val p = plan("q29_shingle_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q42: outer join preserved (no inner-join rewrite)") {
+    val p = plan("q42_left_outer_join")
+    assert(p.contains("LeftOuter"))
+  }
+}
