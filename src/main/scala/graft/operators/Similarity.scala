@@ -45,6 +45,54 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** IVF-style ANN: a KMeans coarse quantizer assigns every vector to one
+    * of `nlist` cells; each probe searches only its `nprobe` nearest
+    * cells, then exact cosine ranks the candidates. This is the classic
+    * inverted-file index layout: at 100 TB the vector table is
+    * partitioned by cell, so a probe batch touches nprobe/nlist of the
+    * data instead of all of it. Centroids are tiny and broadcast.
+    */
+  def ivfTopK(vectors: DataFrame, probes: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    val withVec = vectors.withColumn("__v", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("__v").setPredictionCol("__cell").fit(withVec)
+
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("embedding"), col("__cell").as("cell"))
+
+    // (cell, centroid) — nlist rows, broadcast everywhere
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+
+    // each probe's nprobe nearest cells by centroid similarity
+    val probeCells = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .join(broadcast(centroids))
+      .select(col("probe_id"), col("p_emb"), col("cell"),
+        cosine_similarity(col("p_emb"), col("centroid")).as("csim"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crnk") <= nprobe)
+      .select(col("probe_id"), col("p_emb"), col("cell"))
+
+    // search only the selected cells, exact-rank the candidates
+    val scored = assigned.join(broadcast(probeCells),
+        Seq("cell")).filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine_similarity(col("p_emb"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k via banded random-hyperplane LSH: 4 bands of
     * `bandBits` signature bits; a vector is a candidate if any band
     * matches the probe's. Exact cosine ranks candidates. */

@@ -127,6 +127,23 @@ object Text {
       SELECT a_id, b_id, sim FROM pairs WHERE sim >= 0.5
       ORDER BY a_id, b_id""")),
 
+    // BPE-ish sub-word token counting: letter runs, digit runs, and
+    // single punctuation marks — the pre-tokenization split most BPE
+    // vocabularies assume
+    Q("q50_token_regex", (s, d) => {
+      import s.implicits._
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+      T.documents(s, d)
+        .select($"doc_id",
+          size(regexp_extract_all($"text", lit(pat), lit(0))).as("n_bpe_tokens"),
+          TextAnalysis.tokenCount($"text").as("n_ws_tokens"))
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens
+      FROM documents ORDER BY doc_id""")),
+
     // rows-only: SimHash (xxHash64 basis — not expressible in DuckDB)
     Q("q31_simhash", (s, d) => {
       import s.implicits._

@@ -52,6 +52,15 @@ object Vectors {
         .orderBy($"probe_id", $"rnk")
     }, None),
 
+    // rows-only: IVF ANN (KMeans coarse quantizer + nprobe cell search)
+    Q("q49_ann_ivf", (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter($"vec_id" < 10), 5)
+        .select($"probe_id", $"vec_id", $"sim", $"rnk")
+        .orderBy($"probe_id", $"rnk")
+    }, None),
+
     Q("q35_vector_stats", (s, d) => {
       import s.implicits._
       val sq = aggregate(col("embedding"), lit(0.0),
