@@ -124,6 +124,58 @@ object Extras {
         s"""count(*) FILTER (WHERE o_orderpriority = '$p') AS "$p"""").mkString(", ") +
         " FROM orders GROUP BY 1 ORDER BY o_orderstatus")),
 
+    Q("q51_string_agg", (s, d) => {
+      import s.implicits._
+      // deterministic listagg: sort collected values before joining
+      T.orders(s, d).filter($"o_custkey" < 50)
+        .groupBy($"o_orderstatus")
+        .agg(concat_ws("|", array_sort(collect_list($"o_orderpriority"))).as("prios"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+             string_agg(o_orderpriority, '|' ORDER BY o_orderpriority) AS prios,
+             count(*) AS n
+      FROM orders WHERE o_custkey < 50
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    Q("q52_stats_agg", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("qp_corr"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("qp_covar"),
+          round(var_samp($"l_quantity"), 6).as("qty_var"),
+          round(stddev_samp($"l_extendedprice"), 4).as("price_sd"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS qp_covar,
+             round(var_samp(l_quantity), 6) AS qty_var,
+             round(stddev_samp(l_extendedprice), 4) AS price_sd
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q54_grouping_sets", (s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("li_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM li_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS INT) AS g_flag,
+             CAST(grouping(l_linestatus) AS INT) AS g_status,
+             count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     Q("q47_sparksql", (s, d) => {
       T.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql("""
