@@ -176,6 +176,38 @@ object Extras {
       GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    Q("q53_minmax_by", (s, d) => {
+      import s.implicits._
+      // exact integer composite (price has 2 decimals) so ties break on
+      // orderkey identically in both engines
+      val key = (round($"o_totalprice" * 100).cast("long") * 10000000L + $"o_orderkey")
+      T.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(max_by($"o_orderkey", key).as("best_order"),
+          min_by($"o_orderkey", key).as("worst_order"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_custkey")
+    }, Some("""
+      SELECT o_custkey,
+             arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS best_order,
+             arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS worst_order,
+             count(*) AS n
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // deterministic "sample": portable multiplicative hash on the key —
+    // the reproducible systematic-sampling pattern for pipeline debugging
+    Q("q55_det_sample", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter(($"l_orderkey" * 2654435761L) % 100 < 10)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem WHERE (l_orderkey * 2654435761) % 100 < 10
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     Q("q47_sparksql", (s, d) => {
       T.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql("""
