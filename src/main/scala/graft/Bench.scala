@@ -28,7 +28,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the reference's own metric: micro-batched request throughput
+    // (its README models a 1,000 items/s server ceiling and ~909 items/s
+    // batched; this measures the façade end-to-end incl. per-item futures)
+    val grouperRate = {
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      implicit val enc = org.apache.spark.sql.Encoders.scalaLong
+      val g = graft.streaming.Grouper.start[Long, Long](spark,
+        ds => ds.collect().toSeq.map(_ + 1), capacity = 10000, intervalMs = Some(10L))
+      val n = 5000
+      val t0 = System.nanoTime()
+      val fs = (1L to n).map(g.submit(_))
+      fs.foreach(Await.result(_, 120.seconds))
+      val rate = n / ((System.nanoTime() - t0) / 1e9)
+      g.close()
+      rate
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"grouper_items_per_sec":$grouperRate,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

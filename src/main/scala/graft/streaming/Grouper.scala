@@ -61,17 +61,28 @@ final class Grouper[A, B] private (
 
   private val lanes: Array[(MemoryStream[(Long, A)], StreamingQuery)] =
     Array.tabulate(parallelism) { _ =>
-      import org.apache.spark.sql.functions.col
-      val source = MemoryStream[(Long, A)](spark)(reqEnc)
+      // fixed partition count: every addData call creates a block, and the
+      // default plan turns each block into its own input partition — a
+      // burst of single-item submits would otherwise give a batch with
+      // thousands of one-row tasks
+      val source = MemoryStream[(Long, A)](spark, 4)(reqEnc)
       val query = source.toDS()
         .writeStream
         .trigger(Trigger.ProcessingTime(intervalMs.getOrElse(10L)))
         .foreachBatch { (batch: Dataset[(Long, A)], _: Long) =>
-          val ordered = batch.orderBy(col("_1"))
-          val ids = ordered.select(col("_1")).as(Encoders.scalaLong).collect()
+          // one collect of the capacity-bounded batch, sorted driver-side:
+          // a per-batch orderBy would shuffle and re-execute per downstream
+          // job, dominating throughput with fixed scheduling latency
+          val rows = {
+            import scala.jdk.CollectionConverters._
+            batch.collectAsList().asScala.toIndexedSeq.sortBy(_._1)
+          }
+          val ids = rows.map(_._1)
           if (ids.nonEmpty) {
             try {
-              val payloads = ordered.map(_._2)(encA)
+              // LocalRelation dataset: procs that just collect/map run with
+              // no cluster jobs; procs that do real Spark work still can
+              val payloads = spark.createDataset(rows.map(_._2).toIndexedSeq)(encA)
               runBatch(payloads) match {
                 case Left(scalar) =>
                   ids.foreach(complete(_, scalar))
