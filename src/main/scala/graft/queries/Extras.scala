@@ -208,6 +208,53 @@ object Extras {
       FROM lineitem WHERE (l_orderkey * 2654435761) % 100 < 10
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // exact decimal arithmetic: no fp rounding needed on either side
+    Q("q56_decimal", (s, d) => {
+      import s.implicits._
+      val dec = $"l_extendedprice".cast("decimal(12,2)")
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(sum(dec).as("sum_price_exact"),
+          max(dec).as("max_price_exact"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price_exact,
+             max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price_exact,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    Q("q57_date_arith", (s, d) => {
+      import s.implicits._
+      T.orders(s, d).filter($"o_orderkey" < 2000)
+        .select($"o_orderkey",
+          date_add($"o_orderdate", 30).as("due_date"),
+          datediff($"o_orderdate", lit("1970-01-01").cast("date")).as("epoch_days"),
+          quarter($"o_orderdate").cast("int").as("q"),
+          dayofmonth($"o_orderdate").cast("int").as("dom"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+             CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS INT) AS epoch_days,
+             CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+             CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom
+      FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
+
+    Q("q58_scalar_subquery", (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+        ORDER BY c_custkey""")
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      ORDER BY c_custkey""")),
+
     Q("q47_sparksql", (s, d) => {
       T.lineitem(s, d).createOrReplaceTempView("lineitem_v")
       s.sql("""
