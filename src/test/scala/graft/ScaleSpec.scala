@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
 import graft.operators.Scale
+import graft.sources.Tables
 
 class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -27,6 +28,24 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("k", "v", "name").collect().map(_.toSeq).toSet
     assert(salted == expected)
     assert(salted.nonEmpty)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val lineitem = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    Scale.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+    Scale.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == lineitem.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("writePartitioned produces prunable directory layout") {
