@@ -51,8 +51,22 @@ object Scale {
     * The canonical layout for a 100 TB fact table that's joined on the
     * same key by every pipeline run — the shuffle is paid once at write
     * time instead of per query. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    // a previous process may have left the managed location behind while
+    // the in-memory catalog forgot the table — clear both
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = df.sparkSession.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(s"$warehouse/${table.toLowerCase}")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 }
