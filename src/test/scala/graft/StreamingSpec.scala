@@ -60,6 +60,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("production grouper path: file-source requests, result table joined on request_id") {
+    // SURVEY §3.2's prod mapping: promises are replaced by a result table
+    // written per micro-batch and joined back on request_id
+    import spark.implicits._
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_req").toString
+    val reqDir = s"$base/requests"
+    val resDir = s"$base/results"
+    Seq((0L, 12), (1L, 7), (2L, 40)).toDF("request_id", "payload")
+      .write.parquet(reqDir)
+    val schema = spark.read.parquet(reqDir).schema
+    val q = spark.readStream.schema(schema).parquet(reqDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.withColumn("result", col("payload") * 2)
+          .select("request_id", "result")
+          .write.mode("append").parquet(resDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val joined = spark.read.parquet(reqDir)
+      .join(spark.read.parquet(resDir), "request_id")
+      .collect().map(r => r.getAs[Long]("request_id") -> r.getAs[Int]("result")).toMap
+    assert(joined == Map(0L -> 24, 1L -> 14, 2L -> 80))
+  }
+
   test("flatMapGroupsWithState keeps running per-key counts across batches") {
     import spark.implicits._
     val src = MemoryStream[(String, Int)](spark)
