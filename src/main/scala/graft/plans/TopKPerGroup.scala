@@ -1,0 +1,105 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator custom plan (SURVEY §7.3 option (c), the deep end of
+  * the custom-operator ladder): top-k rows per group without a full sort.
+  *
+  * The window-function formulation (`row_number().over(...) <= k`) sorts
+  * every group completely; this operator keeps a bounded heap of k rows
+  * per group instead — O(n log k) work and O(groups·k) memory. The
+  * strategy plans it in two phases like an aggregate: a partial pass on
+  * whatever partitioning the child has (map-side reduction to ≤k rows
+  * per group per partition), then a final pass after Catalyst inserts the
+  * exchange demanded by `ClusteredDistribution(groupExprs)`. At 100 TB
+  * the shuffle therefore moves at most groups·k·partitions rows, not the
+  * full table.
+  *
+  * Rows with a null ordering value are dropped; ties at the k-boundary
+  * keep an arbitrary row (supply a unique composite ordering expression
+  * for deterministic output).
+  */
+case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    orderExpr: Expression,
+    k: Int,
+    desc: Boolean,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, desc, child) =>
+      val partial = TopKPerGroupExec(g, o, k, desc, partial = true, planLater(child))
+      TopKPerGroupExec(g, o, k, desc, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    orderExpr: Expression,
+    k: Int,
+    desc: Boolean,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val boundGroup = groupExprs.map(BindReferences.bindReference(_, child.output))
+    val boundOrder = BindReferences.bindReference(orderExpr, child.output)
+    val kLocal = k
+    val baseOrd = TypeUtils.getInterpretedOrdering(orderExpr.dataType)
+    // heap dequeues the WORST kept row: for desc (largest k) that is the
+    // minimum, so order the queue by the reversed comparator
+    val heapOrd: Ordering[(Any, InternalRow)] = {
+      val vo = if (desc) baseOrd.reverse else baseOrd
+      Ordering.by[(Any, InternalRow), Any](_._1)(vo)
+    }
+    val better: (Any, Any) => Boolean =
+      if (desc) (a, b) => baseOrd.compare(a, b) > 0
+      else (a, b) => baseOrd.compare(a, b) < 0
+
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(boundGroup)
+      val heaps = new java.util.HashMap[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]()
+      while (it.hasNext) {
+        val row = it.next()
+        val v = boundOrder.eval(row)
+        if (v != null) {
+          val key = keyProj(row)
+          var q = heaps.get(key)
+          if (q == null) {
+            q = mutable.PriorityQueue.empty[(Any, InternalRow)](heapOrd)
+            heaps.put(key.copy(), q)
+          }
+          if (q.size < kLocal) q.enqueue((v, row.copy()))
+          else if (better(v, q.head._1)) {
+            q.dequeue()
+            q.enqueue((v, row.copy()))
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator.map(_._2))
+    }, preservesPartitioning = true)
+  }
+}

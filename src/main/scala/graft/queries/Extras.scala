@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.{Encoder, Encoders}
 import graft.sources.{Tables => T}
+import graft.operators.TopK
 
 /** Coverage extras for SURVEY §2.2's remaining rows: outer joins,
   * array/map/struct scalar functions, a typed custom Aggregator (UDAF),
@@ -254,6 +255,24 @@ object Extras {
       FROM customer
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
       ORDER BY c_custkey""")),
+
+    // custom physical operator: bounded-heap top-k per group (partial →
+    // exchange → final), verified against the window-function oracle
+    Q("q59_topk_custom", (s, d) => {
+      import s.implicits._
+      val ord = round($"o_totalprice" * 100).cast("long") * 10000000L + $"o_orderkey"
+      TopK.topKPerGroup(T.orders(s, d), Seq("o_custkey"), ord, k = 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                          + o_orderkey DESC) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""")),
 
     Q("q47_sparksql", (s, d) => {
       T.lineitem(s, d).createOrReplaceTempView("lineitem_v")

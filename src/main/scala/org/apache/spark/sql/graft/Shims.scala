@@ -16,6 +16,23 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a hand-constructed LogicalPlan (classic
+    * `Dataset.ofRows` is package-private). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.classic.Dataset.ofRows(classic, plan)
+  }
+
+  /** Append a planner strategy once (idempotent). */
+  def addStrategy(spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraStrategies.contains(strategy))
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ strategy
+  }
+
   /** Register a temp SQL function on an existing session (the
     * `FunctionRegistry` lives behind `sessionState`, also package-private).
     * For session-construction-time registration use
