@@ -30,6 +30,34 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.nonEmpty)
   }
 
+  test("AQE splits a skewed join at runtime") {
+    import spark.implicits._
+    // one key carries ~all rows; thresholds lowered so the tiny fixture
+    // trips the same runtime skew handling a 100 TB join would
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val large = spark.range(200000)
+        .select((when($"id" % 100 === 0, $"id").otherwise(lit(7L))).as("k"),
+          concat(lit("payload_"), $"id").as(("v")))
+      val small = spark.range(2000).select($"id".as("k"), lit("dim").as("name"))
+      val joined = large.join(small, "k")
+      // execute THIS QueryExecution (a write action would plan its own),
+      // so executedPlan is the final adaptive plan
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected runtime skew split in plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
