@@ -197,6 +197,26 @@ object Relational {
                ORDER BY o_orderdate, o_orderkey) AS next_price
       FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""")),
 
+    Q("q61_ntile", (s, d) => {
+      import s.implicits._
+      // unique ordering (price composite) keeps bucket boundaries stable
+      val ord = round($"o_totalprice" * 100).cast("long") * 10000000L + $"o_orderkey"
+      val w = Window.partitionBy($"o_orderstatus").orderBy(ord)
+      T.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy($"o_orderstatus", $"quartile")
+        .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 4).as("avg_price"))
+        .orderBy($"o_orderstatus", $"quartile")
+    }, Some("""
+      SELECT o_orderstatus, CAST(quartile AS INT) AS quartile, count(*) AS n,
+             round(avg(o_totalprice), 4) AS avg_price
+      FROM (SELECT o_orderstatus, o_totalprice,
+                   ntile(4) OVER (PARTITION BY o_orderstatus
+                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                              + o_orderkey) AS quartile
+            FROM orders) t
+      GROUP BY o_orderstatus, quartile ORDER BY o_orderstatus, quartile""")),
+
     // --- sort / limit / set ops -----------------------------------------
     Q("q10_sort_limit", (s, d) => {
       import s.implicits._

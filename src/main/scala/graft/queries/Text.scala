@@ -144,6 +144,21 @@ object Text {
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens
       FROM documents ORDER BY doc_id""")),
 
+    // generator / UDTF surface: explode tokens to rows, re-aggregate
+    Q("q60_explode_words", (s, d) => {
+      import s.implicits._
+      T.documents(s, d).filter($"doc_id" < 100)
+        .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("word"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+        .filter($"n" >= 5)
+        .orderBy($"word")
+    }, Some("""
+      SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM documents WHERE doc_id < 100) t
+      GROUP BY word HAVING count(*) >= 5 ORDER BY word""")),
+
     // rows-only: SimHash (xxHash64 basis — not expressible in DuckDB)
     Q("q31_simhash", (s, d) => {
       import s.implicits._
