@@ -307,6 +307,37 @@ object Relational {
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
+    Q("q63_histogram", (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .groupBy(floor($"o_totalprice" / 50000).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min($"o_totalprice"), 2).as("lo"),
+          round(max($"o_totalprice"), 2).as("hi"))
+        .orderBy($"bucket")
+    }, Some("""
+      SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+             count(*) AS n,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+      FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    Q("q64_quantiles", (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(percentile($"l_extendedprice", lit(0.25)), 6).as("p25"),
+          round(percentile($"l_extendedprice", lit(0.5)), 6).as("p50"),
+          round(percentile($"l_extendedprice", lit(0.75)), 6).as("p75"))
+        .orderBy($"l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // --- scalar functions ------------------------------------------------
     Q("q17_string_funcs", (s, d) => {
       import s.implicits._

@@ -81,6 +81,30 @@ object Vectors {
              list_max(embedding) AS max_val
       FROM embeddings ORDER BY vec_id""")),
 
+    // unit-normalization: the preprocessing step before cosine/IVF search
+    Q("q62_normalize", (s, d) => {
+      import s.implicits._
+      val sq = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val norm = sqrt(sq)
+      T.embeddings(s, d)
+        .select($"vec_id",
+          round(element_at($"embedding", 1) / norm, 6).as("e1"),
+          round(element_at($"embedding", 2) / norm, 6).as("e2"),
+          round(element_at($"embedding", 3) / norm, 6).as("e3"),
+          round(norm, 6).as("l2"))
+        .orderBy($"vec_id")
+    }, Some("""
+      WITH t AS (SELECT vec_id, embedding,
+                        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+                 FROM embeddings)
+      SELECT vec_id,
+             round(embedding[1] / nrm, 6) AS e1,
+             round(embedding[2] / nrm, 6) AS e2,
+             round(embedding[3] / nrm, 6) AS e3,
+             round(nrm, 6) AS l2
+      FROM t ORDER BY vec_id""")),
+
     // --- multimodal binary plumbing --------------------------------------
     Q("q40_multimodal_meta", (s, d) => {
       import s.implicits._

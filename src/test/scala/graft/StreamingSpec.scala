@@ -60,6 +60,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream inner join within event-time bounds") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, Long)](spark)
+    val imps = MemoryStream[(Timestamp, Long)](spark)
+    val c = clicks.toDS().toDF("cts", "ad").withWatermark("cts", "10 minutes")
+    val i = imps.toDS().toDF("its", "ad2").withWatermark("its", "10 minutes")
+    val joined = i.join(c,
+      expr("ad = ad2 AND cts >= its AND cts <= its + interval 5 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ss_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imps.addData((ts(0), 1L), (ts(0), 2L))
+      q.processAllAvailable()
+      clicks.addData((ts(3), 1L))   // within 5 min of impression 1
+      clicks.addData((ts(20), 2L))  // too late for impression 2
+      q.processAllAvailable()
+      val ads = spark.table("ss_out").select("ad").as[Long].collect().toSet
+      assert(ads == Set(1L))
+    } finally q.stop()
+  }
+
   test("production grouper path: file-source requests, result table joined on request_id") {
     // SURVEY §3.2's prod mapping: promises are replaced by a result table
     // written per micro-batch and joined back on request_id
