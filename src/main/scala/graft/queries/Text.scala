@@ -144,6 +144,24 @@ object Text {
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens
       FROM documents ORDER BY doc_id""")),
 
+    // document chunking: overlapping token windows (size 48, stride 32) —
+    // the standard context-window preparation for training pipelines
+    Q("q65_chunking", (s, d) => {
+      import s.implicits._
+      val ws = TextAnalysis.tokens($"text")
+      T.documents(s, d).filter($"doc_id" < 50)
+        .withColumn("st", explode(sequence(lit(1), size(ws), lit(32))))
+        .select($"doc_id", $"st",
+          concat_ws(" ", slice(TextAnalysis.tokens($"text"), $"st", lit(48))).as("chunk"))
+        .orderBy($"doc_id", $"st")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents WHERE doc_id < 50)
+      SELECT doc_id, CAST(st AS INT) AS st,
+             array_to_string(ws[st:st+47], ' ') AS chunk
+      FROM w, unnest(generate_series(1, len(ws), 32)) AS t(st)
+      ORDER BY doc_id, st""")),
+
     // generator / UDTF surface: explode tokens to rows, re-aggregate
     Q("q60_explode_words", (s, d) => {
       import s.implicits._
