@@ -1,0 +1,51 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.Session
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.{Tables => T}
+
+/** End-to-end training-data pipeline over the fixtures: exact dedup →
+  * near-dup removal (MinHash+LSH) → quality filter → chunking. Every
+  * stage is a DataFrame transform; nothing touches the driver except the
+  * final counts. Usage: runMain graft.examples.PipelineDemo [sfDir]
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = Session.local()
+    import spark.implicits._
+
+    val docs = T.documents(spark, sfDir)
+    println(s"[pipeline] input docs: ${docs.count()}")
+
+    // 1. exact dedup on content hash, keeping the smallest doc_id
+    val exact = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .join(docs, "doc_id")
+      .drop("h")
+    println(s"[pipeline] after exact dedup: ${exact.count()}")
+
+    // 2. near-dup removal: drop the higher doc_id of every verified pair
+    val nearDupLosers = Dedup.minHashNearDupPairs(exact, "doc_id", "text", 0.5)
+      .select($"b_id".as("doc_id")).distinct()
+    val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    println(s"[pipeline] after near-dup removal: ${deduped.count()}")
+
+    // 3. quality filter: enough tokens, not stopword-soup
+    val ws = TextAnalysis.tokens($"text")
+    val quality = deduped
+      .filter(size(ws) >= 20 && TextAnalysis.stopwordRatio(ws) < 0.5)
+    println(s"[pipeline] after quality filter: ${quality.count()}")
+
+    // 4. chunk into overlapping token windows for training
+    val chunks = quality
+      .withColumn("st", explode(sequence(lit(1), size(ws), lit(32))))
+      .select($"doc_id", $"st",
+        concat_ws(" ", slice(TextAnalysis.tokens($"text"), $"st", lit(48))).as("chunk"))
+    println(s"[pipeline] chunks produced: ${chunks.count()}")
+
+    spark.stop()
+  }
+}
