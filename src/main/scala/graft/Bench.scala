@@ -21,13 +21,16 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink materializes every output row/column — count() would let
       // Catalyst prune the computed columns and overstate throughput
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      // -1 sentinel: a failed query must be distinguishable in the JSON and
+      // must not contribute its partial elapsed time to the total
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     // the reference's own metric: micro-batched request throughput
     // (its README models a 1,000 items/s server ceiling and ~909 items/s
     // batched; this measures the façade end-to-end incl. per-item futures)

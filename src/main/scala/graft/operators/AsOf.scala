@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * composition (preference order (a) of the custom-operator ladder): tag
   * and union both sides, sort each key's timeline once, and carry the
   * last-seen right values forward with a running `last(ignoreNulls)`
-  * window. One shuffle on the key, no per-row probing, no custom
-  * physical operator — at 100 TB this is a single sort pass per key.
+  * window. The left row's own columns ride through the same union, so
+  * the whole operator is ONE shuffle on the key — no row ids, no
+  * self-join, no per-row probing. At 100 TB this is a single sort pass
+  * per key, and the output is deterministic regardless of upstream
+  * partitioning (no reliance on monotonically_increasing_id).
   */
 object AsOf {
 
@@ -28,16 +31,16 @@ object AsOf {
       leftTime: String, rightTime: String,
       carryCols: Seq[String]): DataFrame = {
     val carried = carryCols.map(c => s"asof_$c")
+    val leftCols = left.columns.toSeq
 
     val taggedRight = right.select(
-      Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__isR"),
-        lit(null).cast("long").as("__rowid")) ++
+      Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__isR")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         carryCols.zip(carried).map { case (c, a) => col(c).as(a) }: _*)
 
-    val withId = left.withColumn("__rowid", monotonically_increasing_id())
-    val taggedLeft = withId.select(
-      Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(0).as("__isR"),
-        col("__rowid")) ++
+    val taggedLeft = left.select(
+      Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(0).as("__isR")) ++
+        leftCols.map(col) ++
         carryCols.zip(carried).map { case (c, a) =>
           lit(null).cast(right.schema(c).dataType).as(a)
         }: _*)
@@ -47,14 +50,11 @@ object AsOf {
       .orderBy(col("__t"), col("__isR").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val merged = taggedRight.unionByName(taggedLeft)
+    taggedRight.unionByName(taggedLeft)
       .select(
-        Seq(col("__isR"), col("__rowid")) ++
+        Seq(col("__isR")) ++ leftCols.map(col) ++
           carried.map(a => last(col(a), ignoreNulls = true).over(w).as(a)): _*)
-
-    val probes = merged.filter(col("__isR") === 0)
-      .select(col("__rowid") +: carried.map(col): _*)
-
-    withId.join(probes, Seq("__rowid"), "left_outer").drop("__rowid")
+      .filter(col("__isR") === 0)
+      .select(leftCols.map(col) ++ carried.map(col): _*)
   }
 }

@@ -77,14 +77,34 @@ case class TopKPerGroupExec(
     val better: (Any, Any) => Boolean =
       if (desc) (a, b) => baseOrd.compare(a, b) > 0
       else (a, b) => baseOrd.compare(a, b) < 0
+    // buffer-backed ordering values (UTF8String/binary/nested) alias the
+    // scan's reused UnsafeRow buffer — they must be copied before they
+    // outlive the current iterator position, or stored heap keys mutate
+    // as iteration advances
+    val copyValue: Any => Any = orderExpr.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        v => v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
+      case org.apache.spark.sql.types.BinaryType =>
+        v => v.asInstanceOf[Array[Byte]].clone()
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType => {
+        case r: InternalRow => r.copy()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+        case other => other
+      }
+      case _ => identity // primitives and immutable boxed values
+    }
 
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(boundGroup)
       val heaps = new java.util.HashMap[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]()
       while (it.hasNext) {
         val row = it.next()
-        val v = boundOrder.eval(row)
-        if (v != null) {
+        val v0 = boundOrder.eval(row)
+        if (v0 != null) {
+          val v = copyValue(v0)
           val key = keyProj(row)
           var q = heaps.get(key)
           if (q == null) {

@@ -103,11 +103,16 @@ final class Grouper[A, B] private (
       (source, query)
     }
 
+  // callback exceptions are contained here: one throwing user callback must
+  // not abort delivery to the remaining members of an otherwise-successful
+  // batch (it would propagate into foreachBatch's catch and fail them all)
   private def complete(id: Long, value: B): Unit = {
     val entry = pending.remove(id)
     if (entry != null) {
       val (p, cb, _) = entry
-      try cb(value) finally p.success(value)
+      try cb(value)
+      catch { case e: Throwable => System.err.println(s"[grouper] callback for request $id threw: $e") }
+      finally p.success(value)
     }
   }
 
@@ -115,7 +120,9 @@ final class Grouper[A, B] private (
     val entry = pending.remove(id)
     if (entry != null) {
       val (p, _, eb) = entry
-      try eb(e) finally p.failure(e)
+      try eb(e)
+      catch { case e2: Throwable => System.err.println(s"[grouper] errback for request $id threw: $e2") }
+      finally p.failure(e)
     }
   }
 
@@ -128,13 +135,17 @@ final class Grouper[A, B] private (
       errback: Throwable => Unit = _ => ()): Future[B] = {
     if (!running.get()) throw new RuntimeException("Grouper is closed")
     lock.synchronized {
-      while (pending.size() >= capacity) lock.wait(100)
+      while (pending.size() >= capacity && running.get()) lock.wait(100)
     }
-    val id = seq.getAndIncrement()
-    val lane = (id % parallelism).toInt
     val p = Promise[B]()
-    pending.put(id, (p, callback, errback))
     lock.synchronized {
+      // re-check under the enqueue lock: a concurrent close() may have
+      // flushed, drained and stopped the lanes since the check above —
+      // enqueueing now would leave this request unprocessed forever
+      if (!running.get()) throw new RuntimeException("Grouper is closed")
+      val id = seq.getAndIncrement()
+      val lane = (id % parallelism).toInt
+      pending.put(id, (p, callback, errback))
       if (intervalMs.isEmpty) {
         buffers(lane) += ((id, elem))
         if (buffers.map(_.length).sum >= capacity) flushBuffers()

@@ -43,6 +43,23 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Exchange hashpartitioning(o_custkey"), plan)
   }
 
+  test("string ordering values are copied, not aliased to the scan buffer") {
+    import spark.implicits._
+    // many rows per group with distinct string keys: if the heap stored
+    // UTF8String views into the reused UnsafeRow buffer, stored keys would
+    // mutate as iteration advances and the winners would be wrong
+    val df = (1 to 2000).map(i => (i % 7, f"s$i%06d")).toDF("g", "s")
+      .repartition(4)
+    val out = TopK.topKPerGroup(df, Seq("g"), $"s", k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"s".desc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).select($"g", $"s").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == expected)
+  }
+
   test("ascending mode returns the smallest rows per group") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 5), (1, 7), (2, 3), (2, 9)).toDF("g", "v")
