@@ -5,17 +5,19 @@ import graft.{Session, SparkEntry}
 /** Ad-hoc plan/timing inspector: runMain graft.examples.PlanDebug <query> <sfDir> [explain] */
 object PlanDebug {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Session.local(32)
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("explain")) df.explain("formatted")
-    var i = 0
-    while (i < 3) {
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[plandebug] $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
-      i += 1
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (args.contains("explain")) df.explain("formatted")
+      var i = 0
+      while (i < 3) {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"[plandebug] $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        i += 1
+      }
     }
     spark.stop()
   }

@@ -26,7 +26,9 @@ object Functions {
           if (es.length > 1) litInt(es(1), "k") else 7,
           if (es.length > 2) litInt(es(2), "w") else 4)),
       "hyperplane_signature" -> ((es: Seq[Expression]) =>
-        HyperplaneSignature(es(0), if (es.length > 1) litInt(es(1), "bits") else 16))
+        HyperplaneSignature(es(0), if (es.length > 1) litInt(es(1), "bits") else 16)),
+      "minhash_signature" -> ((es: Seq[Expression]) =>
+        MinHashSignature(es(0), if (es.length > 1) litInt(es(1), "numHashes") else 64))
     )
   }
 
@@ -57,4 +59,8 @@ object Functions {
   /** Random-hyperplane LSH signature of an `array<float>` column. */
   def hyperplane_signature(vec: Column, bits: Int = 16): Column =
     Shims.column(HyperplaneSignature(Shims.expression(vec), bits))
+
+  /** MinHash signature of an `array<string>` shingle column (map-side, no shuffle). */
+  def minhash_signature(shingles: Column, numHashes: Int = 64): Column =
+    Shims.column(MinHashSignature(Shims.expression(shingles), numHashes))
 }

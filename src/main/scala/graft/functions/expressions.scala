@@ -214,6 +214,51 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature of a shingle set, as one expression evaluation.
+  *
+  * Each shingle is hashed ONCE (xxHash64); the `numHashes` signature
+  * slots use cheap splitmix64 re-mixes of that base hash — the standard
+  * universal-hashing construction from the MinHash literature. Compared
+  * to the explode + 64×`min(hash(shingle, seed))` aggregate formulation,
+  * this avoids re-hashing the full shingle string per slot AND the
+  * explode/groupBy shuffle entirely: the signature is computed where the
+  * document row already lives (map-side, embarrassingly parallel — the
+  * only scalable shape at 100 TB).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(numHashes >= 1 && numHashes <= 1024, "numHashes must be in [1,1024]")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var j = 0
+        while (j < numHashes) {
+          // splitmix64 of (base ^ slot-tweak): cheap, well-mixed per slot
+          var z = base ^ (j * 0x9E3779B97F4A7C15L)
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^= (z >>> 31)
+          if (z < sig(j)) sig(j) = z
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Random-hyperplane LSH signature of a float vector (Charikar, STOC'02).
   *
   * Bit b is the sign of ⟨v, r_b⟩ where r_b is a deterministic ±1

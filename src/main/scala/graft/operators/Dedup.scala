@@ -34,17 +34,16 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       TextAnalysis.shingleSet(col(textCol), n).as("shingles"))
 
-  /** MinHash signatures: per document, the minimum murmur3 hash of its
-    * shingles under `numHashes` seed variations, as one array column.
-    * Computed with explode + groupBy-min aggregations — partial (map-side)
-    * aggregation keeps the shuffle narrow at scale. */
-  def minHashSignatures(shingles: DataFrame, numHashes: Int = 64): DataFrame = {
-    val exploded = shingles.select(col("id"), explode(col("shingles")).as("sh"))
-    val mins = (0 until numHashes).map(i => min(hash(col("sh"), lit(i))).as(s"h$i"))
-    exploded.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+  /** MinHash signatures: per document, the minimum of a universal hash
+    * family over its shingles, one array column per document. Computed by
+    * the [[graft.functions.MinHashSignature]] expression where the row
+    * already lives — each shingle string is hashed once and re-mixed per
+    * slot; no explode, no groupBy, no shuffle (the explode + 64×min-agg
+    * formulation shuffled every shingle and re-hashed the full string per
+    * slot). */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int = 64): DataFrame =
+    shingles.select(col("id"),
+      graft.functions.Functions.minhash_signature(col("shingles"), numHashes).as("sig"))
 
   /** LSH banding: documents sharing any (band, bucket) are candidates.
     * Returns distinct (a_id, b_id) with a_id < b_id. */

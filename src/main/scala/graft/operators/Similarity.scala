@@ -45,32 +45,83 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** IVF-style ANN: a KMeans coarse quantizer assigns every vector to one
-    * of `nlist` cells; each probe searches only its `nprobe` nearest
-    * cells, then exact cosine ranks the candidates. This is the classic
-    * inverted-file index layout: at 100 TB the vector table is
-    * partitioned by cell, so a probe batch touches nprobe/nlist of the
-    * data instead of all of it. Centroids are tiny and broadcast.
+  /** Spherical k-means on a driver-side sample: the FAISS-style coarse
+    * quantizer. At 100 TB you never run Lloyd iterations over the full
+    * table — you train on a bounded sample (FAISS trains IVF on ~1M
+    * vectors regardless of corpus size) and broadcast the tiny centroid
+    * set for distributed assignment. Deterministic: strided init over the
+    * collected sample, fixed iteration count, no RNG.
+    */
+  private[operators] def trainCentroids(
+      sample: Array[Array[Double]], nlist: Int, iters: Int = 10): Array[Array[Double]] = {
+    val dim = sample.head.length
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val unit = sample.map(normalize)
+    // strided init over the sample sorted by first coordinate: spread,
+    // deterministic, no seed dependence
+    val sorted = unit.sortBy(v => (v(0), v(1)))
+    var centroids = Array.tabulate(nlist)(i => sorted((i.toLong * sorted.length / nlist).toInt))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist, dim)(0.0)
+      val counts = Array.fill(nlist)(0)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+        while (c < nlist) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * centroids(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c)))
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: a sample-trained spherical-kmeans coarse quantizer
+    * assigns every vector to one of `nlist` cells; each probe searches
+    * only its `nprobe` nearest cells, then exact cosine ranks the
+    * candidates. This is the classic inverted-file index layout: at
+    * 100 TB the vector table is partitioned by cell, so a probe batch
+    * touches nprobe/nlist of the data instead of all of it. Cell
+    * assignment is a pure codegen'd expression over broadcast centroid
+    * literals — no shuffle, no join, no per-iteration Spark jobs.
     */
   def ivfTopK(vectors: DataFrame, probes: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, maxTrainSample: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
 
     val spark = vectors.sparkSession
     import spark.implicits._
 
-    val withVec = vectors.withColumn("__v", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("__v").setPredictionCol("__cell").fit(withVec)
+    val sample = vectors.select(col("embedding")).limit(maxTrainSample)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centers = trainCentroids(sample, nlist)
 
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("embedding"), col("__cell").as("cell"))
+    // cell = argmax_c cos(embedding, centroid_c), evaluated inline:
+    // greatest() over (sim, cell) structs compares lexicographically, so
+    // ties break toward the higher cell id — deterministic either way
+    def cellOf(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      greatest(centers.zipWithIndex.map { case (c, i) =>
+        struct(cosine_similarity(emb, typedLit(c.map(_.toFloat))).as("s"),
+          lit(i).as("c"))
+      }: _*).getField("c")
+
+    val assigned = vectors
+      .select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
 
     // (cell, centroid) — nlist rows, broadcast everywhere
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }
       .toSeq.toDF("cell", "centroid")
 
     // each probe's nprobe nearest cells by centroid similarity
