@@ -322,14 +322,17 @@ object Relational {
              round(max(o_totalprice), 2) AS hi
       FROM orders GROUP BY 1 ORDER BY bucket""")),
 
+    // exact quantiles via the sort-rank operator: the built-in exact
+    // `percentile` aggregate buffers a value→count map whose size grows
+    // with value cardinality — unusable for continuous measures at scale
     Q("q64_quantiles", (s, d) => {
       import s.implicits._
-      T.lineitem(s, d)
-        .groupBy($"l_returnflag")
-        .agg(
-          round(percentile($"l_extendedprice", lit(0.25)), 6).as("p25"),
-          round(percentile($"l_extendedprice", lit(0.5)), 6).as("p50"),
-          round(percentile($"l_extendedprice", lit(0.75)), 6).as("p75"))
+      val q = graft.operators.Quantiles.exactQuantiles(
+        T.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      q.select($"l_returnflag",
+          round($"p25", 6).as("p25"),
+          round($"p50", 6).as("p50"),
+          round($"p75", 6).as("p75"))
         .orderBy($"l_returnflag")
     }, Some("""
       SELECT l_returnflag,
