@@ -98,6 +98,46 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Connected components over an undirected pair list: iterative
+    * min-label propagation (the GraphX/Pregel shape, driver-coordinated).
+    * Each round every node takes the minimum label among itself and its
+    * neighbors; rounds needed = component diameter, so near-dup clusters
+    * (tiny diameters) converge in a handful of shuffles. This is the
+    * missing last step of a dedup pipeline at scale: LSH pairs → groups →
+    * keep one representative per group. Returns (id, component) with
+    * component = min id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).cache()
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      // candidate labels: own + every neighbor's current label
+      val next = labels
+        .union(edges
+          .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+          .select(col("src").as("id"), col("component")))
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        // cut lineage growth: each round's plan would otherwise nest the
+        // previous round's whole DAG
+        .localCheckpoint(eager = true)
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.component") =!= col("p.component")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash near-dup pairs within a Hamming radius (≤ chunks−1).
     * Banded on 16-bit chunks so at least one chunk must match exactly. */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Quantiles}
+import graft.sources.{Tables => T}
+
+/** Round-2 surface additions: dedup group-forming (connected components),
+  * TF-IDF, binned range join, the remaining analytic window functions,
+  * and deterministic mode + median-absolute-deviation.
+  */
+object Round2 {
+
+  val all: Seq[Q] = Seq(
+
+    // the last step of a dedup pipeline: near-dup PAIRS clustered into
+    // GROUPS via min-label propagation, so each group keeps one canonical
+    // representative; oracle = recursive-CTE transitive closure
+    Q("q66_dedup_groups", (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minHashNearDupPairs(T.documents(s, d), "doc_id", "text", 0.5)
+      Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .select($"id".as("doc_id"), $"component".as("group_id"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                      len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach AS (SELECT src AS id, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id AS doc_id, min(lbl) AS group_id
+      FROM reach GROUP BY id ORDER BY doc_id""")),
+
+    Q("q67_window_analytics", (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, d).select($"o_orderkey", $"o_custkey",
+          first($"o_orderkey").over(w).as("first_key"),
+          last($"o_orderkey").over(wFull).as("last_key"),
+          coalesce(nth_value($"o_orderkey", 2).over(w), lit(-1L)).as("second_key"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+             first_value(o_orderkey) OVER w AS first_key,
+             last_value(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+             coalesce(nth_value(o_orderkey, 2) OVER w, -1) AS second_key,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_orderkey""")),
+
+    // TF-IDF top terms per document — the classic quality/relevance
+    // primitive; N is a broadcast scalar, never a driver-side constant
+    Q("q68_tfidf", (s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d).filter($"doc_id" < 100)
+        .select($"doc_id",
+          explode(graft.operators.TextAnalysis.tokens(lower($"text"))).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+      val n = toks.agg(countDistinct($"doc_id").as("n"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        .select($"doc_id", $"term",
+          round($"tf" * log($"n" * lit(1.0) / $"df"), 6).as("score"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+        .select($"doc_id", $"term", $"score", $"rnk".cast("int").as("rnk"))
+        .orderBy($"doc_id", $"rnk")
+    }, Some("""
+      WITH dd AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 100),
+      toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\s+')) AS term FROM dd),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      nn AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+      scored AS (SELECT tf.doc_id, tf.term,
+                        round(tf.tf * ln(nn.n * 1.0 / df.df), 6) AS score
+                 FROM tf JOIN df USING (term) CROSS JOIN nn),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS rnk FROM scored)
+      SELECT doc_id, term, score, CAST(rnk AS INT) AS rnk
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // non-equi range join, executed the scalable way: both sides bucketed
+    // to price bins, equi-join on the bin, residual range filter — the
+    // standard rewrite that turns an O(n·m) inequality join into a
+    // co-partitioned hash join (bands overlap on purpose to prove
+    // multi-bin membership works)
+    Q("q69_range_join", (s, d) => {
+      import s.implicits._
+      val bands = s.range(0, 10).select($"id".cast("int").as("band_id"),
+          ($"id" * 10 + 900).cast("double").as("lo"))
+        .withColumn("hi", $"lo" + 15.0)
+      val bandBins = bands.withColumn("bin",
+        explode(array(floor($"lo" / 10), floor($"lo" / 10) + 1)))
+      val parts = T.part(s, d).withColumn("bin", floor($"p_retailprice" / 10))
+      parts.join(broadcast(bandBins), "bin")
+        .filter($"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+        .groupBy($"band_id")
+        .agg(count(lit(1)).as("n"), round(avg($"p_retailprice"), 6).as("avg_price"))
+        .orderBy($"band_id")
+    }, Some("""
+      WITH bands AS (SELECT CAST(i AS INT) AS band_id,
+                            900 + i * 10.0 AS lo, 915 + i * 10.0 AS hi
+                     FROM generate_series(0, 9) t(i))
+      SELECT band_id, count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+      FROM bands JOIN part ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band_id ORDER BY band_id""")),
+
+    // deterministic mode (ties -> smallest value) + median absolute
+    // deviation, both via shuffle-sort primitives (no value-count maps)
+    Q("q70_mode_mad", (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val counts = li.groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
+      val wm = Window.partitionBy($"l_returnflag").orderBy($"c".desc, $"l_quantity")
+      val mode = counts.withColumn("rn", row_number().over(wm)).filter($"rn" === 1)
+        .select($"l_returnflag", $"l_quantity".cast("double").as("mode_qty"))
+      val med = Quantiles.exactQuantiles(li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5))
+        .select($"l_returnflag", $"p50".as("med"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .select($"l_returnflag", abs($"l_extendedprice" - $"med").as("adev"))
+      val mad = Quantiles.exactQuantiles(dev, Seq("l_returnflag"), "adev", Seq(0.5))
+        .select($"l_returnflag", round($"p50", 6).as("mad_price"))
+      mode.join(mad, "l_returnflag").orderBy($"l_returnflag")
+    }, Some("""
+      WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
+                 FROM lineitem GROUP BY 1, 2),
+      m AS (SELECT l_returnflag, l_quantity AS mode_qty,
+                   row_number() OVER (PARTITION BY l_returnflag
+                     ORDER BY c DESC, l_quantity) AS rn FROM c),
+      md AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+             FROM lineitem GROUP BY 1),
+      dv AS (SELECT l.l_returnflag, abs(l.l_extendedprice - md.med) AS adev
+             FROM lineitem l JOIN md USING (l_returnflag)),
+      mad AS (SELECT l_returnflag, round(quantile_cont(adev, 0.5), 6) AS mad_price
+              FROM dv GROUP BY 1)
+      SELECT m.l_returnflag, m.mode_qty, mad.mad_price
+      FROM m JOIN mad USING (l_returnflag) WHERE rn = 1 ORDER BY 1"""))
+  )
+}
