@@ -46,6 +46,36 @@ object Scale {
   def repartitionForJoin(df: DataFrame, key: String, partitions: Int): DataFrame =
     df.repartition(partitions, col(key))
 
+  /** Bloom-filter semi-join pruning: build a compact bloom sketch of the
+    * small side's join keys (distributed aggregate, bounded-size result),
+    * pre-filter the large side with `might_contain` BEFORE its shuffle,
+    * then run the exact join. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling only rows that can
+    * match — the same mechanism as Spark's own runtime bloom filters
+    * (spark.sql.optimizer.runtime.bloomFilter), applied explicitly where
+    * the optimizer's heuristics won't fire. The bloom has no false
+    * negatives, so the result is exactly `large.join(small, key)`; false
+    * positives are removed by the join itself.
+    */
+  def bloomPruneJoin(large: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.graft.Shims
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.types.BinaryType
+
+    val bloomAgg = Shims.column(
+      new BloomFilterAggregate(XxHash64(Seq(Shims.expression(col(key))), 42L), expectedItems)
+        .toAggregateExpression())
+    val bloom = small.select(bloomAgg.as("b")).head().getAs[Array[Byte]](0)
+
+    val mightContain = Shims.column(new BloomFilterMightContain(
+      Literal.create(bloom, BinaryType),
+      XxHash64(Seq(Shims.expression(col(key))), 42L)))
+    large.filter(mightContain).join(small, key)
+  }
+
   /** Persist as a bucketed, sorted table: repeated joins/aggregations on
     * the bucket key then run shuffle-free (bucket-to-bucket sort-merge).
     * The canonical layout for a 100 TB fact table that's joined on the

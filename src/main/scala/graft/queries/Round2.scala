@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.{Dedup, Quantiles}
+import graft.operators.{Dedup, Quantiles, Scale}
 import graft.sources.{Tables => T}
 
 /** Round-2 surface additions: dedup group-forming (connected components),
@@ -153,6 +154,62 @@ object Round2 {
       mad AS (SELECT l_returnflag, round(quantile_cont(adev, 0.5), 6) AS mad_price
               FROM dv GROUP BY 1)
       SELECT m.l_returnflag, m.mode_qty, mad.mad_price
-      FROM m JOIN mad USING (l_returnflag) WHERE rn = 1 ORDER BY 1"""))
+      FROM m JOIN mad USING (l_returnflag) WHERE rn = 1 ORDER BY 1""")),
+
+    // bloom-filter semi-join pruning: the fact table is pre-filtered by a
+    // compact sketch of the (selective) dim keys before it ever shuffles;
+    // the bloom has no false negatives so the result IS the plain join —
+    // which is exactly what the oracle checks
+    Q("q71_bloom_join", (s, d) => {
+      import s.implicits._
+      val supK = T.supplier(s, d).filter($"s_nationkey" < 5)
+        .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+      Scale.bloomPruneJoin(T.lineitem(s, d), supK, "l_suppkey")
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("rev"))
+        .orderBy($"s_nationkey")
+    }, Some("""
+      SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey < 5
+      GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // multimodal frame sampling: per media row, emit every 100th-position
+    // sample as a (frame_idx, offset, signature) row — the batch shape a
+    // video frame extractor produces, with the decode stubbed to a
+    // deterministic char probe (see Multimodal's stub-codec note)
+    Q("q72_frame_sample", (s, d) => {
+      import s.implicits._
+      T.documents(s, d).filter($"doc_id" < 200)
+        .withColumn("frame_idx",
+          explode(sequence(lit(0L), floor((length($"text") - 1) / 100))))
+        .select($"doc_id", $"frame_idx",
+          ($"frame_idx" * 100 + 1).as("offset"),
+          ascii(substring($"text", ($"frame_idx" * 100 + 1).cast("int"), lit(1))).as("frame_sig"))
+        .orderBy($"doc_id", $"frame_idx")
+    }, Some("""
+      WITH f AS (SELECT doc_id, text,
+                        unnest(range(0, (length(text) - 1) // 100 + 1)) AS i
+                 FROM documents WHERE doc_id < 200)
+      SELECT doc_id, i AS frame_idx, i * 100 + 1 AS offset,
+             ascii(substring(text, CAST(i * 100 + 1 AS INT), 1)) AS frame_sig
+      FROM f ORDER BY doc_id, frame_idx""")),
+
+    // streaming exact dedup: dropDuplicates as a stateful streaming op,
+    // drained with AvailableNow — the incremental form of q24's batch dedup
+    Q("q73_stream_dedup", (s, d) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = s"graft_sdedup_${System.nanoTime()}"
+      val query = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .select($"user_id", $"event_type")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qn).orderBy($"user_id", $"event_type")
+    }, Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""))
   )
 }

@@ -76,6 +76,21 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bloomPruneJoin equals plain join and pre-filters the large side") {
+    import spark.implicits._
+    val large = (1 to 10000).map(i => (i.toLong % 500, i)).toDF("k", "v")
+    val small = Seq(3L, 7L, 11L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val got = Scale.bloomPruneJoin(large, small, "k")
+      .select($"k", $"v", $"name").collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val exp = large.join(small, "k")
+      .select($"k", $"v", $"name").collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == exp && got.nonEmpty)
+    // over a LocalRelation the optimizer evaluates the bloom filter at
+    // plan time (ConvertToLocalRelation), so assert on the analyzed plan
+    val plan = Scale.bloomPruneJoin(large, small, "k").queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("writePartitioned produces prunable directory layout") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_part").toString
