@@ -34,12 +34,35 @@ object Quantiles {
     val counts = rows.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
 
-    val w = groupCols match {
-      case Nil => Window.orderBy(col("__v"))
-      case gs => Window.partitionBy(gs.map(col): _*).orderBy(col("__v"))
+    // Rank WITHOUT a per-group window: a window partitioned by the group
+    // key sorts each group on a single task, so 3 groups = 3-way
+    // parallelism no matter the cluster size. Instead: range-partition on
+    // (group, value) — a parallel global sort across all partitions —
+    // then derive the within-group rank from a global zipWithIndex and
+    // each group's first global index. Parallelism is partition-count-
+    // bound, independent of group cardinality.
+    val spark = df.sparkSession
+    val sorted = groupCols match {
+      case Nil => rows.repartitionByRange(col("__v"))
+        .sortWithinPartitions(col("__v"))
+      case gs => rows.repartitionByRange((gs :+ "__v").map(col): _*)
+        .sortWithinPartitions((gs :+ "__v").map(col): _*)
     }
-    val ranked = rows.withColumn("__rn", row_number().over(w))
-      .join(broadcast(counts), groupCols)
+    val withIdx = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.LongType
+      val schema = sorted.schema.add("__gidx", LongType, nullable = false)
+      spark.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        schema)
+    }
+    val starts = withIdx.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__gidx")).as("__start"))
+    val joinKeys = groupCols
+    val ranked0 =
+      if (joinKeys.isEmpty) withIdx.crossJoin(broadcast(starts)).crossJoin(broadcast(counts))
+      else withIdx.join(starts, joinKeys).join(counts, joinKeys)
+    val ranked = ranked0.withColumn("__rn", col("__gidx") - col("__start") + 1)
 
     def qAgg(p: Double): Column = {
       // row-level neighbor selection: every row carries its group's __n,
