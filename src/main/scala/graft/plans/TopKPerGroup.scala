@@ -23,9 +23,12 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * the shuffle therefore moves at most groups·k·partitions rows, not the
   * full table.
   *
-  * Rows with a null ordering value are dropped; ties at the k-boundary
-  * keep an arbitrary row (supply a unique composite ordering expression
-  * for deterministic output).
+  * Null ordering values sort WORST (after every non-null value, i.e.
+  * NULLS LAST for the chosen direction) — they fill remaining top-k
+  * slots only when a group has fewer than k better rows, matching
+  * `row_number` over `ORDER BY x DESC` (whose default is NULLS LAST).
+  * Ties at the k-boundary keep an arbitrary row (supply a unique
+  * composite ordering expression for deterministic output).
   */
 case class TopKPerGroup(
     groupExprs: Seq[Expression],
@@ -68,15 +71,20 @@ case class TopKPerGroupExec(
     val boundOrder = BindReferences.bindReference(orderExpr, child.output)
     val kLocal = k
     val baseOrd = TypeUtils.getInterpretedOrdering(orderExpr.dataType)
-    // heap dequeues the WORST kept row: for desc (largest k) that is the
-    // minimum, so order the queue by the reversed comparator
-    val heapOrd: Ordering[(Any, InternalRow)] = {
-      val vo = if (desc) baseOrd.reverse else baseOrd
-      Ordering.by[(Any, InternalRow), Any](_._1)(vo)
-    }
-    val better: (Any, Any) => Boolean =
-      if (desc) (a, b) => baseOrd.compare(a, b) > 0
-      else (a, b) => baseOrd.compare(a, b) < 0
+    val descLocal = desc
+    // "goodness": >0 means a ranks strictly better than b. Nulls are
+    // always worst (NULLS LAST for either direction).
+    val cmpGood: (Any, Any) => Int = (a, b) =>
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else if (descLocal) baseOrd.compare(a, b)
+      else -baseOrd.compare(a, b)
+    // heap dequeues the WORST kept row: order the queue so the worst
+    // value has the highest priority
+    val heapOrd: Ordering[(Any, InternalRow)] =
+      (x: (Any, InternalRow), y: (Any, InternalRow)) => cmpGood(y._1, x._1)
+    val better: (Any, Any) => Boolean = (a, b) => cmpGood(a, b) > 0
     // buffer-backed ordering values (UTF8String/binary/nested) alias the
     // scan's reused UnsafeRow buffer — they must be copied before they
     // outlive the current iterator position, or stored heap keys mutate
@@ -103,19 +111,17 @@ case class TopKPerGroupExec(
       while (it.hasNext) {
         val row = it.next()
         val v0 = boundOrder.eval(row)
-        if (v0 != null) {
-          val v = copyValue(v0)
-          val key = keyProj(row)
-          var q = heaps.get(key)
-          if (q == null) {
-            q = mutable.PriorityQueue.empty[(Any, InternalRow)](heapOrd)
-            heaps.put(key.copy(), q)
-          }
-          if (q.size < kLocal) q.enqueue((v, row.copy()))
-          else if (better(v, q.head._1)) {
-            q.dequeue()
-            q.enqueue((v, row.copy()))
-          }
+        val v = if (v0 == null) null else copyValue(v0)
+        val key = keyProj(row)
+        var q = heaps.get(key)
+        if (q == null) {
+          q = mutable.PriorityQueue.empty[(Any, InternalRow)](heapOrd)
+          heaps.put(key.copy(), q)
+        }
+        if (q.size < kLocal) q.enqueue((v, row.copy()))
+        else if (better(v, q.head._1)) {
+          q.dequeue()
+          q.enqueue((v, row.copy()))
         }
       }
       import scala.jdk.CollectionConverters._
