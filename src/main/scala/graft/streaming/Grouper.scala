@@ -165,6 +165,13 @@ final class Grouper[A, B] private (
     }
   }
 
+  /** Early flush — the reference's `wakeUp` (`core.clj:53-56`): push any
+    * held-back interval-less submissions to their lanes immediately
+    * instead of waiting for capacity or close. Interval-mode lanes drain
+    * on their next tick anyway, so this is only observable with
+    * `intervalMs = None`. */
+  def flushNow(): Unit = lock.synchronized(flushBuffers())
+
   /** Graceful drain (`core.clj:58-66` / `shutdown!`): every accepted
     * request is processed before this returns. */
   def close(): Unit = {

@@ -55,6 +55,19 @@ class GrouperSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!g.isRunning)
   }
 
+  test("flushNow processes held-back submissions without close (core.clj:53-56)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val g = Grouper.start[Int, Int](spark,
+      ds => ds.collect().toSeq.map(_ * 10), capacity = 100, intervalMs = None)
+    try {
+      val f1 = g.submit(4)
+      val f2 = g.submit(5)
+      g.flushNow() // wakeUp: early flush well below capacity
+      assert(await(f1) == 40 && await(f2) == 50)
+      assert(g.isRunning)
+    } finally g.close()
+  }
+
   test("submit returns a derefable promise (test:30-36)") {
     implicit val enc = org.apache.spark.sql.Encoders.scalaInt
     val g = Grouper.start[Int, Int](spark, ds => ds.collect().toSeq.map(_ + 1), capacity = 10)
