@@ -98,16 +98,48 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
-  /** Connected components over an undirected pair list: iterative
-    * min-label propagation (the GraphX/Pregel shape, driver-coordinated).
-    * Each round every node takes the minimum label among itself and its
-    * neighbors; rounds needed = component diameter, so near-dup clusters
-    * (tiny diameters) converge in a handful of shuffles. This is the
-    * missing last step of a dedup pipeline at scale: LSH pairs → groups →
-    * keep one representative per group. Returns (id, component) with
-    * component = min id reachable.
+  /** Connected components over an undirected pair list — the missing
+    * last step of a dedup pipeline: LSH pairs → groups → keep one
+    * representative per group. Returns (id, component) with component =
+    * min id reachable.
+    *
+    * Hybrid execution: the near-dup pair set is orders of magnitude
+    * smaller than the corpus (it IS the duplicates), so when it fits in
+    * `maxDriverEdges` the components come from a driver-side union-find —
+    * O(E·α) with zero extra Spark jobs. Above the threshold it falls
+    * back to distributed min-label propagation (the GraphX/Pregel shape):
+    * each round every node takes the minimum label among itself and its
+    * neighbors, converging in component-diameter rounds of shuffles.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25, maxDriverEdges: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val collected = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .limit((maxDriverEdges + 1).toInt).collect()
+    if (collected.length <= maxDriverEdges) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      collected.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        else { parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b); () }
+      }
+      val ids = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      return ids.map(id => (id, find(id))).toSeq.toDF("id", "component")
+    }
+    connectedComponentsDistributed(pairs, aCol, bCol, maxIter)
+  }
+
+  /** Distributed min-label propagation (see [[connectedComponents]]). */
+  def connectedComponentsDistributed(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))

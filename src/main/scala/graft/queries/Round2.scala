@@ -210,6 +210,29 @@ object Round2 {
       s.table(qn).orderBy($"user_id", $"event_type")
     }, Some("""
       SELECT DISTINCT user_id, event_type FROM events
-      ORDER BY user_id, event_type"""))
+      ORDER BY user_id, event_type""")),
+
+    // consistent (hash-ordered) per-group sampling: bottom-k rows by
+    // md5 of a stable row key — deterministic across runs AND engines,
+    // the standard way to sample a growing 100 TB table repeatably.
+    // Runs on the custom bounded-heap operator ordering by a STRING
+    // (md5 hex), exercising the buffer-copy path
+    Q("q74_consistent_sample", (s, d) => {
+      import s.implicits._
+      val key = md5(concat($"l_orderkey".cast("string"), lit("#"),
+        $"l_linenumber".cast("string")))
+      graft.operators.TopK.topKPerGroup(
+          T.lineitem(s, d).withColumn("__h", key),
+          Seq("l_returnflag"), $"__h", k = 5, desc = false)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"__h".as("h"))
+        .orderBy($"l_returnflag", $"h")
+    }, Some("""
+      SELECT l_returnflag, l_orderkey, l_linenumber, h FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               md5(l_orderkey || '#' || l_linenumber) AS h,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY md5(l_orderkey || '#' || l_linenumber)) AS rn
+        FROM lineitem) t
+      WHERE rn <= 5 ORDER BY l_returnflag, h"""))
   )
 }
