@@ -22,9 +22,19 @@ object Bench {
       val t0 = System.nanoTime()
       // -1 sentinel: a failed query must be distinguishable in the JSON and
       // must not contribute its partial elapsed time to the total
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
+      val elapsed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
+      // hygiene between queries: queries must not inherit each other's
+      // cached blocks or streaming memory-sink tables (untimed)
+      try {
+        spark.catalog.clearCache()
+        spark.catalog.listTables().collect()
+          .filter(t => t.name.startsWith("graft_s") && t.isTemporary)
+          .foreach(t => spark.catalog.dropTempView(t.name))
+      } catch { case _: Throwable => () }
+      elapsed
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val cold = sorted.map { case (name, fn) => name -> runOnce(name, fn) }
