@@ -233,6 +233,68 @@ object Round2 {
                row_number() OVER (PARTITION BY l_returnflag
                  ORDER BY md5(l_orderkey || '#' || l_linenumber)) AS rn
         FROM lineitem) t
-      WHERE rn <= 5 ORDER BY l_returnflag, h"""))
+      WHERE rn <= 5 ORDER BY l_returnflag, h""")),
+
+    // sentence segmentation: the text-analysis primitive upstream of
+    // chunking/quality — sentences per doc and mean sentence length
+    Q("q75_sentences", (s, d) => {
+      import s.implicits._
+      val sent = filter(
+        transform(split($"text", "[.!?]+"), x => trim(x)),
+        x => length(x) > 0)
+      T.documents(s, d)
+        .select($"doc_id",
+          size(sent).as("n_sentences"),
+          round(
+            aggregate(sent, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+              greatest(size(sent), lit(1)), 6).as("mean_sentence_len"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                        list_filter(list_transform(
+                          regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+                          x -> length(x) > 0) AS sent
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(sent) AS INT) AS n_sentences,
+             round(coalesce(list_sum(list_transform(sent, x -> length(x))), 0) * 1.0 /
+                   greatest(len(sent), 1), 6) AS mean_sentence_len
+      FROM t ORDER BY doc_id""")),
+
+    // event funnel: users whose first purchase follows their first signup
+    // within 7 days — the sequential-pattern analysis every event
+    // pipeline runs, expressed as two aggregates and a date diff
+    Q("q76_funnel", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val firsts = ev.filter($"event_type".isin("signup", "purchase"))
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "signup", $"ts")).as("first_signup"),
+          min(when($"event_type" === "purchase", $"ts")).as("first_purchase"))
+        .filter($"first_signup".isNotNull && $"first_purchase".isNotNull &&
+          $"first_purchase" >= $"first_signup")
+      firsts
+        .select($"user_id",
+          (unix_timestamp($"first_purchase") - unix_timestamp($"first_signup"))
+            .as("secs_to_convert"))
+        .filter($"secs_to_convert" <= 7L * 86400)
+        .orderBy($"user_id")
+    }, Some("""
+      WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events WHERE event_type IN ('signup', 'purchase')
+        GROUP BY user_id)
+      SELECT user_id,
+             CAST(floor(epoch(first_purchase)) AS BIGINT)
+               - CAST(floor(epoch(first_signup)) AS BIGINT) AS secs_to_convert
+      FROM f
+      WHERE first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_signup
+        AND CAST(floor(epoch(first_purchase)) AS BIGINT)
+              - CAST(floor(epoch(first_signup)) AS BIGINT) <= 7 * 86400
+      ORDER BY user_id"""))
   )
 }
