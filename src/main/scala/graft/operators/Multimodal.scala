@@ -24,16 +24,18 @@ object Multimodal {
 
   /** STUB codec: derives deterministic pseudo-metadata and a feature
     * sketch from the raw bytes. Replace with a real decoder (e.g. JPEG
-    * header parse + model embedding) — signature and batching stay. */
+    * header parse + model embedding) — signature and batching stay.
+    * Accumulation is double, strictly in byte order, so the result is
+    * reproducible bit-for-bit by any engine running the same loop. */
   object FakeCodec {
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
       val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
       val width = 64 + (bytes.length % 192).toInt
       val height = 64 + (b0 % 128)
-      val feats = new Array[Float](8)
+      val feats = new Array[Double](8)
       var i = 0
       while (i < bytes.length) {
-        feats(i % 8) += (bytes(i) & 0xff) / 255.0f
+        feats(i % 8) += (bytes(i) & 0xff) / 255.0
         i += 1
       }
       (width, height, 3, feats)
@@ -58,8 +60,10 @@ object Multimodal {
         // per-partition codec init would go here
         it.map { case (id, bytes) =>
           val (w, h, c, feats) = FakeCodec.decode(bytes)
-          val norm = math.sqrt(feats.map(f => f.toDouble * f).sum)
-          MediaInfo(id, w, h, c, bytes.length.toLong, norm)
+          var sq = 0.0
+          var j = 0
+          while (j < feats.length) { sq += feats(j) * feats(j); j += 1 }
+          MediaInfo(id, w, h, c, bytes.length.toLong, math.sqrt(sq))
         }
       }
       .toDF()

@@ -128,13 +128,29 @@ object Vectors {
              3 AS channels
       FROM t ORDER BY doc_id""")),
 
-    // rows-only: partition-batched decode through the stub codec
+    // partition-batched decode through the stub codec; the stub is
+    // deterministic double arithmetic in byte order, so the oracle can
+    // replay it exactly (fixture texts are pure ASCII: byte == char)
     Q("q41_multimodal_decode", (s, d) => {
       import s.implicits._
       Multimodal.decodeMeta(s, Multimodal.withPayload(T.documents(s, d), "text"))
         .select($"doc_id", $"width", $"height", $"channels", $"n_bytes",
           round($"feat_norm", 6).as("feat_norm"))
         .orderBy($"doc_id")
-    }, None)
+    }, Some("""
+      WITH d AS (SELECT doc_id, text,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n
+                 FROM documents),
+      f AS (SELECT doc_id, n,
+                   CAST(64 + (n % 192) AS INT) AS width,
+                   CAST(64 + (ascii(substring(text, 1, 1)) % 128) AS INT) AS height,
+                   list_transform(range(0, 8), j ->
+                     coalesce(list_sum(list_transform(
+                       list_filter(range(1, CAST(n AS INT) + 1), i -> (i - 1) % 8 = j),
+                       i -> ascii(substring(text, CAST(i AS INT), 1)) / 255.0)), 0.0)) AS feats
+            FROM d)
+      SELECT doc_id, width, height, 3 AS channels, n AS n_bytes,
+             round(sqrt(list_sum(list_transform(feats, x -> x * x))), 6) AS feat_norm
+      FROM f ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** The approximate-NN paths trade recall for touching a fraction of the
+  * table; this spec pins how much recall survives on the fixture
+  * embeddings so a regression in bucketing/quantization is caught. */
+class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IVF (nprobe=4/16 cells) keeps high recall@5 against brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, probes, 5))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.2f")
+    assert(recall >= 0.5, s"IVF recall collapsed: $recall")
+  }
+
+  test("hyperplane-LSH candidates keep nonzero recall@5 and never invent ids") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val exact = pairs(Similarity.bruteForceTopK(emb, probes, 5))
+    val lsh = pairs(Similarity.annTopK(emb, probes, 5))
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(f"LSH recall@5 = $recall%.2f")
+    assert(recall >= 0.2, s"LSH recall collapsed: $recall")
+    val validIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh.forall { case (p, v) => validIds(p) && validIds(v) && p != v })
+  }
+}
