@@ -295,6 +295,40 @@ object Round2 {
         AND first_purchase >= first_signup
         AND CAST(floor(epoch(first_purchase)) AS BIGINT)
               - CAST(floor(epoch(first_signup)) AS BIGINT) <= 7 * 86400
-      ORDER BY user_id"""))
+      ORDER BY user_id""")),
+
+    // stream-stream inner join with watermarks and an event-time range
+    // constraint, drained with AvailableNow: each purchase joins signups
+    // of the same user within the preceding hour. Inner joins emit each
+    // qualifying pair exactly once, so the drained result equals the
+    // batch join — which is the oracle
+    Q("q77_stream_stream_join", (s, d) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def stream = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .withColumn("ts", timestamp_micros(($"ts" / 1000).cast("long")))
+      val signups = stream.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"), $"event_id".as("s_event"))
+        .withWatermark("s_ts", "1 hour")
+      val purchases = stream.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_event"))
+        .withWatermark("p_ts", "1 hour")
+      val qn = s"graft_ssj_${System.nanoTime()}"
+      val q = purchases.join(signups,
+          $"p_user" === $"s_user" &&
+            $"s_ts" <= $"p_ts" && $"s_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+        .select($"p_user".as("user_id"), $"p_event", $"s_event")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).orderBy($"user_id", $"p_event", $"s_event")
+    }, Some("""
+      SELECT p.user_id, p.event_id AS p_event, s.event_id AS s_event
+      FROM events p JOIN events s
+        ON p.event_type = 'purchase' AND s.event_type = 'signup'
+       AND p.user_id = s.user_id
+       AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+      ORDER BY p.user_id, p_event, s_event"""))
   )
 }
