@@ -329,6 +329,58 @@ object Round2 {
         ON p.event_type = 'purchase' AND s.event_type = 'signup'
        AND p.user_id = s.user_id
        AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
-      ORDER BY p.user_id, p_event, s_event"""))
+      ORDER BY p.user_id, p_event, s_event""")),
+
+    // custom sessionization on the TYPED Dataset API: groupByKey +
+    // flatMapGroups with case-class Encoders, sort-and-scan per user —
+    // the imperative-state shape for session logic session_window can't
+    // express (q23 is the declarative twin; both match the same
+    // gaps-and-islands oracle). Gap semantics mirror session_window:
+    // a gap >= 30 minutes closes the session
+    Q("q78_typed_sessionize", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"user_id", $"ts", $"value")
+        .as[(Long, java.sql.Timestamp, Double)]
+      val gapMs = 30L * 60 * 1000
+      ev.groupByKey(_._1)
+        .flatMapGroups { (uid, it) =>
+          val evs = it.toArray.sortBy(_._2.getTime)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, java.sql.Timestamp, Long, Double)]
+          var start = 0
+          var i = 1
+          while (i <= evs.length) {
+            if (i == evs.length ||
+                evs(i)._2.getTime - evs(i - 1)._2.getTime >= gapMs) {
+              val sess = evs.slice(start, i)
+              var sum = 0.0
+              sess.foreach(e => sum += e._3)
+              // HALF_UP to match SQL round() (math.rint is half-even)
+              out += ((uid, sess.head._2, sess.length.toLong,
+                BigDecimal(sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              start = i
+            }
+            i += 1
+          }
+          out.iterator
+        }
+        .toDF("user_id", "session_start", "n_events", "sum_value")
+        .orderBy($"user_id", $"session_start")
+    }, Some("""
+      WITH flags AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flags)
+      SELECT user_id, min(ts) AS session_start,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""))
   )
 }
