@@ -48,4 +48,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q42_left_outer_join")
     assert(p.contains("LeftOuter"))
   }
+
+  test("q69: binned range join is a hash join, not a nested loop") {
+    val p = plan("q69_range_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q71: bloom pre-filter sits on the fact side before the join") {
+    val a = SparkEntry.queries("q71_bloom_join")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(a.contains("might_contain"), a)
+  }
+
+  test("q64: quantile sort is range-partitioned, not per-group") {
+    val p = plan("q64_quantiles")
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q48: as-of join is one shuffle, no self-join back-probe") {
+    val p = plan("q48_asof_join")
+    // a single window over the union — no join operator anywhere
+    assert(!p.contains("Join"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
 }
