@@ -9,12 +9,15 @@ object PlanDebug {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Session.local(32)
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (args.contains("explain")) df.explain("formatted")
+      if (args.contains("explain"))
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       var i = 0
       while (i < 3) {
         val t0 = System.nanoTime()
-        val n = df.count()
+        // re-invoke the query fn per iteration: work done at DataFrame
+        // construction (drains, collects, quantizer training) must be
+        // measured too, like the Bench does
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
         println(f"[plandebug] $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
         i += 1
       }

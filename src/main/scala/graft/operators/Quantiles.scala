@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Exact distributed quantiles via sort-rank, not value-count maps.
@@ -10,14 +9,24 @@ import org.apache.spark.sql.functions._
   * value→count map per partition and merges them on the reducer — memory
   * grows with the DISTINCT-VALUE cardinality, which is unbounded for
   * continuous measures at 100 TB (and it is several times slower than a
-  * sort even at sf0.1). This operator instead ranks each group's values
-  * with one shuffle-sort, locates the two interpolation neighbors of
-  * every requested quantile by row number, and reduces them with a
-  * conditional aggregate: O(n log n) work, O(1) aggregate state, and the
-  * sort is Tungsten's spillable external sort.
+  * sort even at sf0.1).
   *
-  * Interpolation matches SQL `quantile_cont`/`percentile_cont`:
-  * pos = p·(n−1)+1 (1-based), value = v_lo + (pos−lo)·(v_hi − v_lo).
+  * Plan shape (2 passes over the sorted data, parallelism bound by
+  * partition count — NOT by group count, which is what a
+  * `row_number() OVER (PARTITION BY group)` window degrades to):
+  *
+  *  1. range-partition on (group, value) and sort within partitions —
+  *     a parallel global sort;
+  *  2. pass 1: per partition, emit the ordered run-length histogram
+  *     (group, count) — tiny, collected to the driver;
+  *  3. driver: prefix-sum the histograms into per-(partition, group)
+  *     start ranks and per-group totals; compute each quantile's two
+  *     interpolation neighbor ranks;
+  *  4. pass 2: walk the same sorted partitions, emit ONLY rows whose
+  *     within-group rank is an interpolation neighbor (≤ 2·|ps| rows
+  *     per group);
+  *  5. final: a trivial aggregate interpolates, matching SQL
+  *     `quantile_cont`: pos = p·(n−1)+1, value = v_lo + frac·(v_hi−v_lo).
   */
 object Quantiles {
 
@@ -28,64 +37,100 @@ object Quantiles {
     */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[Double]): DataFrame = {
-    val v = col(valueCol).cast("double")
-    val rows = df.filter(v.isNotNull).select(groupCols.map(col) :+ v.as("__v"): _*)
-
-    val counts = rows.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-
-    // Rank WITHOUT a per-group window: a window partitioned by the group
-    // key sorts each group on a single task, so 3 groups = 3-way
-    // parallelism no matter the cluster size. Instead: range-partition on
-    // (group, value) — a parallel global sort across all partitions —
-    // then derive the within-group rank from a global zipWithIndex and
-    // each group's first global index. Parallelism is partition-count-
-    // bound, independent of group cardinality.
+    require(ps.nonEmpty, "need at least one quantile fraction")
     val spark = df.sparkSession
-    val sorted = groupCols match {
-      case Nil => rows.repartitionByRange(col("__v"))
-        .sortWithinPartitions(col("__v"))
-      case gs => rows.repartitionByRange((gs :+ "__v").map(col): _*)
-        .sortWithinPartitions((gs :+ "__v").map(col): _*)
-    }
-    val withIdx = {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.LongType
-      val schema = sorted.schema.add("__gidx", LongType, nullable = false)
-      spark.createDataFrame(
-        sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-        schema)
-    }
-    val starts = withIdx.groupBy(groupCols.map(col): _*)
-      .agg(min(col("__gidx")).as("__start"))
-    val joinKeys = groupCols
-    val ranked0 =
-      if (joinKeys.isEmpty) withIdx.crossJoin(broadcast(starts)).crossJoin(broadcast(counts))
-      else withIdx.join(starts, joinKeys).join(counts, joinKeys)
-    val ranked = ranked0.withColumn("__rn", col("__gidx") - col("__start") + 1)
+    val v = col(valueCol).cast("double")
+    val keyCols = if (groupCols.isEmpty) Seq(lit(0).as("__g")) else groupCols.map(col)
+    val keyNames = if (groupCols.isEmpty) Seq("__g") else groupCols
+    val rows = df.filter(v.isNotNull).select(keyCols :+ v.as("__v"): _*)
 
-    def qAgg(p: Double): Column = {
-      // row-level neighbor selection: every row carries its group's __n,
-      // so the interpolation positions are computable inside the aggregate
-      // argument (evaluated per row)
-      val pos = lit(p) * (col("__n") - 1) + 1
-      val lo = floor(pos)
-      val hi = ceil(pos)
-      val vLo = max(when(col("__rn") === lo, col("__v")))
-      val vHi = max(when(col("__rn") === hi, col("__v")))
-      // aggregate-level fraction: recompute pos from the group-constant n
-      // (max-lifted) since non-aggregated refs are invalid post-grouping
-      val posA = lit(p) * (max(col("__n")) - 1) + 1
-      val frac = posA - floor(posA)
-      // identical arithmetic shape to quantile_cont: lower + frac·(upper−lower)
-      vLo + frac * (vHi - vLo)
-    }
+    val nKey = keyNames.length
+    val sorted = rows
+      .repartitionByRange((keyNames :+ "__v").map(col): _*)
+      .sortWithinPartitions((keyNames :+ "__v").map(col): _*)
+    // one compiled copy reused by both passes: same sort, same partitions
+    val sortedRdd = sorted.queryExecution.toRdd
+      .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
+    val schema = sorted.schema
+    val keyOf: org.apache.spark.sql.catalyst.InternalRow => Seq[Any] = r =>
+      (0 until nKey).map(i => r.get(i, schema(i).dataType))
 
-    val aggs = ps.map(p => qAgg(p).as(s"p${(p * 100).round}"))
-    val grouped = groupCols match {
-      case Nil => ranked.groupBy()
-      case gs => ranked.groupBy(gs.map(col): _*)
+    // pass 1: ordered (group, count) run-length histogram per partition
+    val hist: Array[(Int, Seq[(Seq[Any], Long)])] = sortedRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+        var cur: Seq[Any] = null
+        var n = 0L
+        it.foreach { r =>
+          val k = keyOf(r)
+          if (k == cur) n += 1
+          else { if (cur != null) runs += ((cur, n)); cur = k; n = 1L }
+        }
+        if (cur != null) runs += ((cur, n))
+        Iterator.single((pid, runs.toSeq))
+      }.collect().sortBy(_._1)
+
+    // driver: per-group totals and per-(partition, group) start ranks
+    val totals = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+    val startAt = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Long]
+    hist.foreach { case (pid, runs) =>
+      runs.foreach { case (k, n) =>
+        val sofar = totals.getOrElse(k, 0L)
+        startAt((pid, k)) = sofar
+        totals(k) = sofar + n
+      }
     }
-    grouped.agg(aggs.head, aggs.tail: _*)
+    // interpolation neighbor ranks (1-based) per group
+    val wanted: Map[Seq[Any], Set[Long]] = totals.map { case (k, n) =>
+      k -> ps.flatMap { p =>
+        val pos = p * (n - 1) + 1
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.toSet
+    }.toMap
+    val wantedB = spark.sparkContext.broadcast(wanted)
+    val startB = spark.sparkContext.broadcast(startAt.toMap)
+
+    // pass 2: emit only the neighbor rows, with their within-group rank
+    val neighborRows: Seq[Row] = sortedRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val want = wantedB.value
+        val starts = startB.value
+        var cur: Seq[Any] = null
+        var rank = 0L
+        it.flatMap { r =>
+          val k = keyOf(r)
+          if (k != cur) { cur = k; rank = starts.getOrElse((pid, k), 0L) }
+          rank += 1
+          if (want.getOrElse(k, Set.empty).contains(rank))
+            Iterator.single(Row.fromSeq(k :+ rank :+ r.getDouble(nKey)))
+          else Iterator.empty
+        }
+      }.collect().toSeq
+
+    // driver-side interpolation over ≤ 2·|ps| rows per group
+    val byKey = neighborRows.groupBy(r => (0 until nKey).map(r.get): Seq[Any])
+    val toExternal = (0 until nKey).map(i =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(schema(i).dataType))
+    val out = totals.toSeq.map { case (k, n) =>
+      val ranks = byKey.getOrElse(k, Seq.empty)
+        .map(r => r.getLong(nKey) -> r.getDouble(nKey + 1)).toMap
+      val qs = ps.map { p =>
+        val pos = p * (n - 1) + 1
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val vLo = ranks(lo)
+        val vHi = ranks(hi)
+        vLo + (pos - lo) * (vHi - vLo)
+      }
+      Row.fromSeq(k.zip(toExternal).map { case (value, conv) => conv(value) } ++ qs)
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      keyNames.zipWithIndex.map { case (kn, i) => schema(i) } ++
+        ps.map(p => org.apache.spark.sql.types.StructField(
+          s"p${(p * 100).round}", org.apache.spark.sql.types.DoubleType)))
+    val res = spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toList, 1), outSchema)
+    if (groupCols.isEmpty) res.drop("__g") else res
   }
 }

@@ -129,7 +129,10 @@ object Round2 {
     // deviation, both via shuffle-sort primitives (no value-count maps)
     Q("q70_mode_mad", (s, d) => {
       import s.implicits._
+      // three passes over two columns (mode, median, abs-dev median):
+      // cache the projection once — Bench clears caches between queries
       val li = T.lineitem(s, d)
+        .select($"l_returnflag", $"l_quantity", $"l_extendedprice").cache()
       val counts = li.groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
       val wm = Window.partitionBy($"l_returnflag").orderBy($"c".desc, $"l_quantity")
       val mode = counts.withColumn("rn", row_number().over(wm)).filter($"rn" === 1)
@@ -138,6 +141,7 @@ object Round2 {
         .select($"l_returnflag", $"p50".as("med"))
       val dev = li.join(broadcast(med), "l_returnflag")
         .select($"l_returnflag", abs($"l_extendedprice" - $"med").as("adev"))
+        .cache() // read by both quantile passes
       val mad = Quantiles.exactQuantiles(dev, Seq("l_returnflag"), "adev", Seq(0.5))
         .select($"l_returnflag", round($"p50", 6).as("mad_price"))
       mode.join(mad, "l_returnflag").orderBy($"l_returnflag")
@@ -201,12 +205,16 @@ object Round2 {
       import s.implicits._
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val qn = s"graft_sdedup_${System.nanoTime()}"
-      val query = s.readStream.schema(schema).parquet(s"$d/events.*")
-        .select($"user_id", $"event_type")
-        .dropDuplicates("user_id", "event_type")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val query = s.readStream.schema(schema).parquet(s"$d/events.*")
+          .select($"user_id", $"event_type")
+          .dropDuplicates("user_id", "event_type")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(qn).orderBy($"user_id", $"event_type")
     }, Some("""
       SELECT DISTINCT user_id, event_type FROM events
@@ -314,14 +322,29 @@ object Round2 {
         .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_event"))
         .withWatermark("p_ts", "1 hour")
       val qn = s"graft_ssj_${System.nanoTime()}"
-      val q = purchases.join(signups,
-          $"p_user" === $"s_user" &&
-            $"s_ts" <= $"p_ts" && $"s_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
-        .select($"p_user".as("user_id"), $"p_event", $"s_event")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state partition count is fixed at query start from shuffle
+      // partitions; a drained micro-benchmark stream wants few state
+      // stores, not one per core (restored after the drain)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // inner stream-stream joins emit matches within the data batch;
+      // the trailing no-data batch only advances the watermark for state
+      // eviction, irrelevant to a drained run
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = purchases.join(signups,
+            $"p_user" === $"s_user" &&
+              $"s_ts" <= $"p_ts" && $"s_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+          .select($"p_user".as("user_id"), $"p_event", $"s_event")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
       s.table(qn).orderBy($"user_id", $"p_event", $"s_event")
     }, Some("""
       SELECT p.user_id, p.event_id AS p_event, s.event_id AS s_event
