@@ -144,6 +144,26 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** The 100 TB IVF serving layout: vectors written directory-partitioned
+    * by their quantizer cell. A probe batch then reads ONLY its nprobe
+    * cells via partition pruning — nprobe/nlist of the corpus — instead
+    * of scanning everything. Returns the trained centroids so the search
+    * side assigns probes with the same quantizer.
+    */
+  def writeIvfPartitioned(vectors: DataFrame, path: String,
+      nlist: Int = 16, maxTrainSample: Int = 100000): Array[Array[Double]] = {
+    val sample = vectors.select(col("embedding")).limit(maxTrainSample)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centers = trainCentroids(sample, nlist)
+    val cell = greatest(centers.zipWithIndex.map { case (c, i) =>
+      struct(cosine_similarity(col("embedding"), typedLit(c.map(_.toFloat))).as("s"),
+        lit(i).as("c"))
+    }: _*).getField("c")
+    vectors.withColumn("cell", cell)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    centers
+  }
+
   /** Approximate top-k via banded random-hyperplane LSH: 4 bands of
     * `bandBits` signature bits; a vector is a candidate if any band
     * matches the probe's. Exact cosine ranks candidates. */

@@ -30,6 +30,23 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"IVF recall collapsed: $recall")
   }
 
+  test("IVF partitioned layout prunes the scan to the probed cells") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val centers = Similarity.writeIvfPartitioned(emb, dir, nlist = 8)
+    assert(centers.length == 8)
+    val cells = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("cell=")).toSet
+    assert(cells.nonEmpty && cells.subsetOf((0 until 8).map(i => s"cell=$i").toSet))
+    // probing 2 cells must read 2 partitions, not the whole corpus
+    val pruned = spark.read.parquet(dir).filter(col("cell").isin(0, 1))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    val total = spark.read.parquet(dir).count()
+    assert(pruned.count() < total)
+  }
+
   test("hyperplane-LSH candidates keep nonzero recall@5 and never invent ids") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)

@@ -30,4 +30,26 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == None)        // no right row at or before 5
     assert(out(4L) == None)        // key 3 has no history
   }
+
+  test("asofJoin matches per-row brute force on randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 400).map(i =>
+      (i.toLong, (rnd.nextInt(20) + 1).toLong, ts(rnd.nextInt(60))))
+    val right = (1 to 300).map(i =>
+      ((rnd.nextInt(25) + 1).toLong, ts(rnd.nextInt(60)), s"v$i"))
+    val leftDf = left.toDF("id", "k", "t").repartition(7) // scrambled layout
+    val rightDf = right.toDF("k", "t", "v").repartition(5)
+
+    val got = AsOf.asofJoin(leftDf, rightDf, "k", "t", "t", Seq("t", "v"))
+      .select($"id", $"asof_t").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+
+    left.foreach { case (id, k, t) =>
+      // brute force: greatest right t <= left t within the key
+      val expected = right.filter(r => r._1 == k && !r._2.after(t))
+        .map(_._2).sortBy(_.getTime).lastOption
+      assert(got(id) == expected, s"row $id key $k t $t")
+    }
+  }
 }
