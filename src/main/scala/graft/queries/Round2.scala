@@ -404,6 +404,80 @@ object Round2 {
         FROM flags)
       SELECT user_id, min(ts) AS session_start,
              count(*) AS n_events, round(sum(value), 2) AS sum_value
-      FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+      FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // int8 scalar quantization of embeddings — the storage-compression
+    // step for 100 TB vector corpora (4 bytes/dim → 1). Emits per-vector
+    // range and the reconstruction L2 error of the round-trip
+    Q("q79_quantize_int8", (s, d) => {
+      import s.implicits._
+      // internal names must differ from the output aliases: a select item
+      // aliased "mn" would be picked up by LATER items in the same list
+      // via lateral column alias resolution, silently feeding the ROUNDED
+      // value into the reconstruction arithmetic
+      val withRange = T.embeddings(s, d)
+        .withColumn("__mn", array_min($"embedding").cast("double"))
+        .withColumn("__mx", array_max($"embedding").cast("double"))
+        .withColumn("__scale", ($"__mx" - $"__mn") / 255.0)
+      withRange
+        .select($"vec_id", round($"__mn", 6).as("mn"), round($"__mx", 6).as("mx"),
+          round(
+            sqrt(aggregate($"embedding", lit(0.0), (acc, x) => {
+              // floor(d + 0.5) instead of round(): elementary IEEE ops
+              // only, so the oracle computes the identical double
+              val q = floor((x.cast("double") - $"__mn") / $"__scale" + 0.5).cast("double")
+              val err = x.cast("double") - ($"__mn" + q * $"__scale")
+              acc + err * err
+            })), 6).as("recon_err"))
+        .orderBy($"vec_id")
+    }, Some("""
+      WITH r AS (SELECT vec_id,
+                        list_min(embedding)::DOUBLE AS mn,
+                        list_max(embedding)::DOUBLE AS mx,
+                        (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0 AS scale,
+                        embedding
+                 FROM embeddings)
+      SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+             round(sqrt(list_sum(list_transform(embedding, x ->
+               (x::DOUBLE - (mn + floor((x::DOUBLE - mn) / scale + 0.5) * scale)) *
+               (x::DOUBLE - (mn + floor((x::DOUBLE - mn) / scale + 0.5) * scale))))), 6)
+               AS recon_err
+      FROM r ORDER BY vec_id""")),
+
+    // column profiling: the data-validation pass every ingest runs —
+    // null counts, distinct cardinality, numeric ranges per column
+    Q("q80_profile", (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        li.select(
+          lit(c).as("column"),
+          count(when(col(c).isNull, 1)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          round(min(col(c)).cast("double"), 6).as("min_v"),
+          round(max(col(c)).cast("double"), 6).as("max_v"))
+      }.reduce(_ unionByName _).orderBy($"column")
+    }, Some("""
+      SELECT 'l_quantity' AS "column", count(*) FILTER (l_quantity IS NULL) AS n_nulls,
+             count(DISTINCT l_quantity) AS n_distinct,
+             round(min(l_quantity), 6) AS min_v, round(max(l_quantity), 6) AS max_v
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(*) FILTER (l_extendedprice IS NULL),
+             count(DISTINCT l_extendedprice),
+             round(min(l_extendedprice), 6), round(max(l_extendedprice), 6)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(*) FILTER (l_discount IS NULL),
+             count(DISTINCT l_discount),
+             round(min(l_discount), 6), round(max(l_discount), 6)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', count(*) FILTER (l_tax IS NULL),
+             count(DISTINCT l_tax),
+             round(min(l_tax), 6), round(max(l_tax), 6)
+      FROM lineitem
+      ORDER BY "column""""))
   )
 }
