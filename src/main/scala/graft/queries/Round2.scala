@@ -478,6 +478,30 @@ object Round2 {
              count(DISTINCT l_tax),
              round(min(l_tax), 6), round(max(l_tax), 6)
       FROM lineitem
-      ORDER BY "column""""))
+      ORDER BY "column"""")),
+
+    // fuzzy matching: near-identical part names by edit distance — the
+    // string-similarity complement to the shingle/minhash dedup family.
+    // Blocked on a cheap equality key (first token) so the pair space is
+    // per-block, not O(n²) — the standard blocking technique at scale
+    Q("q81_levenshtein", (s, d) => {
+      import s.implicits._
+      val p = T.part(s, d).filter($"p_partkey" < 500)
+        .select($"p_partkey", $"p_name",
+          substring_index($"p_name", " ", 1).as("blk"))
+      p.as("a").join(p.as("b"),
+          $"a.blk" === $"b.blk" && $"a.p_partkey" < $"b.p_partkey")
+        .select($"a.p_partkey".as("a_key"), $"b.p_partkey".as("b_key"),
+          levenshtein($"a.p_name", $"b.p_name").as("dist"))
+        .filter($"dist" <= 10)
+        .orderBy($"a_key", $"b_key")
+    }, Some("""
+      WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk
+                 FROM part WHERE p_partkey < 500)
+      SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 10
+      ORDER BY a_key, b_key"""))
   )
 }

@@ -109,6 +109,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined == Map(0L -> 24, 1L -> 14, 2L -> 80))
   }
 
+  test("maxFilesPerTrigger bounds micro-batch admission (the reference's :capacity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    // 6 single-row files; admission cap of 2 files per trigger must
+    // produce >= 3 micro-batches on drain (core.clj:42-44's size bound)
+    (1 to 6).foreach(i => Seq(i).toDF("v").write.parquet(s"$dir/f$i"))
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.schema("v INT")
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$dir/f*")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.add(b.count()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq
+    assert(sizes.sum == 6, s"all rows processed: $sizes")
+    assert(sizes.forall(_ <= 2), s"no batch exceeds the admission cap: $sizes")
+    assert(sizes.count(_ > 0) >= 3, s"cap forces multiple batches: $sizes")
+  }
+
   test("flatMapGroupsWithState keeps running per-key counts across batches") {
     import spark.implicits._
     val src = MemoryStream[(String, Int)](spark)
