@@ -502,6 +502,90 @@ object Round2 {
              CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
       FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
       WHERE levenshtein(a.p_name, b.p_name) <= 10
-      ORDER BY a_key, b_key"""))
+      ORDER BY a_key, b_key""")),
+
+    // the dedup pipeline's END STATE: drop every near-duplicate that is
+    // not its group's canonical (min-id) representative — pairs → groups
+    // → anti-join, the actual corpus a training run would consume
+    Q("q82_dedup_apply", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", 0.5)
+      val losers = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .filter($"id" =!= $"component")
+        .select($"id".as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select($"doc_id", length($"text").as("n_chars"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                      len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach AS (SELECT src AS id, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      losers AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) != id)
+      SELECT doc_id, CAST(length(text) AS INT) AS n_chars
+      FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+      ORDER BY doc_id""")),
+
+    // composed corpus preparation: quality-filter, drop near-duplicate
+    // losers, emit the per-doc training-relevant stats — each piece is
+    // independently oracle-verified (q26/q27/q66); this proves they
+    // COMPOSE into the end-to-end prep a real pipeline runs
+    Q("q83_corpus_prep", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val ws = graft.operators.TextAnalysis.tokens($"text")
+      val swr = graft.operators.TextAnalysis.stopwordRatio(ws)
+      val scored = docs.select($"doc_id", $"text",
+        size(ws).as("n_tokens"),
+        (least(lit(1.0), size(ws) / lit(200.0)) * (lit(1.0) - swr)).as("q"))
+      val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", 0.5)
+      val losers = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .filter($"id" =!= $"component").select($"id".as("doc_id"))
+      scored.join(losers, Seq("doc_id"), "left_anti")
+        .filter($"q" >= 0.3)
+        .select($"doc_id", $"n_tokens", round($"q", 6).as("quality_score"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                      len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach AS (SELECT src AS id, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      losers AS (SELECT id FROM reach GROUP BY id HAVING min(lbl) != id),
+      m AS (SELECT doc_id,
+                   CAST(len(ws) AS INT) AS n_tokens,
+                   least(1.0, len(ws) / 200.0) *
+                     (1.0 - len(list_filter(ws, x -> x IN
+                       ('the','a','of','and','to','in','is','it','on','for')))
+                       * 1.0 / len(ws)) AS q
+            FROM w)
+      SELECT doc_id, n_tokens, round(q, 6) AS quality_score
+      FROM m
+      WHERE doc_id NOT IN (SELECT id FROM losers) AND q >= 0.3
+      ORDER BY doc_id"""))
   )
 }
