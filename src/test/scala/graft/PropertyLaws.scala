@@ -28,6 +28,23 @@ object PropertyLaws extends Properties("graft") {
 
   private val smallInts = Gen.listOf(Gen.chooseNum(-100, 100))
 
+  property("sort-rank quantiles equal built-in exact percentile") = {
+    val rows = Gen.nonEmptyListOf(for {
+      g <- Gen.chooseNum(0, 3)
+      v <- Gen.chooseNum(-1000, 1000)
+    } yield (g, v.toDouble))
+    forAll(rows, Gen.chooseNum(1, 99)) { (xs, pRaw) =>
+      val p = pRaw / 100.0
+      val df = xs.toDF("g", "v").repartition(5) // groups split across partitions
+      val got = graft.operators.Quantiles.exactQuantiles(df, Seq("g"), "v", Seq(p))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val exp = df.groupBy($"g").agg(percentile($"v", lit(p)).as("q"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      got.keySet == exp.keySet &&
+        got.forall { case (g, q) => math.abs(q - exp(g)) < 1e-9 }
+    }
+  }
+
   property("dedup is idempotent") = forAll(smallInts) { xs =>
     val df = xs.toDF("v")
     val once = df.dropDuplicates("v")
