@@ -70,7 +70,14 @@ object Bench {
       g.close()
       rate
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"per-query min of cold + warm executions","cold_total":$coldTotal,"queries":$qs,"grouper_items_per_sec":$grouperRate,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","timing":"per-query min of cold + warm executions","cold_total":$coldTotal,"queries":$qs,"grouper_items_per_sec":$grouperRate,"sf":"$sfDir"}"""
+    println(line)
+    // stdout gets truncated by log capture; the file keeps every
+    // per-query time inspectable after the run
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: $e") }
     spark.stop()
   }
 }

@@ -32,6 +32,10 @@ object AsOf {
       carryCols: Seq[String]): DataFrame = {
     val carried = carryCols.map(c => s"asof_$c")
     val leftCols = left.columns.toSeq
+    val reserved = Set("__k", "__t", "__isR") ++ carried
+    val clashes = leftCols.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"left columns collide with asof-join internals/aliases: ${clashes.mkString(", ")}")
 
     val taggedRight = right.select(
       Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__isR")) ++
@@ -45,9 +49,13 @@ object AsOf {
           lit(null).cast(right.schema(c).dataType).as(a)
         }: _*)
 
-    // at equal timestamps the right row sorts first, so `rt <= lt` is inclusive
+    // at equal timestamps the right row sorts first, so `rt <= lt` is
+    // inclusive; the carried columns break ties among right rows sharing
+    // (key, timestamp) — `last` then deterministically picks the greatest
+    // carried tuple run-to-run regardless of upstream partitioning
+    // (column-wise when a tied row carries nulls, since `last` skips them)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__isR").desc)
+      .orderBy(col("__t") +: col("__isR").desc +: carried.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedRight.unionByName(taggedLeft)

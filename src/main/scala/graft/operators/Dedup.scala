@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   *    doc_id (signature agg) and (band, bucket) (candidate join); hot
   *    buckets (boilerplate shingles) are the skew risk at 100 TB — AQE
   *    skew-join plus the distinct-pair dedup keep it bounded.
-  *  - SimHash: 64-bit sketch; banded self-join on 16-bit chunks finds all
-  *    pairs within Hamming distance 3 (pigeonhole over 4 chunks).
+  *  - SimHash: 64-bit sketch; banded self-join on `maxHamming + 1` chunks.
+  *    Pigeonhole makes the banding COMPLETE: a pair differing in at most
+  *    `maxHamming` bits cannot differ in all `maxHamming + 1` chunks, so
+  *    it shares at least one chunk exactly and becomes a candidate; the
+  *    `bit_count(a ^ b)` verify then gives exact precision. Larger radii
+  *    mean narrower chunks (64 / (r+1) bits) and therefore denser buckets
+  *    — candidate volume, not recall, is what a large radius costs.
   */
 object Dedup {
 
@@ -59,12 +64,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Full near-dup pipeline: LSH candidates verified by exact Jaccard. */
+  /** Full near-dup pipeline: LSH candidates verified by exact Jaccard.
+    *
+    * Documents with an empty shingle set (shorter than the shingle width)
+    * are dropped BEFORE signatures: they would all share the identical
+    * all-`Long.MaxValue` signature, collide in every band, and
+    * materialize O(m²) candidate pairs for m short docs — pairs the
+    * exact-Jaccard verify would discard anyway (0/0 similarity is null).
+    */
   def minHashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, shingleN).cache()
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+      .filter(size(col("shingles")) > 0).cache()
     val cands = lshCandidates(minHashSignatures(sets, numHashes), bands, numHashes / bands)
     cands
       .join(sets.select(col("id").as("a_id"), col("shingles").as("sa")), "a_id")
@@ -115,9 +128,17 @@ object Dedup {
       maxIter: Int = 25, maxDriverEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val collected = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
-      .limit((maxDriverEdges + 1).toInt).collect()
-    if (collected.length <= maxDriverEdges) {
+    // the path probe COUNTS a limited slice instead of collecting it, so
+    // routing to the distributed branch never ships edge rows to the
+    // driver; the persist makes the probe and the subsequent real
+    // consumer share one evaluation of the (possibly expensive) pair plan
+    val sel = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lim = math.min(maxDriverEdges + 1, Int.MaxValue.toLong - 1).toInt
+      if (sel.limit(lim).count() > maxDriverEdges)
+        return connectedComponentsDistributed(sel, "a", "b", maxIter)
+      val collected = sel.collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -133,9 +154,8 @@ object Dedup {
         else { parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b); () }
       }
       val ids = collected.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
-      return ids.map(id => (id, find(id))).toSeq.toDF("id", "component")
-    }
-    connectedComponentsDistributed(pairs, aCol, bCol, maxIter)
+      ids.map(id => (id, find(id))).toSeq.toDF("id", "component")
+    } finally sel.unpersist()
   }
 
   /** Distributed min-label propagation (see [[connectedComponents]]). */
@@ -170,16 +190,29 @@ object Dedup {
     labels
   }
 
-  /** SimHash near-dup pairs within a Hamming radius (≤ chunks−1).
-    * Banded on 16-bit chunks so at least one chunk must match exactly. */
+  /** SimHash near-dup pairs within a Hamming radius — EXACT, not
+    * approximate: the sketch is banded into `maxHamming + 1` chunks, so
+    * by pigeonhole any pair with `bit_count(a ^ b) <= maxHamming` agrees
+    * exactly on at least one chunk and surfaces as a candidate; the
+    * explicit Hamming filter then removes false candidates. Radius is
+    * capped at 15 (chunks of < 4 bits would bucket the corpus into < 16
+    * groups per band — the candidate join degenerates toward all-pairs).
+    */
   def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     import graft.functions.Functions.simhash64
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15]: $maxHamming")
+    val numChunks = maxHamming + 1
+    val bounds = (0 to numChunks).map(i => i * 64 / numChunks)
     val sh = docs.select(col(idCol).as("id"),
       simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
     val chunked = sh.select(col("id"), col("sh"), posexplode(
-      array((0 until 4).map(c =>
-        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("chunk", "ck")))
+      array((0 until numChunks).map { c =>
+        val width = bounds(c + 1) - bounds(c)
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        shiftright(col("sh"), bounds(c)).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("chunk", "ck")))
     val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") &&

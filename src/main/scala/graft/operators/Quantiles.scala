@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact distributed quantiles via sort-rank, not value-count maps.
   *
@@ -11,33 +12,43 @@ import org.apache.spark.sql.functions._
   * continuous measures at 100 TB (and it is several times slower than a
   * sort even at sf0.1).
   *
-  * Plan shape (2 passes over the sorted data, parallelism bound by
-  * partition count — NOT by group count, which is what a
-  * `row_number() OVER (PARTITION BY group)` window degrades to):
+  * Plan shape (the sorted data is persisted once and walked twice,
+  * parallelism bound by partition count — NOT by group count, which is
+  * what a `row_number() OVER (PARTITION BY group)` window degrades to):
   *
   *  1. range-partition on (group, value) and sort within partitions —
-  *     a parallel global sort;
+  *     a parallel global sort, persisted for the later passes;
   *  2. pass 1: per partition, emit the ordered run-length histogram
-  *     (group, count) — tiny, collected to the driver;
+  *     (group, count) — tiny, collected to the driver. Its total size is
+  *     counted distributed FIRST: above `maxDriverHistogram` entries the
+  *     operator routes to [[quantilesByWindow]] instead of collecting
+  *     (driver memory is O(partitions × groups) on this path, so a
+  *     high-cardinality group key must not take it);
   *  3. driver: prefix-sum the histograms into per-(partition, group)
   *     start ranks and per-group totals; compute each quantile's two
   *     interpolation neighbor ranks;
-  *  4. pass 2: walk the same sorted partitions, emit ONLY rows whose
-  *     within-group rank is an interpolation neighbor (≤ 2·|ps| rows
-  *     per group);
+  *  4. pass 2: walk the same persisted sorted partitions, emit ONLY rows
+  *     whose within-group rank is an interpolation neighbor (≤ 2·|ps|
+  *     rows per group);
   *  5. final: a trivial aggregate interpolates, matching SQL
   *     `quantile_cont`: pos = p·(n−1)+1, value = v_lo + frac·(v_hi−v_lo).
   */
 object Quantiles {
 
+  private def pName(p: Double): String = s"p${(p * 100).round}"
+
   /** @param df        input
     * @param groupCols grouping columns (empty = global)
     * @param valueCol  numeric column to take quantiles of (nulls dropped)
     * @param ps        quantile fractions in [0,1], each becomes column `p<frac·100>`
+    * @param maxDriverHistogram cap on collected (partition, group) run
+    *                  entries; beyond it the windowed distributed path runs
     */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      ps: Seq[Double]): DataFrame = {
+      ps: Seq[Double], maxDriverHistogram: Long = 2000000L): DataFrame = {
     require(ps.nonEmpty, "need at least one quantile fraction")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile fractions must be in [0, 1]: ${ps.filterNot(p => p >= 0.0 && p <= 1.0)}")
     val spark = df.sparkSession
     val v = col(valueCol).cast("double")
     val keyCols = if (groupCols.isEmpty) Seq(lit(0).as("__g")) else groupCols.map(col)
@@ -48,16 +59,19 @@ object Quantiles {
     val sorted = rows
       .repartitionByRange((keyNames :+ "__v").map(col): _*)
       .sortWithinPartitions((keyNames :+ "__v").map(col): _*)
-    // one compiled copy reused by both passes: same sort, same partitions
+    // persisted: pass 1, the histogram-size probe and pass 2 all read the
+    // sorted rows once — without this every action would re-read the
+    // shuffle AND re-run the within-partition sort
     val sortedRdd = sorted.queryExecution.toRdd
       .mapPartitions(it => it.map(_.copy()), preservesPartitioning = true)
-    val schema = sorted.schema
-    val keyOf: org.apache.spark.sql.catalyst.InternalRow => Seq[Any] = r =>
-      (0 until nKey).map(i => r.get(i, schema(i).dataType))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val schema = sorted.schema
+      val keyOf: org.apache.spark.sql.catalyst.InternalRow => Seq[Any] = r =>
+        (0 until nKey).map(i => r.get(i, schema(i).dataType))
 
-    // pass 1: ordered (group, count) run-length histogram per partition
-    val hist: Array[(Int, Seq[(Seq[Any], Long)])] = sortedRdd
-      .mapPartitionsWithIndex { (pid, it) =>
+      // pass 1: ordered (group, count) run-length histogram per partition
+      val runsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
         val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
         var cur: Seq[Any] = null
         var n = 0L
@@ -68,69 +82,141 @@ object Quantiles {
         }
         if (cur != null) runs += ((cur, n))
         Iterator.single((pid, runs.toSeq))
-      }.collect().sortBy(_._1)
-
-    // driver: per-group totals and per-(partition, group) start ranks
-    val totals = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
-    val startAt = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Long]
-    hist.foreach { case (pid, runs) =>
-      runs.foreach { case (k, n) =>
-        val sofar = totals.getOrElse(k, 0L)
-        startAt((pid, k)) = sofar
-        totals(k) = sofar + n
       }
-    }
-    // interpolation neighbor ranks (1-based) per group
-    val wanted: Map[Seq[Any], Set[Long]] = totals.map { case (k, n) =>
-      k -> ps.flatMap { p =>
-        val pos = p * (n - 1) + 1
-        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
-      }.toSet
-    }.toMap
-    val wantedB = spark.sparkContext.broadcast(wanted)
-    val startB = spark.sparkContext.broadcast(startAt.toMap)
+      // guard BEFORE collecting: the histogram size is known distributed
+      val histEntries = runsRdd.map(_._2.length.toLong).fold(0L)(_ + _)
+      if (histEntries > maxDriverHistogram)
+        return quantilesByWindow(rows, keyNames, ps, groupCols.isEmpty)
 
-    // pass 2: emit only the neighbor rows, with their within-group rank
-    val neighborRows: Seq[Row] = sortedRdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val want = wantedB.value
-        val starts = startB.value
-        var cur: Seq[Any] = null
-        var rank = 0L
-        it.flatMap { r =>
-          val k = keyOf(r)
-          if (k != cur) { cur = k; rank = starts.getOrElse((pid, k), 0L) }
-          rank += 1
-          if (want.getOrElse(k, Set.empty).contains(rank))
-            Iterator.single(Row.fromSeq(k :+ rank :+ r.getDouble(nKey)))
-          else Iterator.empty
+      val hist: Array[(Int, Seq[(Seq[Any], Long)])] = runsRdd.collect().sortBy(_._1)
+
+      // driver: per-group totals and per-(partition, group) start ranks
+      val totals = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+      val startAt = scala.collection.mutable.HashMap.empty[(Int, Seq[Any]), Long]
+      hist.foreach { case (pid, runs) =>
+        runs.foreach { case (k, n) =>
+          val sofar = totals.getOrElse(k, 0L)
+          startAt((pid, k)) = sofar
+          totals(k) = sofar + n
         }
-      }.collect().toSeq
-
-    // driver-side interpolation over ≤ 2·|ps| rows per group
-    val byKey = neighborRows.groupBy(r => (0 until nKey).map(r.get): Seq[Any])
-    val toExternal = (0 until nKey).map(i =>
-      org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToScalaConverter(schema(i).dataType))
-    val out = totals.toSeq.map { case (k, n) =>
-      val ranks = byKey.getOrElse(k, Seq.empty)
-        .map(r => r.getLong(nKey) -> r.getDouble(nKey + 1)).toMap
-      val qs = ps.map { p =>
-        val pos = p * (n - 1) + 1
-        val lo = math.floor(pos).toLong
-        val hi = math.ceil(pos).toLong
-        val vLo = ranks(lo)
-        val vHi = ranks(hi)
-        vLo + (pos - lo) * (vHi - vLo)
       }
-      Row.fromSeq(k.zip(toExternal).map { case (value, conv) => conv(value) } ++ qs)
+      // interpolation neighbor ranks (1-based) per group
+      val wanted: Map[Seq[Any], Set[Long]] = totals.map { case (k, n) =>
+        k -> ps.flatMap { p =>
+          val pos = p * (n - 1) + 1
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.toSet
+      }.toMap
+      val wantedB = spark.sparkContext.broadcast(wanted)
+      val startB = spark.sparkContext.broadcast(startAt.toMap)
+
+      // pass 2: emit only the neighbor rows, with their within-group rank
+      val neighborRows: Seq[Row] = sortedRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val want = wantedB.value
+          val starts = startB.value
+          var cur: Seq[Any] = null
+          var rank = 0L
+          it.flatMap { r =>
+            val k = keyOf(r)
+            if (k != cur) { cur = k; rank = starts.getOrElse((pid, k), 0L) }
+            rank += 1
+            if (want.getOrElse(k, Set.empty).contains(rank))
+              Iterator.single(Row.fromSeq(k :+ rank :+ r.getDouble(nKey)))
+            else Iterator.empty
+          }
+        }.collect().toSeq
+
+      // driver-side interpolation over ≤ 2·|ps| rows per group
+      val byKey = neighborRows.groupBy(r => (0 until nKey).map(r.get): Seq[Any])
+      val toExternal = (0 until nKey).map(i =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(schema(i).dataType))
+      val out = totals.toSeq.map { case (k, n) =>
+        val ranks = byKey.getOrElse(k, Seq.empty)
+          .map(r => r.getLong(nKey) -> r.getDouble(nKey + 1)).toMap
+        val qs = ps.map { p =>
+          val pos = p * (n - 1) + 1
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          val vLo = ranks(lo)
+          val vHi = ranks(hi)
+          vLo + (pos - lo) * (vHi - vLo)
+        }
+        Row.fromSeq(k.zip(toExternal).map { case (value, conv) => conv(value) } ++ qs)
+      }
+      val outSchema = org.apache.spark.sql.types.StructType(
+        keyNames.zipWithIndex.map { case (kn, i) => schema(i) } ++
+          ps.map(p => org.apache.spark.sql.types.StructField(pName(p),
+            org.apache.spark.sql.types.DoubleType)))
+      val res = spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toList, 1), outSchema)
+      if (groupCols.isEmpty) res.drop("__g") else res
+    } finally sortedRdd.unpersist()
+  }
+
+  /** Fully distributed quantiles for HIGH-cardinality group keys: a
+    * `row_number` window ranks within each group (parallelism = group
+    * count, which is exactly the regime where that is plentiful), the
+    * interpolation neighbors are picked by conditional aggregates, and
+    * the final arithmetic mirrors the driver path bit-for-bit
+    * (`v_lo + (pos − ⌊pos⌋)·(v_hi − v_lo)`). Nothing is ever collected.
+    *
+    * `rows` must already be projected to (group columns..., __v: double,
+    * nulls dropped) — [[exactQuantiles]] routes here above its histogram
+    * threshold; callers with a known-wide key can call it directly.
+    */
+  private[graft] def quantilesByWindow(rows: DataFrame, keyNames: Seq[String],
+      ps: Seq[Double], dropKey: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyC = keyNames.map(col)
+    val w = Window.partitionBy(keyC: _*).orderBy(col("__v"))
+    val ranked = rows
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyC: _*)))
+    def pos(i: Int): Column = lit(ps(i)) * (col("__n").cast("double") - 1) + 1
+    val aggs = ps.indices.flatMap { i =>
+      Seq(
+        max(when(col("__r") === floor(pos(i)).cast("long"), col("__v"))).as(s"__lo$i"),
+        max(when(col("__r") === ceil(pos(i)).cast("long"), col("__v"))).as(s"__hi$i"),
+        first(pos(i)).as(s"__pos$i"))
     }
-    val outSchema = org.apache.spark.sql.types.StructType(
-      keyNames.zipWithIndex.map { case (kn, i) => schema(i) } ++
-        ps.map(p => org.apache.spark.sql.types.StructField(
-          s"p${(p * 100).round}", org.apache.spark.sql.types.DoubleType)))
-    val res = spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toList, 1), outSchema)
-    if (groupCols.isEmpty) res.drop("__g") else res
+    val agged = ranked.groupBy(keyC: _*).agg(aggs.head, aggs.tail: _*)
+    val outs = keyC ++ ps.indices.map { i =>
+      (col(s"__lo$i") +
+        (col(s"__pos$i") - floor(col(s"__pos$i"))) *
+          (col(s"__hi$i") - col(s"__lo$i"))).as(pName(ps(i)))
+    }
+    val res = agged.select(outs: _*)
+    if (dropKey) res.drop("__g") else res
+  }
+
+  /** Quantiles over SEVERAL value columns from ONE global sort: the
+    * columns are stack-unpivoted into (group..., __col, __v) so a single
+    * range-partitioned sort ranks every column's values, then the long
+    * result pivots back to `<col>_p<frac>` columns. n columns for the
+    * price of one sort over n× the rows — beats n independent sorts
+    * because the shuffle machinery, scan and persist are paid once. */
+  def exactQuantilesMulti(df: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String], ps: Seq[Double],
+      maxDriverHistogram: Long = 2000000L): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    val stackArgs = valueCols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+    val stacked = df.selectExpr(
+      groupCols.map(c => s"`$c`") :+
+        s"stack(${valueCols.length}, $stackArgs) AS (__col, __v)": _*)
+    val long = exactQuantiles(stacked, groupCols :+ "__col", "__v", ps, maxDriverHistogram)
+    val firstAggs = ps.map(p => first(col(pName(p))).as(pName(p)))
+    val wide = long.groupBy(groupCols.map(col): _*)
+      .pivot("__col", valueCols)
+      .agg(firstAggs.head, firstAggs.tail: _*)
+    // pivot names single-agg columns `<val>` and multi-agg `<val>_<agg>`;
+    // normalize to `<col>_p<frac>` either way
+    if (ps.length == 1) {
+      val renamed = valueCols.foldLeft(wide) { (acc, c) =>
+        acc.withColumnRenamed(c, s"${c}_${pName(ps.head)}")
+      }
+      renamed
+    } else wide
   }
 }

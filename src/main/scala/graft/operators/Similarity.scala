@@ -164,6 +164,58 @@ object Similarity {
     centers
   }
 
+  /** Query-time ANN against the pre-built serving layout of
+    * [[writeIvfPartitioned]]: probes are assigned to their `nprobe`
+    * nearest cells with the layout's own quantizer, the tiny distinct
+    * probed-cell set (≤ nlist ints) is collected, and the corpus is read
+    * with `cell IN (...)` — a static partition filter, so the scan
+    * touches only the probed `cell=` directories instead of assigning
+    * the full table per query. The layout (plus its centroids, stored
+    * alongside under `<path>.centroids`) is built once on first use and
+    * reused by every subsequent query — the build is the indexing job, the
+    * per-query cost is the pruned read. */
+  def ivfServedTopK(vectors: DataFrame, probes: DataFrame, k: Int,
+      layoutPath: String, nlist: Int = 16, nprobe: Int = 4,
+      maxTrainSample: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    val centPath = layoutPath + ".centroids"
+    if (!new java.io.File(layoutPath, "_SUCCESS").exists()) {
+      val centers = writeIvfPartitioned(vectors, layoutPath, nlist, maxTrainSample)
+      centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(centPath)
+    }
+    val centroids = spark.read.parquet(centPath)
+      .select(col("cell").cast("int").as("cell"),
+        org.apache.spark.sql.functions.transform(col("centroid"), _.cast("float")).as("centroid"))
+
+    val probeCells = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .join(broadcast(centroids))
+      .select(col("probe_id"), col("p_emb"), col("cell"),
+        cosine_similarity(col("p_emb"), col("centroid")).as("csim"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crnk") <= nprobe)
+      .select(col("probe_id"), col("p_emb"), col("cell"))
+      .cache()
+
+    // ≤ nlist distinct cells — the literal IN list that prunes the scan
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val pruned = spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(cells: _*))
+
+    val scored = pruned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine_similarity(col("p_emb"), col("embedding")), 6).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k via banded random-hyperplane LSH: 4 bands of
     * `bandBits` signature bits; a vector is a candidate if any band
     * matches the probe's. Exact cosine ranks candidates. */

@@ -16,9 +16,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *
   * Semantics preserved from the reference (SURVEY §2.1):
   *  - trigger disjunction: flush on interval elapsed (`core.clj:127-128`
-  *    ≙ `Trigger.ProcessingTime`), on queue-full (`core.clj:42-44` ≙ the
-  *    capacity buffer below), or on close-drain (`core.clj:58-66` ≙
-  *    `processAllAvailable` + `stop`);
+  *    ≙ the interval dispatcher timer below), on queue-full
+  *    (`core.clj:42-44` — capacity-full pushes the accumulating batch
+  *    IMMEDIATELY, in interval mode too, exactly like the reference's
+  *    failed `offer` → `wakeUp`), or on close-drain (`core.clj:58-66` ≙
+  *    `processAllAvailable` + `stop`). Batch formation is owned by this
+  *    façade's buffers; the streaming lanes poll fast (10 ms) and simply
+  *    execute whatever batch was pushed;
   *  - FIFO within a batch (`core.clj:129-130`): requests carry a sequence
   *    id and each batch is processed in id order;
   *  - positional result alignment with null padding (`core.clj:72-76`):
@@ -38,9 +42,20 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *    strictly sequential (the reference's inline/no-pool mode,
   *    `core.clj:133-135`).
   *
-  * Deviation (documented, SURVEY §7.4): completion is observed per
-  * micro-batch rather than per row — Spark has no per-row futures; the
-  * façade's promises are driver-resident by design (request/response API).
+  * Deviations (documented, SURVEY §7.4):
+  *  - completion is observed per micro-batch rather than per row — Spark
+  *    has no per-row futures; the façade's promises are driver-resident
+  *    by design (request/response API);
+  *  - a failed batch FAILS the returned `Future`, so `Await.result`
+  *    throws the batch's exception; the reference instead delivers the
+  *    exception OBJECT as the promise's value (`core.clj:80-83`,
+  *    `test:49`) — deref there yields it, it never throws. Errback
+  *    behavior is identical on both sides;
+  *  - the reference's `:pool` accepts either a thread count or a caller-
+  *    supplied `ExecutorService` (`core.clj:116-122`); here concurrency
+  *    comes from `parallelism` streaming lanes, so only the integer form
+  *    exists — batches execute on Spark's machinery, which cannot run
+  *    inside an arbitrary caller-owned executor.
   */
 final class Grouper[A, B] private (
     spark: SparkSession,
@@ -53,7 +68,9 @@ final class Grouper[A, B] private (
   private val running = new AtomicBoolean(true)
   private val pending = new ConcurrentHashMap[Long, (Promise[B], B => Unit, Throwable => Unit)]()
   private val lock = new Object
-  // held-back submissions for interval=None (flush only on capacity/close)
+  // the accumulating batch (the reference's bounded queue): submissions
+  // collect here and are pushed to the lanes by interval timer, capacity
+  // overflow, explicit wakeUp or close — never directly from submit
   private val buffers = Array.fill(parallelism)(new ArrayBuffer[(Long, A)])
 
   private implicit val reqEnc: Encoder[(Long, A)] =
@@ -68,7 +85,9 @@ final class Grouper[A, B] private (
       val source = MemoryStream[(Long, A)](spark, 4)(reqEnc)
       val query = source.toDS()
         .writeStream
-        .trigger(Trigger.ProcessingTime(intervalMs.getOrElse(10L)))
+        // fast poll, NOT the user interval: batch boundaries are decided
+        // by this façade's flushes; a no-data tick costs nothing
+        .trigger(Trigger.ProcessingTime(10L))
         .foreachBatch { (batch: Dataset[(Long, A)], _: Long) =>
           // one collect of the capacity-bounded batch, sorted driver-side:
           // a per-batch orderBy would shuffle and re-execute per downstream
@@ -101,6 +120,17 @@ final class Grouper[A, B] private (
         }
         .start()
       (source, query)
+    }
+
+  // the reference's dispatcher thread (`core.clj:124-135`): in interval
+  // mode, push the accumulating batch to the lanes every `intervalMs`
+  private val dispatcher: Option[java.util.concurrent.ScheduledExecutorService] =
+    intervalMs.map { ms =>
+      val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => { val th = new Thread(r, "grouper-dispatcher"); th.setDaemon(true); th })
+      t.scheduleAtFixedRate(() => flushNow(), ms, ms,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      t
     }
 
   // callback exceptions are contained here: one throwing user callback must
@@ -146,10 +176,12 @@ final class Grouper[A, B] private (
       val id = seq.getAndIncrement()
       val lane = (id % parallelism).toInt
       pending.put(id, (p, callback, errback))
-      if (intervalMs.isEmpty) {
-        buffers(lane) += ((id, elem))
-        if (buffers.map(_.length).sum >= capacity) flushBuffers()
-      } else lanes(lane)._1.addData((id, elem))
+      buffers(lane) += ((id, elem))
+      // capacity-full flushes the accumulating batch immediately — in
+      // interval mode too (the reference's failed offer → wakeUp,
+      // core.clj:42-44): a caller tuning capacity as a latency bound gets
+      // the flush now, not at the next interval tick
+      if (buffers.map(_.length).sum >= capacity) flushBuffers()
     }
     p.future
   }
@@ -165,17 +197,16 @@ final class Grouper[A, B] private (
     }
   }
 
-  /** Early flush — the reference's `wakeUp` (`core.clj:53-56`): push any
-    * held-back interval-less submissions to their lanes immediately
-    * instead of waiting for capacity or close. Interval-mode lanes drain
-    * on their next tick anyway, so this is only observable with
-    * `intervalMs = None`. */
+  /** Early flush — the reference's `wakeUp` (`core.clj:53-56`): push the
+    * accumulating batch to the lanes immediately instead of waiting for
+    * the interval tick, capacity or close. */
   def flushNow(): Unit = lock.synchronized(flushBuffers())
 
   /** Graceful drain (`core.clj:58-66` / `shutdown!`): every accepted
     * request is processed before this returns. */
   def close(): Unit = {
     if (running.compareAndSet(true, false)) {
+      dispatcher.foreach(_.shutdownNow())
       lock.synchronized(flushBuffers())
       lanes.foreach(_._2.processAllAvailable())
       lanes.foreach { case (_, q) => q.stop(); q.awaitTermination() }

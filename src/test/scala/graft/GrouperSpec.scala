@@ -137,6 +137,21 @@ class GrouperSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(await(f1) == null)
   }
 
+  test("capacity-full flushes immediately even in interval mode (core.clj:42-44)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    // interval is 10 MINUTES: if the capacity trigger didn't push the
+    // batch, these futures could not complete inside the await window
+    val g = Grouper.start[Int, Int](spark,
+      ds => ds.collect().toSeq.map(_ * 2), capacity = 4, intervalMs = Some(600000L))
+    try {
+      val t0 = System.nanoTime()
+      val fs = (1 to 4).map(g.submit(_))
+      assert(fs.map(await(_)) == Seq(2, 4, 6, 8))
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(elapsedMs < 30000, s"capacity flush took ${elapsedMs}ms — interval-bound?")
+    } finally g.close()
+  }
+
   test("parallelism > 1 executes batches concurrently like the reference pool (test:79-87)") {
     implicit val enc = org.apache.spark.sql.Encoders.scalaInt
     val active = new AtomicInteger(0)

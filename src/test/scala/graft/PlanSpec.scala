@@ -66,6 +66,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("rangepartitioning"), p)
   }
 
+  test("q49: served IVF search scans only the probed cell partitions") {
+    val df = SparkEntry.queries("q49_ann_ivf")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the layout read must carry a NON-EMPTY partition filter on the cell
+    // column (every scan prints "PartitionFilters: []", so match content)
+    // — full-corpus assignment per query is exactly what the layout avoids
+    assert("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(p).isDefined,
+      s"expected cell partition pruning in:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("q48: as-of join is one shuffle, no self-join back-probe") {
     val p = plan("q48_asof_join")
     // a single window over the union — no join operator anywhere

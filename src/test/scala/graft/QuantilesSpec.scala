@@ -31,6 +31,52 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fractions outside [0,1] are rejected up front") {
+    import spark.implicits._
+    val df = Seq((1, 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, Seq("g"), "v", Seq(0.5, 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(df, Seq("g"), "v", Seq(-0.1))
+    }
+  }
+
+  test("high-cardinality groups route to the distributed window path and stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100k groups × 3 values: far past the forced histogram cap, so the
+    // driver-histogram path MUST NOT run (it would be 100k+ collected
+    // entries); the windowed fallback must still match built-in percentile
+    val df = spark.range(300000)
+      .select(($"id" % 100000).as("g"), (($"id" * 37) % 997).cast("double").as("v"))
+    val got = Quantiles.exactQuantiles(df, Seq("g"), "v", Seq(0.5), maxDriverHistogram = 1000L)
+    val exp = df.groupBy($"g").agg(percentile($"v", lit(0.5)).as("e"))
+    val joined = got.join(exp, "g")
+      .select(abs(col("p50") - col("e")).as("d"))
+      .agg(max(col("d"))).collect().head.getDouble(0)
+    assert(joined < 1e-9, s"windowed quantiles diverge from percentile by $joined")
+    assert(got.count() == 100000)
+  }
+
+  test("multi-column quantiles equal per-column quantiles from one sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 500).map(i =>
+      (i % 4, (i * 37 % 997).toDouble, (i * 53 % 991).toDouble)).toDF("g", "a", "b")
+    val wide = Quantiles.exactQuantilesMulti(df, Seq("g"), Seq("a", "b"), Seq(0.25, 0.75))
+      .orderBy($"g").collect()
+    val ea = Quantiles.exactQuantiles(df, Seq("g"), "a", Seq(0.25, 0.75)).orderBy($"g").collect()
+    val eb = Quantiles.exactQuantiles(df, Seq("g"), "b", Seq(0.25, 0.75)).orderBy($"g").collect()
+    wide.zip(ea.zip(eb)).foreach { case (w, (a, b)) =>
+      assert(w.getInt(0) == a.getInt(0))
+      assert(math.abs(w.getAs[Double]("a_p25") - a.getDouble(1)) < 1e-9)
+      assert(math.abs(w.getAs[Double]("a_p75") - a.getDouble(2)) < 1e-9)
+      assert(math.abs(w.getAs[Double]("b_p25") - b.getDouble(1)) < 1e-9)
+      assert(math.abs(w.getAs[Double]("b_p75") - b.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("global quantiles (no grouping) interpolate like percentile") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
