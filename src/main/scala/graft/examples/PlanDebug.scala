@@ -16,9 +16,12 @@ object PlanDebug {
         val t0 = System.nanoTime()
         // re-invoke the query fn per iteration: work done at DataFrame
         // construction (drains, collects, quantizer training) must be
-        // measured too, like the Bench does
-        val n = SparkEntry.queries(name)(spark, sfDir).count()
-        println(f"[plandebug] $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        // measured too, like the Bench does. noop sink, not count():
+        // count() lets Catalyst prune computed columns and understates
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[plandebug] $name run$i time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        spark.catalog.clearCache()
         i += 1
       }
     }

@@ -215,11 +215,14 @@ object Dedup {
       }: _*)).as(Seq("chunk", "ck")))
     val a = chunked.as("a")
     val b = chunked.as("b")
+    // verify BEFORE distinct: the Hamming filter runs map-side on the
+    // joined stream and discards most candidates, so the distinct only
+    // shuffles true near-pairs — not every band collision
     a.join(b, col("a.chunk") === col("b.chunk") &&
         col("a.ck") === col("b.ck") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -19,11 +19,12 @@ import org.apache.spark.storage.StorageLevel
   *  1. range-partition on (group, value) and sort within partitions —
   *     a parallel global sort, persisted for the later passes;
   *  2. pass 1: per partition, emit the ordered run-length histogram
-  *     (group, count) — tiny, collected to the driver. Its total size is
-  *     counted distributed FIRST: above `maxDriverHistogram` entries the
-  *     operator routes to [[quantilesByWindow]] instead of collecting
-  *     (driver memory is O(partitions × groups) on this path, so a
-  *     high-cardinality group key must not take it);
+  *     (group, count) — tiny, collected to the driver. The cardinality
+  *     guard is fused into this job: partitions self-cap what they ship,
+  *     and above `maxDriverHistogram` total entries the operator routes
+  *     to [[quantilesByWindow]] (driver memory is O(partitions × groups)
+  *     on the collect path, so a high-cardinality group key must not
+  *     take it);
   *  3. driver: prefix-sum the histograms into per-(partition, group)
   *     start ranks and per-group totals; compute each quantile's two
   *     interpolation neighbor ranks;
@@ -70,25 +71,39 @@ object Quantiles {
       val keyOf: org.apache.spark.sql.catalyst.InternalRow => Seq[Any] = r =>
         (0 until nKey).map(i => r.get(i, schema(i).dataType))
 
-      // pass 1: ordered (group, count) run-length histogram per partition
-      val runsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-        val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
-        var cur: Seq[Any] = null
-        var n = 0L
-        it.foreach { r =>
-          val k = keyOf(r)
-          if (k == cur) n += 1
-          else { if (cur != null) runs += ((cur, n)); cur = k; n = 1L }
-        }
-        if (cur != null) runs += ((cur, n))
-        Iterator.single((pid, runs.toSeq))
-      }
-      // guard BEFORE collecting: the histogram size is known distributed
-      val histEntries = runsRdd.map(_._2.length.toLong).fold(0L)(_ + _)
-      if (histEntries > maxDriverHistogram)
+      // pass 1: ordered (group, count) run-length histogram per partition.
+      // The cardinality guard is fused into the same job: a partition
+      // whose run count exceeds its proportional share of the driver
+      // budget stops STORING runs and just counts them (Left), so a
+      // high-cardinality key ships at most ~4× the budget in total and
+      // the driver routes to the distributed window path — no separate
+      // counting job, no unbounded collect
+      val nPart = math.max(1, sortedRdd.getNumPartitions)
+      val perPartCap = math.max(64L, 4L * maxDriverHistogram / nPart)
+      val hist0: Array[(Int, Either[Long, Seq[(Seq[Any], Long)]])] = sortedRdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Long)]
+          var nRuns = 0L
+          var cur: Seq[Any] = null
+          var n = 0L
+          def endRun(): Unit = {
+            nRuns += 1
+            if (nRuns <= perPartCap) runs += ((cur, n)) else runs.clear()
+          }
+          it.foreach { r =>
+            val k = keyOf(r)
+            if (k == cur) n += 1
+            else { if (cur != null) endRun(); cur = k; n = 1L }
+          }
+          if (cur != null) endRun()
+          Iterator.single((pid,
+            if (nRuns > perPartCap) Left(nRuns) else Right(runs.toSeq)))
+        }.collect().sortBy(_._1)
+      val histEntries = hist0.map(_._2.fold(identity, _.length.toLong)).sum
+      if (histEntries > maxDriverHistogram || hist0.exists(_._2.isLeft))
         return quantilesByWindow(rows, keyNames, ps, groupCols.isEmpty)
-
-      val hist: Array[(Int, Seq[(Seq[Any], Long)])] = runsRdd.collect().sortBy(_._1)
+      val hist: Array[(Int, Seq[(Seq[Any], Long)])] =
+        hist0.map { case (pid, e) => (pid, e.toOption.get) }
 
       // driver: per-group totals and per-(partition, group) start ranks
       val totals = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]

@@ -133,15 +133,19 @@ object Round2 {
       // cache the projection once — Bench clears caches between queries
       val li = T.lineitem(s, d)
         .select($"l_returnflag", $"l_quantity", $"l_extendedprice").cache()
-      val counts = li.groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
-      val wm = Window.partitionBy($"l_returnflag").orderBy($"c".desc, $"l_quantity")
-      val mode = counts.withColumn("rn", row_number().over(wm)).filter($"rn" === 1)
-        .select($"l_returnflag", $"l_quantity".cast("double").as("mode_qty"))
+      // mode via max_by over (count, -qty): picks the highest count and
+      // breaks ties toward the smallest quantity — no per-group window,
+      // so the counts aggregate is the only exchange
+      val mode = li.groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
+        .groupBy($"l_returnflag")
+        .agg(max_by($"l_quantity", struct($"c", -$"l_quantity"))
+          .cast("double").as("mode_qty"))
       val med = Quantiles.exactQuantiles(li, Seq("l_returnflag"), "l_extendedprice", Seq(0.5))
         .select($"l_returnflag", $"p50".as("med"))
+      // no cache: exactQuantiles persists its own sorted partitions, so
+      // both of its passes already share one evaluation of this projection
       val dev = li.join(broadcast(med), "l_returnflag")
         .select($"l_returnflag", abs($"l_extendedprice" - $"med").as("adev"))
-        .cache() // read by both quantile passes
       val mad = Quantiles.exactQuantiles(dev, Seq("l_returnflag"), "adev", Seq(0.5))
         .select($"l_returnflag", round($"p50", 6).as("mad_price"))
       mode.join(mad, "l_returnflag").orderBy($"l_returnflag")
@@ -450,22 +454,20 @@ object Round2 {
       import s.implicits._
       val li = T.lineitem(s, d)
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      // ONE scan of the fact table: every per-column statistic lives in a
-      // single Aggregate (the multiple count(DISTINCT)s become one Expand,
-      // not repeated scans), then a stack() unpivot reshapes the 1×16 row
-      // into the per-column report. The previous unionByName formulation
-      // read lineitem once per profiled column — 4 fact scans at 100 TB.
-      val aggs = cols.flatMap { c => Seq(
-        count(when(col(c).isNull, 1)).as(s"${c}__n_nulls"),
-        countDistinct(col(c)).as(s"${c}__n_distinct"),
-        round(min(col(c)).cast("double"), 6).as(s"${c}__min_v"),
-        round(max(col(c)).cast("double"), 6).as(s"${c}__max_v"))
-      }
-      val stackArgs = cols.map(c =>
-        s"'$c', ${c}__n_nulls, ${c}__n_distinct, ${c}__min_v, ${c}__max_v").mkString(", ")
-      li.agg(aggs.head, aggs.tail: _*)
-        .selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
-          "(column, n_nulls, n_distinct, min_v, max_v)")
+      // ONE scan of the fact table (the previous unionByName formulation
+      // read lineitem once per profiled column — 4 fact scans at 100 TB):
+      // stack-unpivot to (column, v), partial-aggregate by (column, v) —
+      // map-side combine collapses repeated values before any shuffle —
+      // then fold the per-value counts into the per-column profile. Exact
+      // distinct counts for every column in a single pass, no Expand.
+      val stackArgs = cols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+      li.selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, v)")
+        .groupBy($"column", $"v").agg(count(lit(1)).as("c"))
+        .groupBy($"column").agg(
+          coalesce(sum(when($"v".isNull, $"c")), lit(0L)).as("n_nulls"),
+          count(when($"v".isNotNull, 1)).as("n_distinct"),
+          round(min($"v"), 6).as("min_v"),
+          round(max($"v"), 6).as("max_v"))
         .orderBy($"column")
     }, Some("""
       SELECT 'l_quantity' AS "column", count(*) FILTER (l_quantity IS NULL) AS n_nulls,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Quantiles
+import graft.operators.{Mixing, Quantiles, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** Round-3 surface additions: the multi-column single-sort quantile
@@ -50,6 +50,54 @@ object Round3 {
         .orderBy($"o_custkey")
     }, Some("""
       SELECT o_custkey, round(quantile_cont(o_totalprice, 0.5), 6) AS med_price
-      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // Gopher-style repetition quality filter: fraction of duplicated word
+    // 3-grams per document — high duplication marks boilerplate/spam.
+    // Total gram count is arithmetic on the token count and the distinct
+    // count comes from the native shingle expression, so the whole filter
+    // is codegen'd scalar work with zero shuffles
+    Q("q86_ngram_repetition", (s, d) => {
+      import s.implicits._
+      val total = greatest(TextAnalysis.tokenCount($"text") - 2, lit(0)).cast("long")
+      val dist = size(TextAnalysis.shingleSet($"text", 3)).cast("long")
+      T.documents(s, d)
+        .select($"doc_id", total.as("n_grams"),
+          round(when(total > 0,
+            lit(1.0) - dist.cast("double") / total.cast("double"))
+            .otherwise(lit(0.0)), 6).as("dup_frac"))
+        .withColumn("keep", $"dup_frac" <= 0.2)
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      g AS (SELECT doc_id,
+                   greatest(len(ws) - 2, 0) AS n_grams,
+                   len(list_distinct(list_transform(
+                     generate_series(1, greatest(len(ws) - 2, 0)),
+                     i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS n_dist
+            FROM w)
+      SELECT doc_id, n_grams,
+             round(CASE WHEN n_grams > 0
+                        THEN 1.0 - n_dist * 1.0 / n_grams ELSE 0.0 END, 6) AS dup_frac,
+             round(CASE WHEN n_grams > 0
+                        THEN 1.0 - n_dist * 1.0 / n_grams ELSE 0.0 END, 6) <= 0.2 AS keep
+      FROM g ORDER BY doc_id""")),
+
+    // domain mixture rebalancing: deterministically downsample each
+    // source toward a target count — the step that turns a raw crawl into
+    // a weighted training mixture; one scan + broadcast of |domains| rows
+    Q("q87_domain_mix", (s, d) => {
+      import s.implicits._
+      Mixing.rebalanceDomains(T.documents(s, d), "source", "doc_id", targetPerDomain = 10L)
+        .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+        .orderBy($"source")
+    }, Some("""
+      WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN c USING (source)
+      WHERE (d.doc_id * 2654435761) % 1000 <
+            least(1000, floor(1000.0 * 10.0 / c.n))
+      GROUP BY d.source ORDER BY d.source"""))
   )
 }

@@ -177,10 +177,15 @@ object Text {
             FROM documents WHERE doc_id < 100) t
       GROUP BY word HAVING count(*) >= 5 ORDER BY word""")),
 
-    // rows-only: SimHash (xxHash64 basis — not expressible in DuckDB)
+    // rows-only: SimHash (xxHash64 basis — not expressible in DuckDB).
+    // Radius 4 → 5 chunks of ~13 bits: banding is pigeonhole-complete for
+    // the radius (SimHashRecallSpec proves set-equality vs brute force)
+    // and buckets stay sparse (8k+ values per band) — radius 8 would
+    // band on 7-bit chunks whose 128-value space packs clustered sketches
+    // into hot buckets and inflates the candidate join
     Q("q31_simhash", (s, d) => {
       import s.implicits._
-      Dedup.simHashNearDupPairs(T.documents(s, d), "doc_id", "text", maxHamming = 8)
+      Dedup.simHashNearDupPairs(T.documents(s, d), "doc_id", "text", maxHamming = 4)
         .orderBy($"a_id", $"b_id")
     }, None),
 
