@@ -51,11 +51,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *    exception OBJECT as the promise's value (`core.clj:80-83`,
   *    `test:49`) — deref there yields it, it never throws. Errback
   *    behavior is identical on both sides;
-  *  - the reference's `:pool` accepts either a thread count or a caller-
-  *    supplied `ExecutorService` (`core.clj:116-122`); here concurrency
-  *    comes from `parallelism` streaming lanes, so only the integer form
-  *    exists — batches execute on Spark's machinery, which cannot run
-  *    inside an arbitrary caller-owned executor.
+  *  - the reference's `:pool` integer form maps to `parallelism`
+  *    streaming lanes; the caller-supplied-`ExecutorService` form is
+  *    `Grouper.startOnPool`, which runs batch BODIES on the caller's
+  *    pool (its thread count caps batch concurrency) while the lanes
+  *    remain Spark-managed.
   */
 final class Grouper[A, B] private (
     spark: SparkSession,
@@ -86,8 +86,9 @@ final class Grouper[A, B] private (
       val query = source.toDS()
         .writeStream
         // fast poll, NOT the user interval: batch boundaries are decided
-        // by this façade's flushes; a no-data tick costs nothing
-        .trigger(Trigger.ProcessingTime(10L))
+        // by this façade's flushes; a no-data tick costs nothing, so the
+        // poll only adds pickup latency after a flush — keep it tight
+        .trigger(Trigger.ProcessingTime(5L))
         .foreachBatch { (batch: Dataset[(Long, A)], _: Long) =>
           // one collect of the capacity-bounded batch, sorted driver-side:
           // a per-batch orderBy would shuffle and re-execute per downstream
@@ -238,6 +239,35 @@ object Grouper {
     validate(capacity, intervalMs, parallelism)
     require(proc != null, "proc must be a function")
     new Grouper[A, B](spark, ds => Right(proc(ds)), capacity, intervalMs, parallelism)
+  }
+
+  /** The reference's user-supplied-pool form (`core.clj:116-122`): batch
+    * bodies execute ON the caller's `ExecutorService`, so its thread
+    * count caps how many batches run concurrently — lanes beyond the
+    * pool's capacity queue behind its threads, exactly like the
+    * reference's workers. The pool is NOT shut down by `close()`; it
+    * belongs to the caller. (`parallelism` sizes the streaming lanes —
+    * set it at or above the pool's thread count.) */
+  def startOnPool[A, B](spark: SparkSession,
+      proc: Dataset[A] => Seq[B],
+      capacity: Int,
+      pool: java.util.concurrent.ExecutorService,
+      intervalMs: Option[Long] = Some(50L),
+      parallelism: Int = 4)(implicit encA: Encoder[A]): Grouper[A, B] = {
+    validate(capacity, intervalMs, parallelism)
+    require(proc != null, "proc must be a function")
+    require(pool != null, "pool must be an ExecutorService")
+    val onPool: Dataset[A] => Either[B, Seq[B]] = ds =>
+      try Right(pool.submit(new java.util.concurrent.Callable[Seq[B]] {
+        override def call(): Seq[B] = proc(ds)
+      }).get())
+      catch {
+        // unwrap so errbacks observe the user's exception, not the
+        // executor's envelope (batch-granularity failure, core.clj:80-83)
+        case e: java.util.concurrent.ExecutionException if e.getCause != null =>
+          throw e.getCause
+      }
+    new Grouper[A, B](spark, onPool, capacity, intervalMs, parallelism)
   }
 
   /** Start with a scalar-result processor: the single value is broadcast

@@ -171,6 +171,24 @@ class GrouperSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally g.close()
   }
 
+  test("a user-supplied single-thread pool serializes batch bodies across 4 lanes (core.clj:116-122)") {
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val inBatch = new AtomicBoolean(false)
+    val overlapped = new AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val g = Grouper.startOnPool[Int, Int](spark, ds => {
+      if (!inBatch.compareAndSet(false, true)) overlapped.set(true)
+      Thread.sleep(30)
+      inBatch.set(false)
+      ds.collect().toSeq.map(_ + 1)
+    }, capacity = 3, pool = pool, intervalMs = Some(10L), parallelism = 4)
+    try {
+      val fs = (1 to 12).map(g.submit(_))
+      assert(fs.map(await(_)).sum == (2 to 13).sum)
+      assert(!overlapped.get(), "pool of 1 must serialize batch bodies despite 4 lanes")
+    } finally { g.close(); pool.shutdown() }
+  }
+
   test("parallelism = 1 executes micro-batches sequentially (core.clj:133-135)") {
     implicit val enc = org.apache.spark.sql.Encoders.scalaInt
     val inBatch = new AtomicBoolean(false)

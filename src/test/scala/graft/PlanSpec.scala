@@ -77,6 +77,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("q80: the whole column profile reads the fact table exactly once") {
+    val p = plan("q80_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profile must be a single fact scan:\n$p")
+  }
+
+  test("q87: domain rebalancing broadcasts the count side, one fact scan pipeline") {
+    val p = plan("q87_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "counts must broadcast, not shuffle the corpus")
+  }
+
   test("q48: as-of join is one shuffle, no self-join back-probe") {
     val p = plan("q48_asof_join")
     // a single window over the union — no join operator anywhere
