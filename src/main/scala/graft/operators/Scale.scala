@@ -76,6 +76,43 @@ object Scale {
     large.filter(mightContain).join(small, key)
   }
 
+  /** Distributed inclusive prefix sum over a GLOBAL ordering — the
+    * two-phase parallel scan, not a single-partition window (which is
+    * what `Window.orderBy` without a partition key degrades to — the
+    * whole table through one task):
+    *
+    *  1. range-partition by the order key, so partitions are globally
+    *     ordered and each is locally sorted by the window below;
+    *  2. one tiny aggregate collects per-partition sums (|partitions|
+    *     rows), prefix-summed on the driver into per-partition offsets;
+    *  3. a per-PARTITION running-sum window (parallelism = partition
+    *     count) plus the broadcast offset gives the global scan.
+    *
+    * The order key must be unique (ties could straddle a partition
+    * boundary and make the result partition-dependent). The value column
+    * is summed as LONG — use integral inputs.
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      resultCol: String = "cumsum"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", col(valueCol).cast("long"))
+      .cache()
+    val partSums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partSums.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .init.zip(partSums).map { case ((_, acc), (pid, _)) => pid -> acc }.toMap
+    val offset = coalesce(
+      element_at(typedLit(offsets), col("__pid")), lit(0L))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(resultCol, sum(col("__v")).over(w) + offset)
+      .drop("__pid", "__v")
+  }
+
   /** Persist as a bucketed, sorted table: repeated joins/aggregations on
     * the bucket key then run shuffle-free (bucket-to-bucket sort-merge).
     * The canonical layout for a 100 TB fact table that's joined on the

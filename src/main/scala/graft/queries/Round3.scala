@@ -98,6 +98,61 @@ object Round3 {
       FROM documents d JOIN c USING (source)
       WHERE (d.doc_id * 2654435761) % 1000 <
             least(1000, floor(1000.0 * 10.0 / c.n))
-      GROUP BY d.source ORDER BY d.source"""))
+      GROUP BY d.source ORDER BY d.source""")),
+
+    // stream-static enrichment join: the streaming event feed picks up a
+    // BROADCAST static dimension per micro-batch (no stream state, no
+    // watermark needed for stream-static inner joins) — the standard
+    // "enrich the firehose with reference data" shape
+    Q("q88_stream_static_join", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val dim = broadcast(T.customer(s, d)
+        .select($"c_custkey".as("user_id"), $"c_mktsegment"))
+      val qn = s"graft_stream_ss_${System.nanoTime()}"
+      val query = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .select($"user_id", $"event_type", $"value")
+        .join(dim, "user_id")
+        .groupBy($"c_mktsegment", $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qn).orderBy($"c_mktsegment", $"event_type")
+    }, Some("""
+      SELECT c_mktsegment, event_type, count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type""")),
+
+    // token-budget shard packing: documents in stable order are packed
+    // into contiguous shards of ~`budget` tokens — the step that turns a
+    // cleaned corpus into fixed-size training shards. The running token
+    // total comes from Scale.prefixSum (two-phase distributed scan), NOT
+    // a single-partition global window
+    Q("q89_pack_shards", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens"))
+      graft.operators.Scale.prefixSum(docs, "doc_id", "n_tokens", "cum")
+        .withColumn("shard", (($"cum" - $"n_tokens") / lit(2000L)).cast("long"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").cast("long").as("shard_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"shard")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+      SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY shard ORDER BY shard"""))
   )
 }

@@ -91,6 +91,22 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("prefixSum equals a global-window running sum, without the single task") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 5000).map(i => ((i * 37) % 4999, i % 97)).toDF("k", "v")
+      .dropDuplicates("k")
+    val got = graft.operators.Scale.prefixSum(df, "k", "v", "cum")
+      .select($"k", $"cum")
+    val exp = df.withColumn("cum",
+      sum($"v".cast("long")).over(
+        Window.orderBy($"k").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"k", $"cum".as("cum_exp"))
+    assert(got.join(exp, "k").filter($"cum" =!= $"cum_exp").count() == 0)
+    assert(got.count() == df.count())
+  }
+
   test("writePartitioned produces prunable directory layout") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_part").toString
