@@ -216,6 +216,37 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Approximate near-duplicate PAIRS by banded hyperplane LSH — the
+    * embedding-side analog of MinHash near-dup: vectors sharing any
+    * signature band become candidates, exact cosine verifies, so
+    * precision is exact and only recall is approximate (pinned by
+    * AnnRecallSpec against the brute-force pair set). `maxBucket` drops
+    * degenerate buckets (a boilerplate-heavy corpus can funnel a large
+    * vector mass into one bucket whose pair space is quadratic) — the
+    * standard stop-bucket guard; dropped buckets trade recall for a
+    * bounded candidate join and are the knob to widen at 100 TB. */
+  def lshNearPairs(vectors: DataFrame, threshold: Double,
+      bandBits: Int = 8, bands: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val totalBits = bandBits * bands
+    val banded = vectors.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until bands).map(c =>
+        shiftright(hyperplane_signature(col("embedding"), totalBits), c * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as(Seq("band", "bucket")))
+    val counts = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+    val pruned = banded.join(counts, Seq("band", "bucket"))
+      .filter(col("__bn") <= maxBucket)
+    val a = pruned.select(col("band"), col("bucket"),
+      col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = pruned.select(col("band"), col("bucket"),
+      col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine_similarity(col("ea"), col("eb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+
   /** Approximate top-k via banded random-hyperplane LSH: 4 bands of
     * `bandBits` signature bits; a vector is a candidate if any band
     * matches the probe's. Exact cosine ranks candidates. */

@@ -153,6 +153,24 @@ object Round3 {
              count(*) AS n_docs,
              CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      FROM c GROUP BY shard ORDER BY shard"""))
+      FROM c GROUP BY shard ORDER BY shard""")),
+
+    // rows-only: embedding near-dup PAIRS at scale — banded hyperplane
+    // LSH candidates + exact-cosine verify (precision exact, recall
+    // pinned by AnnRecallSpec against the brute-force pair set). The
+    // fixture embeddings are near-orthogonal (max pairwise cosine ≈ 0.47
+    // — no natural near-dups), so the query plants perturbed copies of
+    // part of the corpus: exactly the augmented/re-encoded duplicates a
+    // real pipeline hunts, and deterministic so the row set is stable
+    Q("q90_embed_near_pairs", (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val perturbed = emb.filter($"vec_id" < 200)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding", x => x + lit(0.02f)).as("embedding"))
+      graft.operators.Similarity.lshNearPairs(
+          emb.select($"vec_id", $"embedding").unionByName(perturbed), threshold = 0.9)
+        .orderBy($"a_id", $"b_id")
+    }, None)
   )
 }

@@ -20,6 +20,25 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("LSH near-pair mining keeps recall against brute-force pairs, precision exact") {
+    import org.apache.spark.sql.functions._
+    // the fixture vectors are near-orthogonal, so near-dups are planted:
+    // slightly perturbed copies (cosine ≈ 0.99 to their originals)
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(base.select((col("vec_id") + 1000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.02f)).as("embedding")))
+    val exact = Similarity.nearPairs(corpus, 0.9, maxId = Long.MaxValue)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearPairs(corpus, 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((lsh -- exact).isEmpty, s"LSH invented pairs: ${(lsh -- exact).take(5)}")
+    assert(exact.nonEmpty, "fixture produced no near pairs — test is vacuous")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(f"LSH pair recall = $recall%.2f (|exact|=${exact.size})")
+    assert(recall >= 0.8, s"LSH pair recall collapsed: $recall")
+  }
+
   test("IVF (nprobe=4/16 cells) keeps high recall@5 against brute force") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
