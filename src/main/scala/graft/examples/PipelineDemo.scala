@@ -3,11 +3,12 @@ package graft.examples
 import org.apache.spark.sql.functions._
 
 import graft.Session
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Mixing, Scale, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** End-to-end training-data pipeline over the fixtures: exact dedup →
-  * near-dup removal (MinHash+LSH) → quality filter → chunking. Every
+  * near-dup removal (MinHash+LSH) → quality + repetition filter →
+  * domain rebalancing → chunking → token-budget shard packing. Every
   * stage is a DataFrame transform; nothing touches the driver except the
   * final counts. Usage: runMain graft.examples.PipelineDemo [sfDir]
   */
@@ -33,18 +34,36 @@ object PipelineDemo {
     val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
     println(s"[pipeline] after near-dup removal: ${deduped.count()}")
 
-    // 3. quality filter: enough tokens, not stopword-soup
+    // 3. quality filter: enough tokens, not stopword-soup, and not
+    //    boilerplate (duplicate-3-gram fraction)
     val ws = TextAnalysis.tokens($"text")
+    val total3 = greatest(size(ws) - 2, lit(0)).cast("double")
+    val dupFrac = when(total3 > 0,
+      lit(1.0) - size(TextAnalysis.shingleSet($"text", 3)) / total3).otherwise(lit(0.0))
     val quality = deduped
-      .filter(size(ws) >= 20 && TextAnalysis.stopwordRatio(ws) < 0.5)
-    println(s"[pipeline] after quality filter: ${quality.count()}")
+      .filter(size(ws) >= 20 && TextAnalysis.stopwordRatio(ws) < 0.5 && dupFrac <= 0.8)
+    println(s"[pipeline] after quality+repetition filter: ${quality.count()}")
 
-    // 4. chunk into overlapping token windows for training
-    val chunks = quality
+    // 4. rebalance the source mixture toward uniform target counts
+    val mixed = Mixing.rebalanceDomains(quality, "source", "doc_id", targetPerDomain = 15)
+    println(s"[pipeline] after domain rebalancing: ${mixed.count()}")
+
+    // 5. chunk into overlapping token windows for training
+    val chunks = mixed
       .withColumn("st", explode(sequence(lit(1), size(ws), lit(32))))
       .select($"doc_id", $"st",
         concat_ws(" ", slice(TextAnalysis.tokens($"text"), $"st", lit(48))).as("chunk"))
     println(s"[pipeline] chunks produced: ${chunks.count()}")
+
+    // 6. pack chunks into ~2k-token shards in stable order (two-phase
+    //    distributed prefix sum — no single-task global window)
+    val withTokens = chunks.select(
+      (($"doc_id" * 100000) + $"st").as("seq"),
+      size(TextAnalysis.tokens($"chunk")).as("n_tokens"))
+    val shards = Scale.prefixSum(withTokens, "seq", "n_tokens", "cum")
+      .select((($"cum" - $"n_tokens") / lit(2000L)).cast("long").as("shard"))
+      .groupBy($"shard").count()
+    println(s"[pipeline] training shards: ${shards.count()}")
 
     spark.stop()
   }

@@ -89,6 +89,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), "counts must broadcast, not shuffle the corpus")
   }
 
+  test("q89: shard packing never funnels the corpus through one task") {
+    val p = plan("q89_pack_shards")
+    // a naive global-window cumsum plans an Exchange SinglePartition;
+    // the two-phase prefix sum must not
+    assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("q48: as-of join is one shuffle, no self-join back-probe") {
     val p = plan("q48_asof_join")
     // a single window over the union — no join operator anywhere

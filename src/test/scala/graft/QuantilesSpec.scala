@@ -77,6 +77,14 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multi-column quantiles work globally (no grouping) and with one fraction") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, (101 - i).toDouble)).toDF("a", "b")
+    val row = Quantiles.exactQuantilesMulti(df, Nil, Seq("a", "b"), Seq(0.5)).collect().head
+    assert(math.abs(row.getAs[Double]("a_p50") - 50.5) < 1e-9)
+    assert(math.abs(row.getAs[Double]("b_p50") - 50.5) < 1e-9)
+  }
+
   test("global quantiles (no grouping) interpolate like percentile") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
