@@ -48,6 +48,32 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("payload", encode(col(textCol), "UTF-8"))
 
+  /** "Resize" + re-extract: stride-subsample the payload (every
+    * `stride`-th byte, the stub analog of image downscaling) and run the
+    * codec's feature extraction over the resized payload — the
+    * decode → resize → feature-extract chain of a real multimodal
+    * pipeline, partition-batched like [[decodeMeta]]. A real deployment
+    * swaps the subsample for an image resize; the batching, schema and
+    * deterministic byte-order arithmetic stay. */
+  def resizeFeatures(spark: SparkSession, payloads: DataFrame, stride: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    payloads.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val resized = Array.tabulate((bytes.length + stride - 1) / stride)(
+            k => bytes(k * stride))
+          val (w, h, c, feats) = FakeCodec.decode(resized)
+          var sq = 0.0
+          var j = 0
+          while (j < feats.length) { sq += feats(j) * feats(j); j += 1 }
+          MediaInfo(id, w, h, c, resized.length.toLong, math.sqrt(sq))
+        }
+      }
+      .toDF()
+  }
+
   /** Decode payloads partition-batch-wise into typed metadata.
     * One codec invocation per row, but iterator-at-a-time per partition —
     * a real codec would amortize model/codec init across the partition

@@ -171,6 +171,34 @@ object Round3 {
       graft.operators.Similarity.lshNearPairs(
           emb.select($"vec_id", $"embedding").unionByName(perturbed), threshold = 0.9)
         .orderBy($"a_id", $"b_id")
-    }, None)
+    }, None),
+
+    // multimodal resize + feature re-extraction: stride-subsample each
+    // payload (the stub analog of image downscaling), then re-run the
+    // codec's feature pass over the resized bytes — partition-batched,
+    // oracle replays the identical byte-order arithmetic
+    Q("q91_multimodal_resize", (s, d) => {
+      import s.implicits._
+      graft.operators.Multimodal.resizeFeatures(s,
+          graft.operators.Multimodal.withPayload(T.documents(s, d), "text"), stride = 4)
+        .select($"doc_id", $"width", $"height", $"n_bytes".as("n_resized"),
+          round($"feat_norm", 6).as("feat_norm"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, text,
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n
+                 FROM documents),
+      r AS (SELECT doc_id, text, (n + 3) // 4 AS m FROM d),
+      f AS (SELECT doc_id, m,
+                   CAST(64 + (m % 192) AS INT) AS width,
+                   CAST(64 + (ascii(substring(text, 1, 1)) % 128) AS INT) AS height,
+                   list_transform(range(0, 8), j ->
+                     coalesce(list_sum(list_transform(
+                       list_filter(range(0, CAST(m AS INT)), k -> k % 8 = j),
+                       k -> ascii(substring(text, CAST(k * 4 + 1 AS INT), 1)) / 255.0)), 0.0)) AS feats
+            FROM r)
+      SELECT doc_id, width, height, CAST(m AS BIGINT) AS n_resized,
+             round(sqrt(list_sum(list_transform(feats, x -> x * x))), 6) AS feat_norm
+      FROM f ORDER BY doc_id"""))
   )
 }
