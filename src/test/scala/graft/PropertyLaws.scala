@@ -92,6 +92,21 @@ object PropertyLaws extends Properties("graft") {
         math.abs(c((0L, 1L)) + 1.0) < 1e-9
     }
 
+  property("domain rebalancing is deterministic, a subset, and near target rates") =
+    forAll(Gen.chooseNum(2, 30), Gen.chooseNum(50, 200)) { (target, rows) =>
+      val df = (0 until rows).map(i => (i.toLong, s"dom${i % 3}")).toDF("id", "dom")
+      val a = graft.operators.Mixing.rebalanceDomains(df, "dom", "id", target.toLong)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val b = graft.operators.Mixing.rebalanceDomains(df, "dom", "id", target.toLong)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val all = (0L until rows).toSet
+      // same admission every run; admitted ⊆ input; a domain at or below
+      // target keeps everything (rate clamps at 1)
+      val perDom = rows / 3 + 1
+      (a == b) && a.subsetOf(all) &&
+        (perDom > target || a.size == rows)
+    }
+
   property("grouper: |results| = |items| with a map proc (result-arity)") =
     forAll(Gen.listOfN(5, Gen.listOf(Gen.chooseNum(-50, 50)))) { batches =>
       val g = Grouper.start[Int, Int](spark,
