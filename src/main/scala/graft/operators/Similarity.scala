@@ -164,6 +164,86 @@ object Similarity {
     centers
   }
 
+  /** Product-quantization codebooks: the embedding space is split into
+    * `m` subspaces and each gets its own tiny L2 k-means codebook —
+    * trained on a bounded driver-side sample exactly like the IVF coarse
+    * quantizer (FAISS trains PQ on a sample regardless of corpus size).
+    * Deterministic: strided init over the sorted sample, fixed
+    * iterations, no RNG. Returns `books(j)(c)` = centroid c of
+    * subspace j. */
+  private[operators] def trainPQ(sample: Array[Array[Double]], m: Int, k: Int,
+      iters: Int = 10): Array[Array[Array[Double]]] = {
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val vecs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      val sorted = vecs.sortBy(v => (v(0), v(math.min(1, sub - 1))))
+      var cents = Array.tabulate(k)(i => sorted((i.toLong * sorted.length / k).toInt))
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k, sub)(0.0)
+        val counts = Array.fill(k)(0)
+        vecs.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** PQ-compressed ANN: every vector is stored as `m` small codes
+    * (64 floats → 8 codes ≈ 16–32× smaller — the storage layout that
+    * makes 100 TB of embeddings greppable), encoding is a pure map-side
+    * expression over broadcast codebook literals, and probes score
+    * against the codebook RECONSTRUCTION of each candidate (asymmetric
+    * scoring: the query side stays exact). Recall on genuinely-near
+    * pairs is pinned by AnnRecallSpec. */
+  def pqTopK(vectors: DataFrame, probes: DataFrame, topK: Int,
+      m: Int = 8, codebookSize: Int = 16, maxTrainSample: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = vectors.select(col("embedding")).limit(maxTrainSample)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dim = sample.head.length
+    val sub = dim / m
+    val books = trainPQ(sample, m, codebookSize)
+
+    def code(j: Int): org.apache.spark.sql.Column =
+      least((0 until codebookSize).map { c =>
+        val d = aggregate(
+          zip_with(slice(col("embedding"), j * sub + 1, sub),
+            typedLit(books(j)(c)), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(d.as("d"), lit(c).as("c"))
+      }: _*).getField("c")
+    val encoded = vectors.select(col("vec_id"),
+      array((0 until m).map(code): _*).as("code"))
+
+    val recon = flatten(array((0 until m).map(j =>
+      element_at(typedLit(books(j).map(_.map(_.toFloat))),
+        element_at(col("code"), j + 1) + 1)): _*))
+
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val scored = encoded.withColumn("recon", recon)
+      .join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine_similarity(col("p_emb"), col("recon")), 6).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+  }
+
   /** Query-time ANN against the pre-built serving layout of
     * [[writeIvfPartitioned]]: probes are assigned to their `nprobe`
     * nearest cells with the layout's own quantizer, the tiny distinct

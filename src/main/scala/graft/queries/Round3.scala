@@ -199,6 +199,23 @@ object Round3 {
             FROM r)
       SELECT doc_id, width, height, CAST(m AS BIGINT) AS n_resized,
              round(sqrt(list_sum(list_transform(feats, x -> x * x))), 6) AS feat_norm
-      FROM f ORDER BY doc_id"""))
+      FROM f ORDER BY doc_id""")),
+
+    // rows-only: product-quantized ANN — vectors stored as 8 codebook
+    // codes (~16-32x smaller than raw floats), probes score against the
+    // codebook reconstruction (asymmetric: query side exact). Near-dups
+    // are planted as in q90; AnnRecallSpec pins that PQ still surfaces
+    // each probe's planted twin in its top-k despite the compression
+    Q("q92_ann_pq", (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val perturbed = emb.filter($"vec_id" < 50)
+        .select(($"vec_id" + 1000000L).as("vec_id"),
+          transform($"embedding", x => x + lit(0.02f)).as("embedding"))
+      val corpus = emb.select($"vec_id", $"embedding").unionByName(perturbed)
+      graft.operators.Similarity.pqTopK(corpus, emb.filter($"vec_id" < 20), topK = 5)
+        .select($"probe_id", $"vec_id", $"sim", $"rnk")
+        .orderBy($"probe_id", $"rnk")
+    }, None)
   )
 }

@@ -39,6 +39,21 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"LSH pair recall collapsed: $recall")
   }
 
+  test("PQ compression still surfaces each probe's planted near-dup in top-5") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(base.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding")))
+    val top = Similarity.pqTopK(corpus, base.filter(col("vec_id") < 20), topK = 5)
+      .select("probe_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (p, rs) => p -> rs.map(_.getLong(1)).toSet }
+    val hits = (0L until 20L).count(p => top.getOrElse(p, Set.empty).contains(p + 1000L))
+    info(s"PQ planted-twin hits: $hits/20")
+    assert(hits >= 16, s"PQ lost too many planted near-dups: $hits/20")
+  }
+
   test("IVF (nprobe=4/16 cells) keeps high recall@5 against brute force") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
