@@ -214,29 +214,52 @@ object Similarity {
   def pqTopK(vectors: DataFrame, probes: DataFrame, topK: Int,
       m: Int = 8, codebookSize: Int = 16, maxTrainSample: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val sample = vectors.select(col("embedding")).limit(maxTrainSample)
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val dim = sample.head.length
     val sub = dim / m
     val books = trainPQ(sample, m, codebookSize)
-
-    def code(j: Int): org.apache.spark.sql.Column =
-      least((0 until codebookSize).map { c =>
-        val d = aggregate(
-          zip_with(slice(col("embedding"), j * sub + 1, sub),
-            typedLit(books(j)(c)), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)
-        struct(d.as("d"), lit(c).as("c"))
-      }: _*).getField("c")
-    val encoded = vectors.select(col("vec_id"),
-      array((0 until m).map(code): _*).as("code"))
-
-    val recon = flatten(array((0 until m).map(j =>
-      element_at(typedLit(books(j).map(_.map(_.toFloat))),
-        element_at(col("code"), j + 1) + 1)): _*))
+    // encode + reconstruct per partition batch (ladder rung (d): a
+    // higher-order-function formulation re-evaluates the subvector slice
+    // inside every one of the m×k interpreted lambdas — the tight loop
+    // over the broadcast codebooks is both faster and clearer)
+    val booksB = spark.sparkContext.broadcast(books)
+    val encoded = vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bks = booksB.value
+        it.map { case (id, emb) =>
+          val code = new Array[Int](m)
+          val recon = new Array[Float](emb.length)
+          var j = 0
+          while (j < m) {
+            var best = 0
+            var bd = Double.MaxValue
+            var c = 0
+            while (c < codebookSize) {
+              var d = 0.0
+              var i = 0
+              while (i < sub) {
+                val t = emb(j * sub + i) - bks(j)(c)(i)
+                d += t * t
+                i += 1
+              }
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            code(j) = best
+            var i = 0
+            while (i < sub) { recon(j * sub + i) = bks(j)(best)(i).toFloat; i += 1 }
+            j += 1
+          }
+          (id, code, recon)
+        }
+      }.toDF("vec_id", "code", "recon")
 
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-    val scored = encoded.withColumn("recon", recon)
+    val scored = encoded
       .join(broadcast(p), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(cosine_similarity(col("p_emb"), col("recon")), 6).as("sim"))
