@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find corpus documents that share word
+  * n-grams with an evaluation/benchmark set, so training data can be
+  * scrubbed of test-set leakage — a standard stage of LLM corpus prep.
+  *
+  * Scale shape: the eval side is benchmarks — tiny next to a 100 TB
+  * corpus — so its distinct gram set is BROADCAST and the corpus is
+  * scanned exactly once, map-side; the only corpus-sized movement is the
+  * per-doc aggregate of matching grams. No corpus self-join anywhere.
+  */
+object Decontaminate {
+
+  /** Per-document overlap stats: for each corpus doc, how many of its
+    * distinct word n-grams appear anywhere in `eval`. Docs with zero
+    * overlap are absent from the result (inner join semantics).
+    *
+    * @param corpus  documents to screen
+    * @param eval    the benchmark/eval documents (small; broadcast)
+    * @param idCol   corpus document id column
+    * @param textCol raw text column (both sides)
+    * @param n       shingle width in words
+    */
+  def contaminationStats(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextAnalysis.shingleSet(col(textCol), n)).as("gram"))
+      .distinct()
+    // shingleSet is already distinct per doc, so a plain count after the
+    // inner join is the per-doc distinct overlap — no countDistinct Expand
+    corpus
+      .select(col(idCol), explode(TextAnalysis.shingleSet(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** The decontaminated corpus: drops every doc whose eval-gram overlap
+    * reaches `minHits` (anti-join against the flagged ids). */
+  def removeContaminated(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minHits: Long = 1L): DataFrame = {
+    val flagged = contaminationStats(corpus, eval, idCol, textCol, n)
+      .filter(col("n_contaminated") >= minHits)
+      .select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+}

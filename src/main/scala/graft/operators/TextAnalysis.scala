@@ -55,4 +55,23 @@ object TextAnalysis {
       .when(has("el", "la", "los"), "es")
       .otherwise("unknown")
   }
+
+  /** PII patterns for the scrubbing pass. Kept to character classes +
+    * bounded repetition so Java regex (Spark) and RE2 (most other
+    * engines) agree on every match. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Occurrences of a PII pattern in the text (regexp_extract_all is
+    * codegen'd; counting before redaction gives the audit trail). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails and phone numbers with typed placeholders — the
+    * map-side scrub every shared-corpus release runs. regexp_replace
+    * replaces ALL occurrences. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
 }

@@ -216,6 +216,83 @@ object Round3 {
       graft.operators.Similarity.pqTopK(corpus, emb.filter($"vec_id" < 20), topK = 5)
         .select($"probe_id", $"vec_id", $"sim", $"rnk")
         .orderBy($"probe_id", $"rnk")
-    }, None)
+    }, None),
+
+    // benchmark decontamination: every 25th document plays the role of
+    // the eval set; the rest of the corpus is screened for word-3-gram
+    // overlap with it. The eval gram set is broadcast, so the corpus is
+    // scanned once map-side — no corpus self-join
+    Q("q93_decontaminate", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      graft.operators.Decontaminate.contaminationStats(
+          docs.filter($"doc_id" % 25 =!= 0), docs.filter($"doc_id" % 25 === 0),
+          "doc_id", "text", n = 3)
+        .withColumn("contaminated", $"n_contaminated" >= 3)
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      ev AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 25 = 0),
+      hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+               FROM (SELECT doc_id, unnest(s) AS gram FROM sh
+                     WHERE doc_id % 25 <> 0) c
+               JOIN ev USING (gram) GROUP BY 1)
+      SELECT doc_id, n_contaminated, n_contaminated >= 3 AS contaminated
+      FROM hits ORDER BY doc_id""")),
+
+    // PII scrubbing: the synthetic documents carry no PII, so the
+    // PII-bearing text is assembled from the customer dimension (a
+    // phone derived deterministically from the key, an email from the
+    // name) identically on both sides, then counted and redacted — the
+    // map-side scrub every shared-corpus release runs
+    Q("q94_pii_redact", (s, d) => {
+      import s.implicits._
+      val phone = concat(($"c_custkey" % 80 + 10).cast("string"), lit("-"),
+        lpad(($"c_custkey" * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(($"c_custkey" * 13 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(($"c_custkey" * 31 % 10000).cast("string"), 4, "0"))
+      val msg = concat(lit("Contact "), $"c_name", lit(" at "), phone,
+        lit(" or "), lower(regexp_replace($"c_name", "[^A-Za-z0-9]", "")),
+        lit("@example.com"), lit(" about the order."),
+        when($"c_custkey" % 3 === 0, concat(lit(" Alt: "), phone))
+          .otherwise(lit("")))
+      T.customer(s, d)
+        .select($"c_custkey", msg.as("msg"))
+        .select($"c_custkey",
+          graft.operators.TextAnalysis.piiCount($"msg",
+            graft.operators.TextAnalysis.emailPattern).as("n_emails"),
+          graft.operators.TextAnalysis.piiCount($"msg",
+            graft.operators.TextAnalysis.phonePattern).as("n_phones"),
+          graft.operators.TextAnalysis.redactPii($"msg").as("redacted"))
+        .orderBy($"c_custkey")
+    }, Some("""
+      WITH p AS (SELECT c_custkey, c_name,
+                        concat(CAST(c_custkey % 80 + 10 AS VARCHAR), '-',
+                               lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0'), '-',
+                               lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0'), '-',
+                               lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0')) AS phone
+                 FROM customer),
+      m AS (SELECT c_custkey,
+                   concat('Contact ', c_name, ' at ', phone, ' or ',
+                          lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')),
+                          '@example.com', ' about the order.',
+                          CASE WHEN c_custkey % 3 = 0
+                               THEN concat(' Alt: ', phone) ELSE '' END) AS msg
+            FROM p)
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(msg,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(msg,
+               '[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+             regexp_replace(regexp_replace(msg,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      FROM m ORDER BY c_custkey"""))
   )
 }
