@@ -50,18 +50,72 @@ object Dedup {
     shingles.select(col("id"),
       graft.functions.Functions.minhash_signature(col("shingles"), numHashes).as("sig"))
 
+  /** (id, band, bucket) banding of MinHash signatures: one row per
+    * document per band, bucket = hash of that band's signature slice. */
+  private def banded(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"), posexplode(
+      array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)).as(Seq("band", "bucket")))
+
   /** LSH banding: documents sharing any (band, bucket) are candidates.
     * Returns distinct (a_id, b_id) with a_id < b_id. */
   def lshCandidates(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val banded = sigs.select(col("id"), posexplode(
-      array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)).as(Seq("band", "bucket")))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val bd = banded(sigs, bands, rowsPerBand)
+    val a = bd.as("a")
+    val b = bd.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+  }
+
+  /** The banded-signature layout of a corpus: (id, band, bucket), one row
+    * per doc per band. This is the artifact an INCREMENTAL dedup pipeline
+    * persists (e.g. parquet bucketed on (band, bucket)): each new batch
+    * joins against it without re-reading or re-shingling corpus text.
+    * Docs with empty shingle sets are dropped (see
+    * [[minHashNearDupPairs]]). */
+  def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+      .filter(size(col("shingles")) > 0)
+    banded(minHashSignatures(sets, numHashes), bands, numHashes / bands)
+  }
+
+  /** Incremental near-dup check: a NEW batch of documents against an
+    * EXISTING corpus whose banded signatures are already materialized —
+    * the production shape at 100 TB, where re-shingling the corpus per
+    * increment is off the table.
+    *
+    *  - candidates: new-batch bands ⋈ stored corpus bands on
+    *    (band, bucket) — corpus text untouched;
+    *  - verify: exact Jaccard, re-shingling ONLY candidate rows. The
+    *    candidate a-ids are broadcast-semi-joined into the corpus scan,
+    *    so corpus text is read just for the (few) docs the new batch
+    *    collides with.
+    *
+    * Returns (a_id ∈ corpus, b_id ∈ new batch, sim ≥ threshold). New docs
+    * absent from the result are safe to admit; pairs feed the same
+    * connectedComponents → anti-join chain as the batch pipeline.
+    */
+  def incrementalNearDupPairs(corpusBands: DataFrame, corpusDocs: DataFrame,
+      newDocs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val newBands = bandedSignatures(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    val cands = corpusBands.as("a").join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val hitCorpus = corpusDocs.join(
+      broadcast(cands.select(col("a_id").as(idCol)).distinct()), Seq(idCol), "left_semi")
+    val sa = shingleSets(hitCorpus, idCol, textCol, shingleN)
+      .select(col("id").as("a_id"), col("shingles").as("sa"))
+    val sb = shingleSets(newDocs, idCol, textCol, shingleN)
+      .select(col("id").as("b_id"), col("shingles").as("sb"))
+    cands.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(TextAnalysis.jaccard(col("sa"), col("sb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** Full near-dup pipeline: LSH candidates verified by exact Jaccard.

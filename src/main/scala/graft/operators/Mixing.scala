@@ -36,4 +36,25 @@ object Mixing {
       .filter(pmod(col(idCol) * lit(2654435761L), lit(buckets.toLong)) < admit)
       .drop("__n")
   }
+
+  /** Deterministic train/val/test split: each row lands in a named split
+    * by the same multiplicative-hash slot as [[rebalanceDomains]], with
+    * split boundaries at the cumulative weight fractions. Pure map-side
+    * arithmetic — no RNG state, no shuffle, identical assignment on every
+    * run, engine, and cluster size (the property a reproducible training
+    * recipe needs). Appends the split name as `splitCol`. */
+  def splitByHash(df: DataFrame, idCol: String, splitCol: String,
+      splits: Seq[(String, Double)], buckets: Int = 1000): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    val cumBounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(buckets * c / total).toLong)
+    val slot = pmod(col(idCol) * lit(2654435761L), lit(buckets.toLong))
+    val assign = splits.init.map(_._1).zip(cumBounds.init)
+      .foldRight(lit(splits.last._1)) { case ((name, bound), rest) =>
+        when(slot < bound, name).otherwise(rest)
+      }
+    df.withColumn(splitCol, assign)
+  }
 }

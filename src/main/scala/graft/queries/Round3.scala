@@ -293,6 +293,58 @@ object Round3 {
              regexp_replace(regexp_replace(msg,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '[0-9]{2,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
-      FROM m ORDER BY c_custkey"""))
+      FROM m ORDER BY c_custkey""")),
+
+    // incremental near-dup dedup: every 10th document arrives as the NEW
+    // batch; the rest is the existing corpus whose banded MinHash layout
+    // is already materialized. Candidates come from the (band, bucket)
+    // join against that layout — corpus text is then touched only for
+    // the few colliding docs (broadcast semi-join) — so per-increment
+    // cost scales with the batch, not the corpus. The oracle is the full
+    // brute-force cross-set Jaccard, so this also pins banding recall
+    Q("q95_incremental_dedup", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val corpus = docs.filter($"doc_id" % 10 =!= 0)
+      val fresh = docs.filter($"doc_id" % 10 === 0)
+      val corpusBands = graft.operators.Dedup.bandedSignatures(corpus, "doc_id", "text")
+      graft.operators.Dedup.incrementalNearDupPairs(
+          corpusBands, corpus, fresh, "doc_id", "text", threshold = 0.5)
+        .orderBy($"a_id", $"b_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       round(len(list_intersect(a.s, b.s)) * 1.0 /
+                             len(list_distinct(list_concat(a.s, b.s))), 6) AS sim
+                FROM sh a JOIN sh b
+                  ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0)
+      SELECT a_id, b_id, sim FROM pairs WHERE sim >= 0.5
+      ORDER BY a_id, b_id""")),
+
+    // deterministic train/val/test split: multiplicative-hash slots give
+    // every row a stable split assignment — pure map-side arithmetic, no
+    // RNG, identical on every run/engine/cluster size; checked per
+    // (split, lang) so the hash boundaries themselves are verified
+    Q("q96_dataset_split", (s, d) => {
+      import s.implicits._
+      graft.operators.Mixing.splitByHash(T.documents(s, d), "doc_id", "split",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("min_id"))
+        .orderBy($"split", $"lang")
+    }, Some("""
+      WITH t AS (SELECT lang, doc_id,
+                        CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                             WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM documents)
+      SELECT split, lang, count(*) AS n, min(doc_id) AS min_id
+      FROM t GROUP BY split, lang ORDER BY split, lang"""))
   )
 }
