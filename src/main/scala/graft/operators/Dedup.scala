@@ -102,7 +102,9 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val newBands = bandedSignatures(newDocs, idCol, textCol, shingleN, numHashes, bands)
-    val cands = corpusBands.as("a").join(newBands.as("b"),
+    // the increment is small by definition — broadcast its bands so the
+    // stored corpus layout streams through a map-side join, unshuffled
+    val cands = corpusBands.as("a").join(broadcast(newBands.as("b")),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()

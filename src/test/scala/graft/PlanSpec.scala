@@ -103,4 +103,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
+
+  test("q93: eval gram set broadcasts — the corpus is never shuffled for the probe") {
+    val p = plan("q93_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "eval grams must broadcast, not sort-merge against the corpus")
+  }
+
+  test("q95: incremental verify touches corpus text via a broadcast semi-join") {
+    val p = plan("q95_incremental_dedup")
+    assert(p.contains("LeftSemi"), s"expected candidate-id semi-join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q96: split assignment is map-side only — no exchange before the final agg") {
+    val p = plan("q96_dataset_split")
+    // one shuffle total: the (split, lang) aggregate's own exchange
+    assert("Exchange".r.findAllIn(p).size <= 2, s"extra shuffles in:\n$p")
+    assert(!p.contains("Join"), "split assignment must not join")
+  }
 }
