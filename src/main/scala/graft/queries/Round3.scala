@@ -337,6 +337,54 @@ object Round3 {
       SELECT a_id, b_id, sim FROM pairs WHERE sim >= 0.5
       ORDER BY a_id, b_id""")),
 
+    // the same incremental dedup as a CONTINUOUS pipeline: new docs
+    // arrive on a stream, are shingled/signed/banded map-side in-flight
+    // (the signature expression is stream-safe), matched against the
+    // static corpus band layout per micro-batch, and the surviving
+    // candidate pairs are exact-Jaccard-verified batch-side after the
+    // drain — ingestion-time dedup rather than a nightly batch
+    Q("q97_stream_incremental_dedup", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = T.documents(s, d)
+      val corpus = docs.filter($"doc_id" % 10 =!= 0)
+      val corpusBands = graft.operators.Dedup.bandedSignatures(corpus, "doc_id", "text")
+        .select($"id".as("a_id"), $"band", $"bucket")
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val fresh = s.readStream.schema(schema).parquet(s"$d/documents.*")
+        .filter($"doc_id" % 10 === 0)
+      val newBands = graft.operators.Dedup.bandedSignatures(fresh, "doc_id", "text")
+        .select($"id".as("b_id"), $"band", $"bucket")
+      val qn = s"graft_stream_inc_${System.nanoTime()}"
+      val query = newBands.join(corpusBands, Seq("band", "bucket"))
+        .groupBy($"a_id", $"b_id").count()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text")
+      s.table(qn)
+        .join(sets.select($"id".as("a_id"), $"shingles".as("sa")), "a_id")
+        .join(sets.select($"id".as("b_id"), $"shingles".as("sb")), "b_id")
+        .select($"a_id", $"b_id",
+          round(graft.operators.TextAnalysis.jaccard($"sa", $"sb"), 6).as("sim"))
+        .filter($"sim" >= 0.5)
+        .orderBy($"a_id", $"b_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       round(len(list_intersect(a.s, b.s)) * 1.0 /
+                             len(list_distinct(list_concat(a.s, b.s))), 6) AS sim
+                FROM sh a JOIN sh b
+                  ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0)
+      SELECT a_id, b_id, sim FROM pairs WHERE sim >= 0.5
+      ORDER BY a_id, b_id""")),
+
     // deterministic train/val/test split: multiplicative-hash slots give
     // every row a stable split assignment — pure map-side arithmetic, no
     // RNG, identical on every run/engine/cluster size; checked per
