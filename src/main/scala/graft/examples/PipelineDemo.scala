@@ -3,12 +3,13 @@ package graft.examples
 import org.apache.spark.sql.functions._
 
 import graft.Session
-import graft.operators.{Dedup, Mixing, Scale, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, Mixing, Scale, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** End-to-end training-data pipeline over the fixtures: exact dedup →
   * near-dup removal (MinHash+LSH) → quality + repetition filter →
-  * domain rebalancing → chunking → token-budget shard packing. Every
+  * benchmark decontamination → PII redaction → domain rebalancing →
+  * train/val/test split → chunking → token-budget shard packing. Every
   * stage is a DataFrame transform; nothing touches the driver except the
   * final counts. Usage: runMain graft.examples.PipelineDemo [sfDir]
   */
@@ -44,18 +45,35 @@ object PipelineDemo {
       .filter(size(ws) >= 20 && TextAnalysis.stopwordRatio(ws) < 0.5 && dupFrac <= 0.8)
     println(s"[pipeline] after quality+repetition filter: ${quality.count()}")
 
-    // 4. rebalance the source mixture toward uniform target counts
-    val mixed = Mixing.rebalanceDomains(quality, "source", "doc_id", targetPerDomain = 15)
+    // 4. benchmark decontamination: screen against a held-out eval set
+    //    (here: every 25th doc), dropping any doc with >= 3 shared 3-grams
+    val eval = docs.filter($"doc_id" % 25 === 0)
+    val clean = Decontaminate.removeContaminated(
+      quality.filter($"doc_id" % 25 =!= 0), eval, "doc_id", "text", minHits = 3L)
+    println(s"[pipeline] after decontamination: ${clean.count()}")
+
+    // 5. PII scrub: map-side regexp redaction of emails/phones
+    val scrubbed = clean.withColumn("text", TextAnalysis.redactPii($"text"))
+
+    // 6. rebalance the source mixture toward uniform target counts
+    val mixed = Mixing.rebalanceDomains(scrubbed, "source", "doc_id", targetPerDomain = 15)
     println(s"[pipeline] after domain rebalancing: ${mixed.count()}")
 
-    // 5. chunk into overlapping token windows for training
-    val chunks = mixed
+    // 7. deterministic train/val/test split (hash slots, RNG-free)
+    val split = Mixing.splitByHash(mixed, "doc_id", "split",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    split.groupBy($"split").count().orderBy($"split").collect()
+      .foreach(r => println(s"[pipeline] split ${r.getString(0)}: ${r.getLong(1)}"))
+    val train = split.filter($"split" === "train")
+
+    // 8. chunk into overlapping token windows for training
+    val chunks = train
       .withColumn("st", explode(sequence(lit(1), size(ws), lit(32))))
       .select($"doc_id", $"st",
         concat_ws(" ", slice(TextAnalysis.tokens($"text"), $"st", lit(48))).as("chunk"))
     println(s"[pipeline] chunks produced: ${chunks.count()}")
 
-    // 6. pack chunks into ~2k-token shards in stable order (two-phase
+    // 9. pack chunks into ~2k-token shards in stable order (two-phase
     //    distributed prefix sum — no single-task global window)
     val withTokens = chunks.select(
       (($"doc_id" * 100000) + $"st").as("seq"),

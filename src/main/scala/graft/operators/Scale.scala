@@ -24,7 +24,10 @@ object Scale {
   /** Join `large` with `small` on `key`, salting the large side to spread
     * hot keys. Result equals `large.join(small, key)` for inner joins.
     * The salt derives from a hash of the whole large-side row, so it is
-    * deterministic and needs no extra state. */
+    * deterministic and needs no extra state. Caveat: BYTE-IDENTICAL
+    * duplicate rows of a hot key hash to the same salt and stay in one
+    * bucket — if the skew is duplicate-row skew rather than key skew,
+    * dedup first (or add a distinguishing column) before salting. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
