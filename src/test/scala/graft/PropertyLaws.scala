@@ -107,6 +107,42 @@ object PropertyLaws extends Properties("graft") {
         (perDom > target || a.size == rows)
     }
 
+  property("splitByHash partitions every id and matches the hash boundaries") =
+    forAll(Gen.chooseNum(2, 5), Gen.chooseNum(50, 300)) { (nSplits, rows) =>
+      val weights = (1 to nSplits).map(i => s"s$i" -> i.toDouble)
+      val df = (0L until rows.toLong).toDF("id")
+      val got = graft.operators.Mixing.splitByHash(df, "id", "split", weights)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // reference assignment computed independently from the same formula
+      val total = weights.map(_._2).sum
+      val bounds = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+        .map(c => math.floor(1000 * c / total).toLong)
+      val exp = (0L until rows.toLong).map { id =>
+        val slot = java.lang.Math.floorMod(id * 2654435761L, 1000L)
+        // floor rounding can leave slots past the last bound; they belong
+        // to the final split (the operator's otherwise-branch)
+        val idx = bounds.indexWhere(slot < _)
+        id -> weights(if (idx < 0) weights.size - 1 else idx)._1
+      }.toMap
+      got.size == rows && got == exp
+    }
+
+  property("contamination stats never exceed the doc's own gram count") =
+    forAll(Gen.chooseNum(1, 8), Gen.chooseNum(3, 15)) { (nEval, nCorpus) =>
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      def doc(seed: Int) =
+        (0 until 6).map(j => vocab((seed * 7 + j * 3) % vocab.size)).mkString(" ")
+      val corpus = (0 until nCorpus).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+      val eval = (0 until nEval).map(i => (1000L + i, doc(i + 2))).toDF("doc_id", "text")
+      val stats = graft.operators.Decontaminate
+        .contaminationStats(corpus, eval, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gramCounts = corpus
+        .select($"doc_id", size(TextAnalysis.shingleSet($"text", 3)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      stats.forall { case (id, n) => n >= 1 && n <= gramCounts(id) }
+    }
+
   property("grouper: |results| = |items| with a map proc (result-arity)") =
     forAll(Gen.listOfN(5, Gen.listOf(Gen.chooseNum(-50, 50)))) { batches =>
       val g = Grouper.start[Int, Int](spark,
