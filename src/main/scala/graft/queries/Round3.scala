@@ -403,6 +403,28 @@ object Round3 {
                              ELSE 'test' END AS split
                  FROM documents)
       SELECT split, lang, count(*) AS n, min(doc_id) AS min_id
-      FROM t GROUP BY split, lang ORDER BY split, lang"""))
+      FROM t GROUP BY split, lang ORDER BY split, lang""")),
+
+    // SLIDING event-time windows (1 h window / 30 min hop): every event
+    // contributes to the two overlapping windows covering it — the
+    // moving-average shape tumbling windows can't express. The oracle
+    // reproduces Spark's epoch-aligned starts by exploding each event to
+    // its two bucket starts (DuckDB time_bucket's 2000-01-01 origin is
+    // 30-min-aligned with the epoch grid, so the boundaries coincide)
+    Q("q98_sliding_window", (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
+        .orderBy($"win_start", $"event_type")
+    }, Some("""
+      WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS g,
+                        event_type, value FROM events),
+      w AS (SELECT unnest([g, g - INTERVAL '30 minutes']) AS win_start,
+                   event_type, value FROM e)
+      SELECT win_start, event_type, count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM w GROUP BY 1, 2 ORDER BY win_start, event_type"""))
   )
 }
