@@ -425,6 +425,30 @@ object Round3 {
                    event_type, value FROM e)
       SELECT win_start, event_type, count(*) AS n,
              round(sum(value), 2) AS sum_value
-      FROM w GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+      FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // VALUE-range window frame (RANGE BETWEEN, not ROWS BETWEEN): each
+    // order's trailing-30-day revenue for its customer — the frame spans
+    // whatever number of rows falls in the day range, which a row-count
+    // frame cannot express; day-level ties are all peers, so the result
+    // is deterministic under any partitioning
+    Q("q99_range_frame", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"__d")
+        .rangeBetween(-29, 0)
+      T.orders(s, d)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("__d"))
+        .withColumn("rev_30d", round(sum($"o_totalprice").over(w), 2))
+        .select($"o_orderkey", $"o_custkey", $"rev_30d")
+        .orderBy($"o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+      FROM orders ORDER BY o_orderkey"""))
   )
 }
