@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** 100 TB-scale helpers (SURVEY §4.2, §7.4): skew mitigation and layout.
@@ -139,4 +139,30 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
   }
+
+  /** Z-order (Morton) value of two non-negative dimension columns: bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i+1, so sorting by the
+    * result clusters rows that are close in BOTH dimensions. Inputs must
+    * already be reduced to `bits` bits (e.g. `col % (1 << bits)` or a
+    * rank); plain long arithmetic, codegen'd. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-ordered parquet layout: range-partition + sort by the interleaved
+    * key before writing, so every file covers a small bounding box in
+    * BOTH dimensions and min/max row-group stats skip files for
+    * predicates on either column. A single-column sort gives perfect
+    * clustering on one dimension and none on the other; Z-ordering is
+    * the standard multi-dimensional compromise (Delta/Iceberg OPTIMIZE
+    * ZORDER — here as a plain-parquet write). */
+  def zOrderWrite(df: DataFrame, path: String, colA: String, colB: String,
+      files: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(col(colA), col(colB), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

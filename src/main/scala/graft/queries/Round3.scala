@@ -449,6 +449,28 @@ object Round3 {
                PARTITION BY o_custkey
                ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS rev_30d
-      FROM orders ORDER BY o_orderkey"""))
+      FROM orders ORDER BY o_orderkey""")),
+
+    // Z-order (Morton) clustering key: bit-interleave of two dimensions,
+    // the sort key behind multi-dimensional data-skipping layouts
+    // (Scale.zOrderWrite; ScaleSpec proves per-file bounding boxes shrink
+    // on BOTH dims). The oracle spells out the same interleave bit by bit
+    Q("q100_zorder", (s, d) => {
+      import s.implicits._
+      T.part(s, d)
+        .select($"p_partkey",
+          graft.operators.Scale.zValue(
+            pmod($"p_partkey", lit(1024L)),
+            pmod($"p_size".cast("long") * 37L, lit(1024L)), bits = 10).as("z"))
+        .orderBy($"p_partkey")
+    }, Some {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"((((p_partkey % 1024) >> $i) & 1) << ${2 * i})",
+        s"(((((p_size * 37) % 1024) >> $i) & 1) << ${2 * i + 1})"))
+      s"""
+      SELECT p_partkey,
+             CAST(${terms.mkString(" + ")} AS BIGINT) AS z
+      FROM part ORDER BY p_partkey"""
+    })
   )
 }

@@ -121,4 +121,30 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters"))
   }
+
+  test("zValue interleaves bits; zOrderWrite clusters BOTH dimensions per file") {
+    import spark.implicits._
+    // bit-interleave spot checks: a=0b11, b=0 -> 0b0101; a=0, b=0b11 -> 0b1010
+    val z = Seq((3L, 0L), (0L, 3L), (3L, 3L)).toDF("a", "b")
+      .select(Scale.zValue($"a", $"b", 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(5L, 10L, 15L))
+
+    // uniform 2-D grid written z-ordered into 16 files: every file's
+    // bounding box must be narrow on BOTH dims (~1/4 of each range for
+    // 16 files) — a single-column sort would leave one dim at full width
+    val n = 64
+    val grid = for (a <- 0 until n; b <- 0 until n) yield (a.toLong, b.toLong)
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    Scale.zOrderWrite(grid.toDF("a", "b"), dir, "a", "b", files = 16, bits = 6)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg((max($"a") - min($"a")).as("sa"), (max($"b") - min($"b")).as("sb"))
+      .collect()
+    assert(spans.length >= 8, s"expected ~16 files, got ${spans.length}")
+    val avgA = spans.map(_.getAs[Long]("sa")).sum.toDouble / spans.length
+    val avgB = spans.map(_.getAs[Long]("sb")).sum.toDouble / spans.length
+    // full range is 63; z-clustering should hold both dims well under half
+    assert(avgA < 32 && avgB < 32, s"per-file spans too wide: a=$avgA b=$avgB")
+  }
 }
