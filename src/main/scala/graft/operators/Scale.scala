@@ -165,4 +165,32 @@ object Scale {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files (by current on-disk size). Streaming
+    * sinks and per-partition writers accrete thousands of small files
+    * whose open/footer cost dominates scans at 100 TB; periodic
+    * compaction is the standard fix. Returns the file count written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact_tmp"
+    spark.read.parquet(path).repartition(files).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap: the rewritten layout replaces the original only
+    // after it is fully committed (_SUCCESS)
+    val rm = (f: java.io.File) => {
+      def go(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(go)
+        x.delete(); ()
+      }
+      go(f)
+    }
+    rm(dir)
+    require(new java.io.File(tmp).renameTo(dir), s"rename $tmp -> $path failed")
+    files
+  }
 }

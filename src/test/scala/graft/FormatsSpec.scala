@@ -44,4 +44,20 @@ class FormatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter("c_custkey < 10").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,10)]"))
   }
+
+  test("schema evolution: mergeSchema reads old and new file generations together") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // generation 1 lacks the column a later pipeline version added
+    val base = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$base/t")
+    Seq((3L, "c", 0.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(s"$base/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val byId = merged.select($"id", coalesce($"score", lit(-1.0)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // old-generation rows surface the new column as null, new rows keep it
+    assert(byId == Map(1L -> -1.0, 2L -> -1.0, 3L -> 0.5))
+  }
 }

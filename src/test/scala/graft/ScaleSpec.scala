@@ -147,4 +147,18 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // full range is 63; z-clustering should hold both dims well under half
     assert(avgA < 32 && avgB < 32, s"per-file spans too wide: a=$avgA b=$avgB")
   }
+
+  test("compact rewrites a many-small-file layout preserving every row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString
+    (0 until 1000).toDF("v").repartition(64).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 64)
+    val before = spark.read.parquet(dir).collect().map(_.getInt(0)).toSet
+    Scale.compact(spark, dir, targetBytes = 1L * 1024 * 1024)
+    assert(parquetFiles < 8, s"still $parquetFiles files after compaction")
+    val after = spark.read.parquet(dir).collect().map(_.getInt(0)).toSet
+    assert(after == before)
+  }
 }
