@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Mixing, Quantiles, TextAnalysis}
 import graft.sources.{Tables => T}
 
-/** Round-3 surface additions: the multi-column single-sort quantile
-  * variant and the high-cardinality distributed quantile path, each
-  * oracle-verified against DuckDB `quantile_cont`.
+/** Round-3 surface additions (q84–q100): multi-column and
+  * high-cardinality exact quantiles, Gopher-style repetition filtering,
+  * domain rebalancing and hash-based train/val/test splits, stream-static
+  * enrichment, token-budget shard packing, embedding near-pair mining,
+  * multimodal resize, product-quantized ANN, benchmark decontamination,
+  * PII redaction, batch + streaming incremental dedup against a stored
+  * band layout, sliding event-time windows, value-range window frames,
+  * and the Z-order clustering key.
   */
 object Round3 {
 
