@@ -126,7 +126,13 @@ object Round2 {
       GROUP BY band_id ORDER BY band_id""")),
 
     // deterministic mode (ties -> smallest value) + median absolute
-    // deviation, both via shuffle-sort primitives (no value-count maps)
+    // deviation, both via shuffle-sort primitives (no value-count maps).
+    // Two quantile sorts is the exact-result floor: MAD's input |x - med|
+    // only exists once the median is known, so the second range-partition
+    // sort cannot fuse with the first (measured: each exactQuantiles call
+    // is ~0.7-1.1s of shuffle+persist at sf0.1 and the passes over the
+    // persisted sort are ~0.1s — the cost is the two sorts themselves,
+    // which amortize at scale, not a fixable plan flaw)
     Q("q70_mode_mad", (s, d) => {
       import s.implicits._
       // three passes over two columns (mode, median, abs-dev median):
