@@ -10,11 +10,42 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Custom Catalyst expressions for the vector / text pipeline operators.
   *
   * These are native expressions (not UDFs) so they stay inside Tungsten:
-  * no serialization boundary, and [[CosineSimilarity]] participates in
-  * whole-stage codegen — the hot operation of the similarity-search path
-  * (SURVEY §2.3, §7.3(c)). The rest are `CodegenFallback` (evaluated per
-  * row on InternalRow) which is still UDF-free and allocation-light.
+  * no serialization boundary. [[CosineSimilarity]] emits its loop as Java
+  * source (full codegen — the hot operation of the similarity-search
+  * path, SURVEY §2.3, §7.3(c)); the others participate in whole-stage
+  * codegen through [[RefCallCodegen]] instead of `CodegenFallback`, so a
+  * projection containing them keeps its fused span.
   */
+
+/** Reference-call codegen: emit a call to this compiled expression object
+  * rather than extending `CodegenFallback`. A fallback expression forces
+  * the ENTIRE projection containing it out of whole-stage codegen (every
+  * column of every row drops to interpreted eval); the reference call
+  * keeps the surrounding operators' fused codegen span, and only this
+  * expression's value crosses one JIT-compiled virtual call. The loop
+  * bodies stay plain Scala — no Java source strings to maintain.
+  */
+trait RefCallCodegen extends UnaryExpression {
+
+  /** Public bridge so generated Java reaches the protected eval. */
+  final def evalBridge(v: Any): Any = nullSafeEval(v)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[RefCallCodegen].getName)
+    nullSafeCodeGen(ctx, ev, c => dataType match {
+      case LongType =>
+        s"${ev.value} = ((java.lang.Long) $ref.evalBridge($c)).longValue();"
+      case IntegerType =>
+        s"${ev.value} = ((java.lang.Integer) $ref.evalBridge($c)).intValue();"
+      case DoubleType =>
+        s"${ev.value} = ((java.lang.Double) $ref.evalBridge($c)).doubleValue();"
+      case _: ArrayType =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalBridge($c);"
+      case other =>
+        throw new IllegalStateException(s"RefCallCodegen: unsupported result type $other")
+    })
+  }
+}
 
 /** Cosine similarity of two float vectors, accumulated in double.
   *
@@ -73,7 +104,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * tally. Documents within small Hamming distance are near-duplicates.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
@@ -110,7 +141,7 @@ case class SimHash64(child: Expression)
   * fingerprinting.
   */
 case class RollingHash(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
@@ -149,7 +180,7 @@ case class RollingHash(child: Expression)
   * a compact, position-robust document signature.
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -189,7 +220,7 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * First-occurrence order is preserved, matching `array_distinct`.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
   require(n >= 1, "shingle size must be >= 1")
 
   override def inputTypes = Seq(StringType)
@@ -226,7 +257,7 @@ case class WordShingles(child: Expression, n: Int)
   * only scalable shape at 100 TB).
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
   require(numHashes >= 1 && numHashes <= 1024, "numHashes must be in [1,1024]")
 
   override def inputTypes = Seq(ArrayType(StringType))
@@ -267,7 +298,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * for approximate nearest-neighbor search.
   */
 case class HyperplaneSignature(child: Expression, bits: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
   require(bits >= 1 && bits <= 64, "bits must be in [1,64]")
 
   override def inputTypes = Seq(ArrayType(FloatType))
