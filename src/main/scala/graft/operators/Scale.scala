@@ -175,7 +175,15 @@ object Scale {
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val dir = new java.io.File(path)
-    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+    val listing = Option(dir.listFiles()).getOrElse(Array.empty)
+    // a hive-partitioned layout must be compacted per partition directory
+    // — rewriting the root would flatten the partition structure
+    val partDirs = listing.filter(f => f.isDirectory && f.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"compact expects a flat layout; $path is partitioned " +
+        s"(${partDirs.take(3).map(_.getName).mkString(", ")}…) — " +
+        "compact each partition directory individually")
+    val bytes = listing
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = path.stripSuffix("/") + ".compact_tmp"

@@ -161,4 +161,15 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = spark.read.parquet(dir).collect().map(_.getInt(0)).toSet
     assert(after == before)
   }
+
+  test("compact refuses a hive-partitioned layout instead of flattening it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_part").toString
+    Seq((1, "a"), (2, "b")).toDF("v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Scale.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
 }
