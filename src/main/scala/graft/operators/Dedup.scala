@@ -184,15 +184,18 @@ object Dedup {
       maxIter: Int = 25, maxDriverEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // the path probe COUNTS a limited slice instead of collecting it, so
-    // routing to the distributed branch never ships edge rows to the
-    // driver; the persist makes the probe and the subsequent real
-    // consumer share one evaluation of the (possibly expensive) pair plan
+    // the path probe COUNTS instead of collecting, so routing to the
+    // distributed branch never ships edge rows to the driver; the persist
+    // makes the probe and the subsequent real consumer share one
+    // evaluation of the (possibly expensive) pair plan. A plain count —
+    // not limit(max+1).count(): the persist materializes every partition
+    // anyway, so a limit cannot short-circuit evaluation; it only inserts
+    // a single-partition exchange of up to maxDriverEdges rows, where
+    // count() ships one long per partition
     val sel = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val lim = math.min(maxDriverEdges + 1, Int.MaxValue.toLong - 1).toInt
-      if (sel.limit(lim).count() > maxDriverEdges)
+      if (sel.count() > maxDriverEdges)
         return connectedComponentsDistributed(sel, "a", "b", maxIter)
       val collected = sel.collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]

@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** Deterministic bucket slot of a non-negative id: Knuth multiplicative
+    * hash over the id's LOW 31 BITS. The mask keeps the product below
+    * 2^31 · 2654435761 < 2^63, so the arithmetic never overflows a signed
+    * long — an unmasked multiply throws ARITHMETIC_OVERFLOW under Spark's
+    * default ANSI mode (and errors in DuckDB) at exactly the multi-billion
+    * -row id ranges this operator targets. Elementary integer ops only, so
+    * any engine reproduces the assignment bit-for-bit (the oracle SQL
+    * spells the same `(id % 2^31) * 2654435761 % buckets`). */
+  private[graft] def slotOf(id: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(buckets.toLong))
+
   /** Downsample each domain to an EXPECTED `targetPerDomain` rows
     * (domains already at or below the target keep ~everything; the draw
     * is per-row, so kept counts concentrate around `rate · n_s`).
@@ -33,7 +44,7 @@ object Mixing {
     val admit = least(lit(buckets.toLong),
       floor(lit(buckets.toDouble) * lit(targetPerDomain.toDouble) / col("__n")))
     df.join(broadcast(counts), domainCol)
-      .filter(pmod(col(idCol) * lit(2654435761L), lit(buckets.toLong)) < admit)
+      .filter(slotOf(col(idCol), buckets) < admit)
       .drop("__n")
   }
 
@@ -50,7 +61,7 @@ object Mixing {
     val total = splits.map(_._2).sum
     val cumBounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.floor(buckets * c / total).toLong)
-    val slot = pmod(col(idCol) * lit(2654435761L), lit(buckets.toLong))
+    val slot = slotOf(col(idCol), buckets)
     val assign = splits.init.map(_._1).zip(cumBounds.init)
       .foldRight(lit(splits.last._1)) { case ((name, bound), rest) =>
         when(slot < bound, name).otherwise(rest)

@@ -94,6 +94,14 @@ object Scale {
     * The order key must be unique (ties could straddle a partition
     * boundary and make the result partition-dependent). The value column
     * is summed as LONG — use integral inputs.
+    *
+    * The input is evaluated twice (the offsets pass, then the window
+    * pass) — the same trade RDD `zipWithIndex` makes. Deliberate: caching
+    * the ranged table between the passes would pin the WHOLE input in the
+    * block store (at 100 TB that is a full spill to disk, costlier than
+    * the recompute) and leak it afterwards, since the unpersist could
+    * only run after the caller materializes the result. Callers that
+    * already hold the input cached get the fast path for free.
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
       resultCol: String = "cumsum"): DataFrame = {
@@ -102,8 +110,9 @@ object Scale {
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", col(valueCol).cast("long"))
-      .cache()
-    val partSums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
+    // coalesce: sum() of an all-NULL partition is NULL, not 0
+    val partSums = ranged.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = partSums.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
       .init.zip(partSums).map { case ((_, acc), (pid, _)) => pid -> acc }.toMap
@@ -173,32 +182,38 @@ object Scale {
     * compaction is the standard fix. Returns the file count written. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val dir = new java.io.File(path)
-    val listing = Option(dir.listFiles()).getOrElse(Array.empty)
+    // all listing and movement goes through the Hadoop FileSystem, so a
+    // non-local layout (HDFS/S3A) works — or fails fast here, before any
+    // data has moved — instead of silently no-opping through java.io.File
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val listing = fs.listStatus(dir)
     // a hive-partitioned layout must be compacted per partition directory
     // — rewriting the root would flatten the partition structure
-    val partDirs = listing.filter(f => f.isDirectory && f.getName.contains("="))
+    val partDirs = listing.filter(f => f.isDirectory && f.getPath.getName.contains("="))
     require(partDirs.isEmpty,
       s"compact expects a flat layout; $path is partitioned " +
-        s"(${partDirs.take(3).map(_.getName).mkString(", ")}…) — " +
+        s"(${partDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
         "compact each partition directory individually")
     val bytes = listing
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = path.stripSuffix("/") + ".compact_tmp"
-    spark.read.parquet(path).repartition(files).write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap: the rewritten layout replaces the original only
-    // after it is fully committed (_SUCCESS)
-    val rm = (f: java.io.File) => {
-      def go(x: java.io.File): Unit = {
-        if (x.isDirectory) x.listFiles().foreach(go)
-        x.delete(); ()
-      }
-      go(f)
-    }
-    rm(dir)
-    require(new java.io.File(tmp).renameTo(dir), s"rename $tmp -> $path failed")
+    val base = path.stripSuffix("/")
+    val tmp = new Path(base + ".compact_tmp")
+    spark.read.parquet(path).repartition(files).write.mode("overwrite").parquet(tmp.toString)
+    // crash-safe swap — at every step the full dataset exists under a
+    // well-known name, never only in the tmp directory:
+    //  1. original renamed aside          → data at .compact_old (and the
+    //     committed rewrite at .compact_tmp); recovery: rename .compact_old back
+    //  2. rewrite renamed into place      → data live at `path`
+    //  3. the old copy is dropped         → done
+    val old = new Path(base + ".compact_old")
+    fs.delete(old, true) // leftover of a previous crash between 2 and 3
+    require(fs.rename(dir, old), s"rename $path -> $old failed")
+    require(fs.rename(tmp, dir), s"rename $tmp -> $path failed; original at $old")
+    fs.delete(old, true)
     files
   }
 }

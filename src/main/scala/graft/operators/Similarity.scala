@@ -284,9 +284,17 @@ object Similarity {
     val spark = vectors.sparkSession
     import spark.implicits._
 
-    val centPath = layoutPath + ".centroids"
-    if (!new java.io.File(layoutPath, "_SUCCESS").exists()) {
-      val centers = writeIvfPartitioned(vectors, layoutPath, nlist, maxTrainSample)
+    // the parameters that shape the LAYOUT are folded into its path, so a
+    // caller reusing a path with a different nlist/sample budget can never
+    // be served a stale index (nprobe is query-time only — it selects
+    // cells, it doesn't change what's on disk); existence goes through the
+    // Hadoop FileSystem so non-local layout paths work
+    val paramPath = s"$layoutPath.nlist${nlist}_t$maxTrainSample"
+    val centPath = paramPath + ".centroids"
+    val fs = new org.apache.hadoop.fs.Path(paramPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(paramPath, "_SUCCESS"))) {
+      val centers = writeIvfPartitioned(vectors, paramPath, nlist, maxTrainSample)
       centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(centPath)
     }
@@ -303,12 +311,15 @@ object Similarity {
         Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("cell"))))
       .filter(col("crnk") <= nprobe)
       .select(col("probe_id"), col("p_emb"), col("cell"))
-      .cache()
 
-    // ≤ nlist distinct cells — the literal IN list that prunes the scan
+    // ≤ nlist distinct cells — the literal IN list that prunes the scan.
+    // probeCells is deliberately NOT cached across this collect and the
+    // scored join: recomputing it costs one broadcast join over the small
+    // probe set, where a cache would leak pinned blocks past this call
+    // (nothing can unpersist after the caller materializes the result)
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    val pruned = spark.read.parquet(layoutPath)
+    val pruned = spark.read.parquet(paramPath)
       .filter(col("cell").isin(cells: _*))
 
     val scored = pruned.join(broadcast(probeCells), Seq("cell"))

@@ -200,13 +200,15 @@ object Extras {
     Q("q55_det_sample", (s, d) => {
       import s.implicits._
       T.lineitem(s, d)
-        .filter(($"l_orderkey" * 2654435761L) % 100 < 10)
+        // low-31-bit mask before the multiply: overflow-proof under ANSI
+        // (see Mixing.slotOf); identity for keys below 2^31
+        .filter((pmod($"l_orderkey", lit(2147483648L)) * 2654435761L) % 100 < 10)
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
         .orderBy($"l_returnflag")
     }, Some("""
       SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
-      FROM lineitem WHERE (l_orderkey * 2654435761) % 100 < 10
+      FROM lineitem WHERE ((l_orderkey % 2147483648) * 2654435761) % 100 < 10
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // exact decimal arithmetic: no fp rounding needed on either side

@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.{Mixing, Quantiles, TextAnalysis}
 import graft.sources.{Tables => T}
@@ -15,6 +17,54 @@ import graft.sources.{Tables => T}
   * and the Z-order clustering key.
   */
 object Round3 {
+
+  /** Path of the MATERIALIZED corpus band layout for the fixture at `d`,
+    * built on first use: the serving artifact BOTH incremental dedup
+    * shapes read — q95 (batch) and q97 (streaming) — so no query ever
+    * re-shingles corpus text after the one-time indexing job. Keyed by
+    * source size AND mtime plus the banding parameters, so a regenerated
+    * fixture (even of identical size) or a parameter change can never be
+    * served a stale layout. */
+  private[graft] def corpusBandLayout(s: SparkSession, d: String): String = {
+    val src = new java.io.File(s"$d/documents.parquet")
+    val layout = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_band_layout_v2_${src.length()}_${src.lastModified()}_n3h64b16_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")).toString
+    if (!new java.io.File(layout, "_SUCCESS").exists()) {
+      val corpus = T.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+      graft.operators.Dedup.bandedSignatures(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(layout)
+    }
+    layout
+  }
+
+  /** The streaming half of q97: new-doc bands computed map-side
+    * IN-FLIGHT, joined per micro-batch against the served corpus band
+    * layout — a plain parquet SCAN of [[corpusBandLayout]], not a
+    * recompute. Spark re-evaluates the static side of a stream-static
+    * join every micro-batch, so what sits there decides the per-batch
+    * cost: reading the materialized (id, band, bucket) layout is
+    * batch-sized work; re-shingling the corpus (the pre-round-4 shape)
+    * was corpus-sized work per batch. Returns the drained memory-sink
+    * table name and the terminated query for plan inspection. */
+  private[graft] def streamCandidates(s: SparkSession, d: String): (String, StreamingQuery) = {
+    import s.implicits._
+    val corpusBands = s.read.parquet(corpusBandLayout(s, d))
+      .select($"id".as("a_id"), $"band", $"bucket")
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val fresh = s.readStream.schema(schema).parquet(s"$d/documents.*")
+      .filter($"doc_id" % 10 === 0)
+    val newBands = graft.operators.Dedup.bandedSignatures(fresh, "doc_id", "text")
+      .select($"id".as("b_id"), $"band", $"bucket")
+    val qn = s"graft_stream_inc_${System.nanoTime()}"
+    val query = newBands.join(corpusBands, Seq("band", "bucket"))
+      .groupBy($"a_id", $"b_id").count()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    (qn, query)
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -101,7 +151,7 @@ object Round3 {
       WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
       SELECT d.source, count(*) AS n_kept
       FROM documents d JOIN c USING (source)
-      WHERE (d.doc_id * 2654435761) % 1000 <
+      WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000 <
             least(1000, floor(1000.0 * 10.0 / c.n))
       GROUP BY d.source ORDER BY d.source""")),
 
@@ -314,17 +364,10 @@ object Round3 {
       val fresh = docs.filter($"doc_id" % 10 === 0)
       // serving shape: the corpus band layout is MATERIALIZED once (first
       // call pays the shingle+sign job) and every later increment reads
-      // it back — corpus text is never re-shingled per batch. Keyed by
-      // source size so a regenerated fixture can't serve a stale layout
-      val srcLen = new java.io.File(s"$d/documents.parquet").length()
-      val layout = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_band_layout_v1_${srcLen}_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
-      if (!new java.io.File(layout, "_SUCCESS").exists())
-        graft.operators.Dedup.bandedSignatures(corpus, "doc_id", "text")
-          .write.mode("overwrite").parquet(layout)
+      // it back — corpus text is never re-shingled per batch
       graft.operators.Dedup.incrementalNearDupPairs(
-          s.read.parquet(layout), corpus, fresh, "doc_id", "text", threshold = 0.5)
+          s.read.parquet(corpusBandLayout(s, d)), corpus, fresh,
+          "doc_id", "text", threshold = 0.5)
         .orderBy($"a_id", $"b_id")
     }, Some("""
       WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
@@ -344,28 +387,15 @@ object Round3 {
 
     // the same incremental dedup as a CONTINUOUS pipeline: new docs
     // arrive on a stream, are shingled/signed/banded map-side in-flight
-    // (the signature expression is stream-safe), matched against the
-    // static corpus band layout per micro-batch, and the surviving
-    // candidate pairs are exact-Jaccard-verified batch-side after the
-    // drain — ingestion-time dedup rather than a nightly batch
+    // (the signature expression is stream-safe), matched per micro-batch
+    // against the SERVED corpus band layout — a parquet scan of the
+    // materialized index, never a recompute (see streamCandidates) — and
+    // the surviving candidate pairs are exact-Jaccard-verified batch-side
+    // after the drain — ingestion-time dedup rather than a nightly batch
     Q("q97_stream_incremental_dedup", (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.streaming.Trigger
       val docs = T.documents(s, d)
-      val corpus = docs.filter($"doc_id" % 10 =!= 0)
-      val corpusBands = graft.operators.Dedup.bandedSignatures(corpus, "doc_id", "text")
-        .select($"id".as("a_id"), $"band", $"bucket")
-      val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val fresh = s.readStream.schema(schema).parquet(s"$d/documents.*")
-        .filter($"doc_id" % 10 === 0)
-      val newBands = graft.operators.Dedup.bandedSignatures(fresh, "doc_id", "text")
-        .select($"id".as("b_id"), $"band", $"bucket")
-      val qn = s"graft_stream_inc_${System.nanoTime()}"
-      val query = newBands.join(corpusBands, Seq("band", "bucket"))
-        .groupBy($"a_id", $"b_id").count()
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
+      val (qn, _) = streamCandidates(s, d)
       val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text")
       s.table(qn)
         .join(sets.select($"id".as("a_id"), $"shingles".as("sa")), "a_id")
@@ -403,8 +433,8 @@ object Round3 {
         .orderBy($"split", $"lang")
     }, Some("""
       WITH t AS (SELECT lang, doc_id,
-                        CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
-                             WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                        CASE WHEN ((doc_id % 2147483648) * 2654435761) % 1000 < 800 THEN 'train'
+                             WHEN ((doc_id % 2147483648) * 2654435761) % 1000 < 900 THEN 'val'
                              ELSE 'test' END AS split
                  FROM documents)
       SELECT split, lang, count(*) AS n, min(doc_id) AS min_id

@@ -60,12 +60,15 @@ object Vectors {
       // call pays the indexing job), then every query reads ONLY its
       // nprobe cells via a static partition filter — at 100 TB the scan
       // touches nprobe/nlist of the corpus, not all of it
-      // keyed by source path AND size so a regenerated fixture can never
-      // be served from a stale layout
-      val srcLen = new java.io.File(s"$d/embeddings.parquet").length()
+      // keyed by source path, size AND mtime so a regenerated fixture —
+      // even one of identical size — can never be served a stale layout;
+      // the quantizer parameters are folded into the path by
+      // ivfServedTopK itself
+      val src = new java.io.File(s"$d/embeddings.parquet")
       val layout = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft_ivf_layout_v1_${srcLen}_" + d.replaceAll("[^A-Za-z0-9]", "_")).toString
+        s"graft_ivf_layout_v2_${src.length()}_${src.lastModified()}_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")).toString
       Similarity.ivfServedTopK(emb, emb.filter($"vec_id" < 10), 5, layout)
         .select($"probe_id", $"vec_id", $"sim", $"rnk")
         .orderBy($"probe_id", $"rnk")

@@ -46,11 +46,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *  - completion is observed per micro-batch rather than per row — Spark
   *    has no per-row futures; the façade's promises are driver-resident
   *    by design (request/response API);
-  *  - a failed batch FAILS the returned `Future`, so `Await.result`
-  *    throws the batch's exception; the reference instead delivers the
-  *    exception OBJECT as the promise's value (`core.clj:80-83`,
-  *    `test:49`) — deref there yields it, it never throws. Errback
-  *    behavior is identical on both sides;
+  *  - a failed batch FAILS the `Future` returned by `submit`, so
+  *    `Await.result` throws the batch's exception; the reference instead
+  *    delivers the exception OBJECT as the promise's value
+  *    (`core.clj:80-83`, `test:49`) — deref there yields it, it never
+  *    throws. [[submitAttempt]] is the faithful form: its future always
+  *    succeeds, carrying the batch exception as a VALUE on failure.
+  *    Errback behavior is identical on both sides;
   *  - the reference's `:pool` integer form maps to `parallelism`
   *    streaming lanes; the caller-supplied-`ExecutorService` form is
   *    `Grouper.startOnPool`, which runs batch BODIES on the caller's
@@ -186,6 +188,18 @@ final class Grouper[A, B] private (
     }
     p.future
   }
+
+  /** Reference deref parity (`core.clj:80-83`, `test:49`): the returned
+    * future always SUCCEEDS once the element's batch is processed — with
+    * `Success(value)` normally, or `Failure(batchException)` as a VALUE
+    * when the batch body threw. Dereferencing never throws, exactly like
+    * the reference promise, which is `deliver`ed the exception object
+    * itself on batch failure. */
+  def submitAttempt(elem: A, callback: B => Unit = _ => (),
+      errback: Throwable => Unit = _ => ()): Future[scala.util.Try[B]] =
+    submit(elem, callback, errback)
+      .transform(t => scala.util.Success(t))(
+        scala.concurrent.ExecutionContext.parasitic)
 
   private def flushBuffers(): Unit = {
     var lane = 0

@@ -98,6 +98,25 @@ class GrouperSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally g.close()
   }
 
+  test("submitAttempt derefs a failed batch to the exception VALUE (core.clj:80-83, test:49)") {
+    implicit val enc = org.apache.spark.sql.Encoders.STRING
+    val g = Grouper.start[String, String](spark,
+      ds => ds.collect().toSeq.map(_.toUpperCase), capacity = 10)
+    try {
+      // success path: the attempt future succeeds with Success(value)
+      assert(await(g.submitAttempt("hello")) == scala.util.Success("HELLO"))
+      // failure path: deref never throws — like the reference promise,
+      // which is `deliver`ed the exception OBJECT on batch failure
+      // (core.clj:82-83), the batch exception arrives as the VALUE
+      val t = await(g.submitAttempt(null))
+      assert(t.isFailure)
+      assert(t.failed.get.isInstanceOf[NullPointerException])
+      // the stream survives the failed batch
+      assert(g.isRunning)
+      assert(await(g.submitAttempt("again")) == scala.util.Success("AGAIN"))
+    } finally g.close()
+  }
+
   test("submit after close is rejected (test:51-58)") {
     implicit val enc = org.apache.spark.sql.Encoders.scalaInt
     val g = Grouper.start[Int, Int](spark, ds => ds.collect().toSeq, capacity = 10)

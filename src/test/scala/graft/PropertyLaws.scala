@@ -118,7 +118,8 @@ object PropertyLaws extends Properties("graft") {
       val bounds = weights.map(_._2).scanLeft(0.0)(_ + _).tail
         .map(c => math.floor(1000 * c / total).toLong)
       val exp = (0L until rows.toLong).map { id =>
-        val slot = java.lang.Math.floorMod(id * 2654435761L, 1000L)
+        val slot = java.lang.Math.floorMod(
+          java.lang.Math.floorMod(id, 2147483648L) * 2654435761L, 1000L)
         // floor rounding can leave slots past the last bound; they belong
         // to the final split (the operator's otherwise-branch)
         val idx = bounds.indexWhere(slot < _)

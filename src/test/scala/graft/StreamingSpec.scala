@@ -158,4 +158,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(last == Map("a" -> 3L, "b" -> 1L))
     } finally q.stop()
   }
+
+  test("q97 static side is the served band layout, built once — never a per-batch recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val layout = graft.queries.Round3.corpusBandLayout(spark, sf)
+    val success = new java.io.File(layout, "_SUCCESS")
+    assert(success.exists())
+    val m0 = success.lastModified()
+    // serving a second time reuses the materialized layout as-is
+    assert(graft.queries.Round3.corpusBandLayout(spark, sf) == layout)
+    assert(success.lastModified() == m0)
+    val (qn, query) = graft.queries.Round3.streamCandidates(spark, sf)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out))(query.explain())
+    val plan = out.toString
+    // the static (corpus) side of the stream-static join must be a plain
+    // parquet scan of the materialized layout — Spark re-evaluates the
+    // static plan EVERY micro-batch, so anything else is corpus-sized
+    // per-batch work...
+    assert(plan.contains("graft_band_layout_v2"), s"static side must scan the layout:\n$plan")
+    // ...and the only in-flight signature computation is the stream
+    // (new-batch) side: one minhash projection, and documents.parquet is
+    // scanned exactly once — by the stream source (the recompute shape
+    // scanned it a second time to re-sign the corpus per batch)
+    assert("minhash_signature".r.findAllIn(plan).size == 1, plan)
+    assert("documents\\.parquet".r.findAllIn(plan).size == 1, plan)
+    assert(spark.table(qn).columns.toSet == Set("a_id", "b_id", "count"))
+  }
 }
