@@ -21,6 +21,8 @@ object Functions {
       "rolling_hash" -> ((es: Seq[Expression]) => RollingHash(es(0))),
       "word_shingles" -> ((es: Seq[Expression]) =>
         WordShingles(es(0), if (es.length > 1) litInt(es(1), "shingle size") else 3)),
+      "token_window_hashes" -> ((es: Seq[Expression]) =>
+        TokenWindowHashes(es(0), if (es.length > 1) litInt(es(1), "k") else 8)),
       "winnow_fingerprint" -> ((es: Seq[Expression]) =>
         WinnowFingerprint(es(0),
           if (es.length > 1) litInt(es(1), "k") else 7,
@@ -47,6 +49,11 @@ object Functions {
   /** Karp–Rabin polynomial hash of a string column. */
   def rolling_hash(text: Column): Column =
     Shims.column(RollingHash(Shims.expression(text)))
+
+  /** Rolling hashes of every k-token window of a string column, in
+    * position order (see [[TokenWindowHashes]]). */
+  def token_window_hashes(text: Column, k: Int = 8): Column =
+    Shims.column(TokenWindowHashes(Shims.expression(text), k))
 
   /** Winnowing k-gram fingerprints of a string column. */
   def winnow_fingerprint(text: Column, k: Int = 7, w: Int = 4): Column =

@@ -174,6 +174,74 @@ case class RollingHash(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Rolling hashes of every k-token window of a whitespace-tokenized
+  * string, in position order: `result(i)` is the hash of tokens
+  * `[i, i+k)`; empty when the document has fewer than k tokens.
+  *
+  * Karp–Rabin over per-token xxHash64 values (B=1000003, M=2^61−1) with
+  * the rolling update, so a document costs O(tokens) regardless of k —
+  * the building block of exact-substring dedup
+  * ([[graft.operators.Dedup.duplicatedSpans]]). The hash only needs to
+  * be COMPLETE (equal windows ⇒ equal hashes — immediate, both sides
+  * are a function of the window's tokens); rare collisions are removed
+  * by the caller's exact-text verify. Tokenization matches
+  * `split(trim(text), "\\s+")` exactly, so callers can reconstruct
+  * window text with `slice` over the same token array.
+  */
+case class TokenWindowHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
+  require(k >= 1, "window size must be >= 1")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_window_hashes"
+
+  private final val M = (1L << 61) - 1
+  private final val B = 1000003L
+  // B^(k-1) mod M — the weight of the outgoing token in the rolling update
+  private lazy val Bk: Long = {
+    var r = 1L; var i = 1
+    while (i < k) { r = mulmod(r, B); i += 1 }
+    r
+  }
+
+  private def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var res = (lo & M) + ((lo >>> 61) | (hi << 3))
+    if (res >= M) res -= M
+    res
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    if (words.length < k) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      // 61-bit token value; xx mod M keeps the polynomial arithmetic exact
+      val xx = XxHash64Function.hash(UTF8String.fromString(words(i)), StringType, 11L)
+      th(i) = java.lang.Long.remainderUnsigned(xx, M)
+      i += 1
+    }
+    val out = new Array[Long](words.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = mulmod(h, B) + th(i); if (h >= M) h -= M; i += 1 }
+    out(0) = h
+    i = k
+    while (i < words.length) {
+      h = h + M - mulmod(th(i - k), Bk); if (h >= M) h -= M
+      h = mulmod(h, B) + th(i); if (h >= M) h -= M
+      out(i - k + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hashes of all
   * character k-grams, reduced by taking the minimum in each sliding window
   * of w consecutive k-gram hashes. Output is the distinct, sorted set —

@@ -167,6 +167,66 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Maximal EXACT repeated token spans — the substring-level dedup of
+    * published training-data pipelines (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": repeated ~50-token
+    * spans), re-expressed for Spark: a suffix array does not distribute,
+    * but the same spans fall out of k-token window hashes, a corpus-wide
+    * repeat test and per-document island merging.
+    *
+    *  - windows: every k-token window hashed map-side by
+    *    [[graft.functions.TokenWindowHashes]] (rolling, O(tokens) per
+    *    doc) — windows travel the shuffle as 8-byte longs, not k-token
+    *    strings;
+    *  - repeated candidates: window hashes occurring at ≥ 2 corpus
+    *    positions (same or different documents). Hash equality is
+    *    COMPLETE (equal text ⇒ equal hash), so no true repeat is missed;
+    *  - verify: candidate windows — and only those — reconstruct their
+    *    exact token text and are re-counted on it, removing hash
+    *    collisions. Result is exact on both axes, hence DuckDB-oracleable;
+    *  - spans: consecutive duplicated positions merge into maximal spans
+    *    (gaps-and-islands per document).
+    *
+    * Returns (id, start_pos, span_tokens, n_windows) per maximal
+    * repeated span, one row per span. At 100 TB the wide shuffles carry
+    * (hash, id, pos) triples; the text-side shuffle is bounded by the
+    * candidate count; boilerplate hot windows are the usual skew risk
+    * (AQE skew-join; a stop-window count guard is the knob if a single
+    * window recurs millions of times).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("__ws"),
+      graft.functions.Functions.token_window_hashes(col(textCol), k).as("__whs"))
+    val wins = toks.select(col("id"), col("__ws"),
+      posexplode(col("__whs")).as(Seq("pos", "__wh")))
+    // corpus-wide repeat test on the hash: one shuffle of (id, pos, hash)
+    val repeats = wins.select(col("__wh"))
+      .groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    // only colliding windows materialize their token text
+    val cand = wins.join(repeats, "__wh")
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("__ws"), col("pos") + 1, lit(k))).as("__gram"))
+    // exact-text recount: kills hash collisions (count over a window —
+    // one shuffle on the candidate grams, no second aggregate+join)
+    val dup = cand
+      .withColumn("__gn", count(lit(1)).over(Window.partitionBy(col("__gram"))))
+      .filter(col("__gn") >= 2)
+      .select(col("id"), col("pos"))
+    // gaps-and-islands: runs of consecutive duplicated positions form one
+    // maximal span of (last - first + k) tokens
+    val isl = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dup.withColumn("__grp", col("pos") - row_number().over(isl))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).as("span_tokens"),
+        count(lit(1)).cast("int").as("n_windows"))
+      .select(col("id"), col("start_pos"), col("span_tokens"), col("n_windows"))
+  }
+
   /** Connected components over an undirected pair list — the missing
     * last step of a dedup pipeline: LSH pairs → groups → keep one
     * representative per group. Returns (id, component) with component =
