@@ -36,7 +36,11 @@ object Bench {
       } catch { case _: Throwable => () }
       elapsed
     }
+    // SPARK_GRAFT_ONLY=q101,q82 restricts the run (prefix match) for
+    // single-query iteration; unset = full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val cold = sorted.map { case (name, fn) => name -> runOnce(name, fn) }
     // one further timed pass; per query report the MINIMUM of the two
     // executions — the noise floor. This machine shows bursty external

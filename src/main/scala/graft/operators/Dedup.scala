@@ -189,9 +189,14 @@ object Dedup {
     *
     * Returns (id, start_pos, span_tokens, n_windows) per maximal
     * repeated span, one row per span. At 100 TB the wide shuffles carry
-    * (hash, id, pos) triples; the text-side shuffle is bounded by the
-    * candidate count; boilerplate hot windows are the usual skew risk
-    * (AQE skew-join; a stop-window count guard is the knob if a single
+    * only (hash) / (id, pos) slim rows — exploded window rows never
+    * carry token arrays (an early version did; the per-row array copy
+    * dominated runtime even locally). Candidate grams are materialized
+    * by a second map-side pass over the corpus: the per-doc candidate
+    * position lists join back broadcast, so no token array ever crosses
+    * the network. The text-side shuffle is bounded by the candidate
+    * count; boilerplate hot windows are the usual skew risk (AQE
+    * skew-join; a stop-window count guard is the knob if a single
     * window recurs millions of times).
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
@@ -200,16 +205,23 @@ object Dedup {
     val toks = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("__ws"),
       graft.functions.Functions.token_window_hashes(col(textCol), k).as("__whs"))
-    val wins = toks.select(col("id"), col("__ws"),
+    // slim exploded rows: (id, pos, 8-byte hash) — no token arrays
+    val wins = toks.select(col("id"),
       posexplode(col("__whs")).as(Seq("pos", "__wh")))
-    // corpus-wide repeat test on the hash: one shuffle of (id, pos, hash)
     val repeats = wins.select(col("__wh"))
       .groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
-    // only colliding windows materialize their token text
-    val cand = wins.join(repeats, "__wh")
-      .select(col("id"), col("pos"),
-        concat_ws(" ", slice(col("__ws"), col("pos") + 1, lit(k))).as("__gram"))
+    // candidate positions, regrouped per doc (small: only colliding
+    // windows survive), then joined back to the corpus — broadcast, so
+    // the gram text is built map-side on the corpus scan
+    val candByDoc = wins.join(repeats, "__wh")
+      .groupBy(col("id")).agg(collect_list(col("pos")).as("__ps"))
+    val cand = toks.join(broadcast(candByDoc), Seq("id"))
+      .select(col("id"), explode(transform(col("__ps"), p =>
+        struct(p.as("pos"),
+          concat_ws(" ", slice(col("__ws"), p + lit(1), lit(k))).as("__gram"))))
+        .as("__pg"))
+      .select(col("id"), col("__pg.pos").as("pos"), col("__pg.__gram").as("__gram"))
     // exact-text recount: kills hash collisions (count over a window —
     // one shuffle on the candidate grams, no second aggregate+join)
     val dup = cand
