@@ -202,6 +202,26 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val dup = duplicatedPositions(docs, idCol, textCol, k)
+    // gaps-and-islands: runs of consecutive duplicated positions form one
+    // maximal span of (last - first + k) tokens
+    val isl = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dup.withColumn("__grp", col("pos") - row_number().over(isl))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).as("span_tokens"),
+        count(lit(1)).cast("int").as("n_windows"))
+      .select(col("id"), col("start_pos"), col("span_tokens"), col("n_windows"))
+  }
+
+  /** The exact duplicated window positions behind [[duplicatedSpans]]:
+    * (id, pos) for every k-token window occurring at ≥ 2 corpus
+    * positions. Hash candidates first (slim 8-byte rows through every
+    * wide shuffle), exact-text verify second (kills collisions) — see
+    * duplicatedSpans for the full cost model. */
+  private[graft] def duplicatedPositions(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("__ws"),
       graft.functions.Functions.token_window_hashes(col(textCol), k).as("__whs"))
@@ -224,19 +244,35 @@ object Dedup {
       .select(col("id"), col("__pg.pos").as("pos"), col("__pg.__gram").as("__gram"))
     // exact-text recount: kills hash collisions (count over a window —
     // one shuffle on the candidate grams, no second aggregate+join)
-    val dup = cand
+    cand
       .withColumn("__gn", count(lit(1)).over(Window.partitionBy(col("__gram"))))
       .filter(col("__gn") >= 2)
       .select(col("id"), col("pos"))
-    // gaps-and-islands: runs of consecutive duplicated positions form one
-    // maximal span of (last - first + k) tokens
-    val isl = Window.partitionBy(col("id")).orderBy(col("pos"))
-    dup.withColumn("__grp", col("pos") - row_number().over(isl))
-      .groupBy(col("id"), col("__grp"))
-      .agg(min(col("pos")).as("start_pos"),
-        (max(col("pos")) - min(col("pos")) + lit(k)).as("span_tokens"),
-        count(lit(1)).cast("int").as("n_windows"))
-      .select(col("id"), col("start_pos"), col("span_tokens"), col("n_windows"))
+  }
+
+  /** Per-document duplication ratio — the document-level DROP SCORE of
+    * substring dedup (Lee et al. 2022 discard documents whose content is
+    * mostly corpus-duplicated text): the fraction of a document's
+    * k-token windows that occur elsewhere in the corpus (or again in the
+    * same document). Exact (hash-candidates + text verify, like
+    * [[duplicatedSpans]]), so the scores are DuckDB-oracleable.
+    *
+    * Returns (id, n_windows, dup_windows, dup_ratio) for every document
+    * with at least one window; dup_ratio ∈ [0,1] rounded to 6 places.
+    */
+  def duplicationRatio(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val totals = docs.select(col(idCol).as("id"),
+        greatest(size(TextAnalysis.tokens(col(textCol))) - lit(k - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .filter(col("n_windows") > 0)
+    val dups = duplicatedPositions(docs, idCol, textCol, k)
+      .groupBy(col("id")).agg(count(lit(1)).as("dup_windows"))
+    totals.join(dups, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        round(coalesce(col("dup_windows"), lit(0L)) / col("n_windows"), 6)
+          .as("dup_ratio"))
   }
 
   /** Connected components over an undirected pair list — the missing

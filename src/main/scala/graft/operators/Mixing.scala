@@ -68,4 +68,56 @@ object Mixing {
       }
     df.withColumn(splitCol, assign)
   }
+
+  /** Per-stratum deterministic sampling: keep an expected `fraction` of
+    * each stratum, by the same reproducible multiplicative-hash draw as
+    * [[splitByHash]]. Unlike `df.stat.sampleBy` the draw is RNG-free —
+    * the same rows survive on every run, engine and partitioning, so a
+    * sampled corpus is a stable artifact, not a lottery. Strata absent
+    * from `fractions` keep `defaultFraction`. Pure map-side filter: no
+    * shuffle, no per-stratum pass — one scan at any scale. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      buckets: Int = 1000): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions / $defaultFraction")
+    val slot = slotOf(col(idCol), buckets)
+    def bound(f: Double) = lit(math.floor(buckets * f).toLong)
+    val admit = fractions.foldRight(bound(defaultFraction): org.apache.spark.sql.Column) {
+      case ((name, f), rest) => when(col(strataCol) === name, bound(f)).otherwise(rest)
+    }
+    df.filter(slot < admit)
+  }
+
+  /** Concat-and-chunk sequence packing — the layout step that turns a
+    * tokenized corpus into fixed-length training sequences (the GPT-style
+    * "pack everything end to end, cut every seqLen tokens" recipe):
+    * documents are laid out end-to-end in `orderCol` order and the token
+    * stream is cut every `seqLen` tokens. Emits, per document, where it
+    * landed: its global token offset, first/last training sequence index
+    * and offset within the first sequence — the metadata a loader needs
+    * to slice the actual token tensors, and what boundary-aware attention
+    * masking consumes.
+    *
+    * The global token offset is an exact distributed prefix sum
+    * ([[Scale.prefixSum]]: per-partition sums → driver scan of
+    * #partitions longs → broadcast offsets), so there is no
+    * single-partition exchange; the corpus is scanned, never collected.
+    * `orderCol` must be unique (prefix-sum requirement).
+    */
+  def packSequences(df: DataFrame, orderCol: String, nTokensCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    // `div` (not `/`): exact integer division at any token count — a
+    // double-typed division would silently lose precision past 2^53
+    // cumulative tokens, well within 100 TB range
+    Scale.prefixSum(df, orderCol, nTokensCol, "__cum")
+      .withColumn("start_token", col("__cum") - col(nTokensCol))
+      .withColumn("first_seq", expr(s"`start_token` div $seqLen"))
+      // empty docs occupy no sequence: last_seq degenerates to first_seq
+      .withColumn("last_seq",
+        greatest(expr(s"(`__cum` - 1) div $seqLen"), col("first_seq")))
+      .withColumn("seq_offset", pmod(col("start_token"), lit(seqLen.toLong)))
+      .drop("__cum")
+  }
 }

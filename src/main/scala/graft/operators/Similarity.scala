@@ -385,4 +385,56 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Semantic (embedding-space) deduplication — the SemDeDup recipe
+    * (Abbas et al. 2023): cluster the embeddings with the sample-trained
+    * spherical k-means quantizer, then within each cluster drop every
+    * vector that has a LOWER-id cluster-mate with cosine ≥ `threshold`.
+    * The drop rule is deterministic (no RNG, engine-stable tie-break by
+    * id), so repeated runs keep exactly the same corpus.
+    *
+    * The cluster pass is what makes this tractable: the quadratic
+    * pairwise check runs per cell, O(Σ cell²) instead of O(n²) — the
+    * paper's design point. Near-dup pairs split across cells are the
+    * (accepted, measured) recall loss of the method; exact duplicates
+    * can never split, since identical vectors get identical argmax
+    * cells. `maxCellPairs` is the stop-cell guard: a degenerate cell
+    * whose pair space exceeds it fails fast instead of running a
+    * quadratic join nobody sized for — repartition or raise nlist.
+    *
+    * Returns surviving (vec_id, cell). Deterministic but not
+    * SQL-expressible (the quantizer is trained), so correctness is
+    * pinned by SemanticDedupSpec: planted exact duplicates collapse to
+    * one survivor, well-separated vectors all survive.
+    */
+  def semanticDedup(vectors: DataFrame, threshold: Double,
+      nlist: Int = 16, maxTrainSample: Int = 100000,
+      maxCellPairs: Long = 100000000L): DataFrame = {
+    val sample = vectors.select(col("embedding")).limit(maxTrainSample)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centers = trainCentroids(sample, nlist)
+    def cellOf(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      greatest(centers.zipWithIndex.map { case (c, i) =>
+        struct(cosine_similarity(emb, typedLit(c.map(_.toFloat))).as("s"),
+          lit(i).as("c"))
+      }: _*).getField("c")
+    // deliberately not cached (the ivfServedTopK trade): assignment is a
+    // pure map-side codegen expression, so re-evaluating it per consumer
+    // costs extra scans, where a persist would pin the whole table and
+    // leak past this call (nothing can unpersist after the caller
+    // materializes the lazily-returned result)
+    val assigned = vectors
+      .select(col("vec_id"), col("embedding"), cellOf(col("embedding")).as("cell"))
+    val worst = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(expr("n * (n - 1) div 2")), lit(0L)).as("p"))
+      .collect()(0).getLong(0)
+    require(worst <= maxCellPairs,
+      s"largest cell generates $worst pairs > maxCellPairs=$maxCellPairs; raise nlist")
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine_similarity(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
 }

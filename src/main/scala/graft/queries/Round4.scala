@@ -2,13 +2,14 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Merge, Mixing, Similarity, TextAnalysis}
 import graft.sources.{Tables => T}
 
-/** Round-4 surface additions: exact substring (repeated-span) dedup —
-  * the suffix-style dedup of published training-data pipelines, which
-  * the doc/shingle-level family (exact, MinHash, SimHash, n-gram
-  * Jaccard, embedding) does not cover.
+/** Round-4 surface additions: exact substring (repeated-span) dedup and
+  * its per-document drop score, sequence packing (ordered and
+  * deterministically shuffled), stratified sampling, CDC merge, and
+  * SemDeDup-style semantic dedup — the remaining published
+  * training-data-pipeline operators the earlier families don't cover.
   */
 object Round4 {
 
@@ -42,6 +43,148 @@ object Round4 {
       SELECT doc_id, CAST(min(pos) AS INT) AS start_pos,
              CAST(max(pos) - min(pos) + 8 AS INT) AS span_tokens,
              CAST(count(*) AS INT) AS n_windows
-      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos"""))
+      FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""")),
+
+    // per-document duplication ratio — the document-level drop score of
+    // substring dedup (discard docs that are mostly corpus-duplicated
+    // text): exact fraction of each doc's 8-token windows that occur at
+    // >= 2 corpus positions
+    Q("q102_duplication_ratio", (s, d) => {
+      import s.implicits._
+      Dedup.duplicationRatio(T.documents(s, d), "doc_id", "text", k = 8)
+        .select($"id".as("doc_id"), $"n_windows", $"dup_windows", $"dup_ratio")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      g AS (SELECT doc_id,
+                   CAST(unnest(generate_series(1, greatest(len(ws) - 7, 0))) - 1 AS INT) AS pos,
+                   unnest(list_transform(generate_series(1, greatest(len(ws) - 7, 0)),
+                     i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+                                         ws[i+4], ws[i+5], ws[i+6], ws[i+7]))) AS gram
+            FROM w),
+      dup AS (SELECT doc_id, count(*) AS dw FROM (
+                SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS gn FROM g) t
+              WHERE gn >= 2 GROUP BY doc_id),
+      tot AS (SELECT doc_id, greatest(len(ws) - 7, 0) AS nw FROM w)
+      SELECT t.doc_id, CAST(nw AS BIGINT) AS n_windows,
+             CAST(coalesce(dw, 0) AS BIGINT) AS dup_windows,
+             round(coalesce(dw, 0) * 1.0 / nw, 6) AS dup_ratio
+      FROM tot t LEFT JOIN dup USING (doc_id)
+      WHERE nw > 0 ORDER BY t.doc_id""")),
+
+    // concat-and-chunk sequence packing in doc_id order: where each doc
+    // lands in the fixed 512-token training sequences (global offset via
+    // distributed prefix sum — no single-partition exchange)
+    Q("q103_pack_sequences", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .select($"doc_id", size(TextAnalysis.tokens($"text")).as("nt"))
+      Mixing.packSequences(docs, "doc_id", "nt", seqLen = 512)
+        .select($"doc_id", $"nt".cast("long").as("n_tokens"), $"start_token",
+          $"first_seq", $"last_seq", $"seq_offset")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id,
+                        len(regexp_split_to_array(trim(text), '\s+')) AS n
+                 FROM documents),
+      c AS (SELECT doc_id, n,
+                   CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+            FROM t)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             cum - n AS start_token,
+             (cum - n) // 512 AS first_seq,
+             greatest((cum - 1) // 512, (cum - n) // 512) AS last_seq,
+             (cum - n) % 512 AS seq_offset
+      FROM c ORDER BY doc_id""")),
+
+    // the same packing after a DETERMINISTIC corpus shuffle (order by
+    // md5 of the id): the reproducible global permutation a training run
+    // needs — same layout every run, every engine, every partitioning
+    Q("q104_shuffled_pack", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .select($"doc_id", md5($"doc_id".cast("string")).as("h"),
+          size(TextAnalysis.tokens($"text")).as("nt"))
+      Mixing.packSequences(docs, "h", "nt", seqLen = 512)
+        .select($"doc_id", $"h", $"nt".cast("long").as("n_tokens"),
+          $"start_token", $"first_seq", $"last_seq", $"seq_offset")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                        len(regexp_split_to_array(trim(text), '\s+')) AS n
+                 FROM documents),
+      c AS (SELECT doc_id, h, n,
+                   CAST(sum(n) OVER (ORDER BY h) AS BIGINT) AS cum
+            FROM t)
+      SELECT doc_id, h, CAST(n AS BIGINT) AS n_tokens,
+             cum - n AS start_token,
+             (cum - n) // 512 AS first_seq,
+             greatest((cum - 1) // 512, (cum - n) // 512) AS last_seq,
+             (cum - n) % 512 AS seq_offset
+      FROM c ORDER BY doc_id""")),
+
+    // per-stratum deterministic sampling: keep 50% of English, 20% of
+    // German, 10% of everything else — RNG-free multiplicative-hash
+    // draw, so the sampled corpus is identical on every run and engine
+    Q("q105_stratified_sample", (s, d) => {
+      import s.implicits._
+      Mixing.stratifiedSample(T.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.2), defaultFraction = 0.1)
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    }, Some("""
+      SELECT doc_id, lang, source FROM documents
+      WHERE ((doc_id % 2147483648) * 2654435761) % 1000 <
+            CASE WHEN lang = 'en' THEN 500
+                 WHEN lang = 'de' THEN 200 ELSE 100 END
+      ORDER BY doc_id""")),
+
+    // CDC apply / MERGE INTO: upserts (keys % 7), deletes (keys % 11,
+    // winning by higher seq), inserts (fresh keys) applied to the orders
+    // snapshot in ONE keyed shuffle — no join; exact-decimal checksum
+    Q("q106_merge_upsert", (s, d) => {
+      import s.implicits._
+      val base = T.orders(s, d)
+      val upd = base.filter($"o_orderkey" % 7 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+      val del = base.filter($"o_orderkey" % 11 === 0)
+        .withColumn("__op", lit("D")).withColumn("__seq", lit(2L))
+      val ins = base.filter($"o_orderkey" % 13 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+      Merge.applyChanges(base, upd.unionByName(del).unionByName(ins),
+          Seq("o_orderkey"), "__op", "__seq")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(15,2)")).as("total"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      WITH upd AS (SELECT * REPLACE (o_totalprice + 1000.0 AS o_totalprice)
+                   FROM orders WHERE o_orderkey % 7 = 0),
+      merged AS (
+        SELECT * FROM (
+          SELECT * FROM orders
+          WHERE o_orderkey % 7 != 0
+          UNION ALL SELECT * FROM upd) b
+        WHERE o_orderkey % 11 != 0
+        UNION ALL
+        SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+        FROM orders WHERE o_orderkey % 13 = 0)
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS total
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // SemDeDup-style semantic dedup over the embeddings table: cluster
+    // with the sample-trained spherical-kmeans quantizer, drop vectors
+    // with a lower-id cluster-mate at cosine >= 0.9. Deterministic but
+    // quantizer-trained, so not SQL-expressible: rows-only here;
+    // SemanticDedupSpec pins planted-duplicate collapse + unique survival
+    Q("q107_semantic_dedup", (s, d) => {
+      import s.implicits._
+      Similarity.semanticDedup(T.embeddings(s, d), threshold = 0.9, nlist = 8)
+        .orderBy($"vec_id")
+    }, None)
   )
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Dedup, Merge, Mixing}
+
+/** Round-4 operators: duplication ratio, sequence packing, stratified
+  * sampling, CDC merge. (Semantic dedup has its own SemanticDedupSpec.)
+  */
+class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- duplication ratio -------------------------------------------------
+
+  test("duplication ratio is exact on a planted half-duplicated doc") {
+    import spark.implicits._
+    // doc 1: 10 shared + 10 unique tokens; doc 2: the same 10 shared.
+    // doc 1 has 20-8+1 = 13 windows, of which the 3 fully inside the
+    // shared run are duplicated; doc 2 has exactly those 3 windows
+    val shared = (0 until 10).map(i => s"dup$i").mkString(" ")
+    val a = (shared +: (0 until 10).map(i => s"a$i")).mkString(" ")
+    val got = Dedup.duplicationRatio(
+        Seq((1L, a), (2L, shared)).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 13L, 3L), (2L, 3L, 3L)))
+  }
+
+  test("fully unique corpus scores zero everywhere") {
+    import spark.implicits._
+    val docs = (1 to 5).map(d =>
+      (d.toLong, (0 until 12).map(i => s"w${d}_$i").mkString(" ")))
+    val got = Dedup.duplicationRatio(docs.toDF("doc_id", "text"), "doc_id", "text", 8)
+      .collect()
+    assert(got.length == 5 && got.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+  }
+
+  // ---- sequence packing --------------------------------------------------
+
+  test("packing layout reconstructs the exact concatenated token stream") {
+    import spark.implicits._
+    // token counts chosen to straddle seqLen=10 boundaries in every way:
+    // exact fit, spill into next, multi-sequence span, empty doc
+    val docs = Seq((1L, 10), (2L, 3), (3L, 25), (4L, 0), (5L, 7))
+      .toDF("doc_id", "nt").repartition(3)
+    val got = Mixing.packSequences(docs, "doc_id", "nt", seqLen = 10)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(r.fieldIndex("start_token")),
+        r.getLong(r.fieldIndex("first_seq")), r.getLong(r.fieldIndex("last_seq")),
+        r.getLong(r.fieldIndex("seq_offset"))))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L, 0L),    // fills seq 0 exactly
+      (10L, 1L, 1L, 0L),   // starts seq 1
+      (13L, 1L, 3L, 3L),   // spans seqs 1..3 (tokens 13..37)
+      (38L, 3L, 3L, 8L),   // empty doc: degenerate at its offset
+      (38L, 3L, 4L, 8L)))  // tokens 38..44
+  }
+
+  test("packing offsets are partitioning-invariant") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, (i % 13).toInt))
+    val one = Mixing.packSequences(docs.toDF("doc_id", "nt").coalesce(1),
+      "doc_id", "nt", 7).orderBy("doc_id").collect().toSeq
+    val many = Mixing.packSequences(docs.toDF("doc_id", "nt").repartition(11),
+      "doc_id", "nt", 7).orderBy("doc_id").collect().toSeq
+    assert(one == many)
+  }
+
+  // ---- stratified sampling ----------------------------------------------
+
+  test("stratified sample is a deterministic subset with per-stratum rates") {
+    import spark.implicits._
+    val rows = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    val df = rows.toDF("id", "lang")
+    val kept = Mixing.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.1))
+    val again = Mixing.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.1))
+    val a = kept.collect().map(_.getLong(0)).toSet
+    assert(a == again.collect().map(_.getLong(0)).toSet) // deterministic
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash-slot draw: expected 1000 en / 200 de, concentration well
+    // within ±20% at n=2000 per stratum
+    assert(math.abs(byLang("en") - 1000L) < 200, s"en=${byLang("en")}")
+    assert(math.abs(byLang("de") - 200L) < 80, s"de=${byLang("de")}")
+  }
+
+  test("unlisted strata fall back to the default fraction") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, "xx")).toDF("id", "lang")
+    assert(Mixing.stratifiedSample(df, "lang", "id", Map("en" -> 1.0)).count() == 0L)
+    assert(Mixing.stratifiedSample(df, "lang", "id", Map.empty,
+      defaultFraction = 1.0).count() == 1000L)
+  }
+
+  // ---- CDC merge ---------------------------------------------------------
+
+  private def merged(base: Seq[(Long, String)], changes: Seq[(Long, String, String, Long)]) = {
+    import spark.implicits._
+    Merge.applyChanges(
+        base.toDF("k", "v"),
+        changes.toDF("k", "v", "op", "seq"),
+        Seq("k"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+  }
+
+  test("upsert replaces, delete removes, untouched rows pass through") {
+    assert(merged(
+      base = Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      changes = Seq((2L, "B", "U", 1L), (3L, "x", "D", 1L), (9L, "new", "U", 1L)))
+      == Set(1L -> "a", 2L -> "B", 9L -> "new"))
+  }
+
+  test("multiple changes per key resolve latest-seq-wins") {
+    assert(merged(
+      base = Seq((1L, "a")),
+      // delete at seq 1, then re-insert at seq 2; key 2 inserted then deleted
+      changes = Seq((1L, "x", "D", 1L), (1L, "back", "U", 2L),
+        (2L, "tmp", "U", 1L), (2L, "y", "D", 2L)))
+      == Set(1L -> "back"))
+  }
+
+  test("merge is idempotent: applying an empty feed changes nothing") {
+    assert(merged(Seq((1L, "a"), (2L, "b")), Seq.empty) == Set(1L -> "a", 2L -> "b"))
+  }
+}
