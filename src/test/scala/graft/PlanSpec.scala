@@ -123,4 +123,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange".r.findAllIn(p).size <= 2, s"extra shuffles in:\n$p")
     assert(!p.contains("Join"), "split assignment must not join")
   }
+
+  test("q101/q102: substring-dedup wide shuffles never carry token arrays") {
+    // the repeat-test aggregate and its join must see only slim
+    // (id, pos, hash) rows; token arrays stay map-side (the gram pass
+    // reads them through a broadcast join of candidate positions)
+    for (q <- Seq("q101_substring_dedup", "q102_duplication_ratio")) {
+      val p = plan(q)
+      val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty, p)
+      assert(!exchanges.exists(_.contains("__ws")),
+        s"token-array column __ws crosses a shuffle in $q:\n${exchanges.mkString("\n")}")
+      assert(p.contains("BroadcastHashJoin"), s"candidate positions must broadcast in $q")
+    }
+  }
+
+  test("q103: sequence packing has no single-partition exchange") {
+    val p = plan("q103_pack_sequences")
+    assert(!p.contains("SinglePartition"), s"single-partition exchange in:\n$p")
+    assert(p.contains("rangepartitioning"), s"prefix sum must range-partition:\n$p")
+  }
+
+  test("q105: stratified sampling filters on the scan — no join, no extra shuffle") {
+    val p = plan("q105_stratified_sample")
+    assert(!p.contains("Join"), "per-stratum rates must be inline, not joined")
+    // only the final orderBy's range exchange
+    assert("Exchange".r.findAllIn(p).size <= 1, s"extra shuffles in:\n$p")
+  }
+
+  test("q106: CDC merge is one keyed shuffle — union + window, no join") {
+    val p = plan("q106_merge_upsert")
+    assert(!p.contains("Join"), s"merge must not join:\n$p")
+    assert(p.contains("Union"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"merge should shuffle once on the key (plus the final agg):\n$p")
+  }
 }
