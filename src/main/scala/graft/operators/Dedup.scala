@@ -222,21 +222,23 @@ object Dedup {
   private[graft] def duplicatedPositions(docs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("id"),
-      TextAnalysis.tokens(col(textCol)).as("__ws"),
-      graft.functions.Functions.token_window_hashes(col(textCol), k).as("__whs"))
+    val raw = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
     // slim exploded rows: (id, pos, 8-byte hash) — no token arrays
-    val wins = toks.select(col("id"),
-      posexplode(col("__whs")).as(Seq("pos", "__wh")))
+    val wins = raw.select(col("id"),
+      posexplode(graft.functions.Functions.token_window_hashes(col("__t"), k))
+        .as(Seq("pos", "__wh")))
     val repeats = wins.select(col("__wh"))
       .groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
     // candidate positions, regrouped per doc (small: only colliding
     // windows survive), then joined back to the corpus — broadcast, so
-    // the gram text is built map-side on the corpus scan
+    // the gram text is built map-side on the corpus scan, and ONLY for
+    // documents that have candidates (tokenization sits above the join,
+    // so non-colliding docs are dropped before paying it)
     val candByDoc = wins.join(repeats, "__wh")
       .groupBy(col("id")).agg(collect_list(col("pos")).as("__ps"))
-    val cand = toks.join(broadcast(candByDoc), Seq("id"))
+    val cand = raw.join(broadcast(candByDoc), Seq("id"))
+      .select(col("id"), TextAnalysis.tokens(col("__t")).as("__ws"), col("__ps"))
       .select(col("id"), explode(transform(col("__ps"), p =>
         struct(p.as("pos"),
           concat_ws(" ", slice(col("__ws"), p + lit(1), lit(k))).as("__gram"))))
