@@ -185,6 +185,54 @@ object Round4 {
       import s.implicits._
       Similarity.semanticDedup(T.embeddings(s, d), threshold = 0.9, nlist = 8)
         .orderBy($"vec_id")
-    }, None)
+    }, None),
+
+    // STREAMING CDC: a change feed arrives on a stream and each
+    // micro-batch MERGEs into a key-hash-bucketed parquet snapshot,
+    // rewriting only the touched buckets (the Delta MERGE access pattern
+    // on plain parquet). One op per key in the feed, so the final
+    // snapshot is batching-invariant; checksum of the drained snapshot
+    Q("q108_stream_cdc", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val path = s"/tmp/graft_cdc_${System.nanoTime()}"
+      val base = T.orders(s, d)
+      Merge.writeBucketedSnapshot(base, path, Seq("o_orderkey"), buckets = 16)
+      val k = $"o_orderkey"
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val changes = s.readStream.schema(schema).parquet(s"$d/orders.*")
+        .filter(k % 7 === 0 || k % 11 === 0 || k % 13 === 0)
+        .withColumn("__op", when(k % 11 === 0, "D").otherwise("U"))
+        .withColumn("o_totalprice",
+          when(k % 7 === 0 && k % 11 =!= 0, $"o_totalprice" + 1000.0)
+            .otherwise($"o_totalprice"))
+        .withColumn("o_orderkey",
+          when(k % 11 =!= 0 && k % 7 =!= 0 && k % 13 === 0, k + 100000000L)
+            .otherwise(k))
+        .withColumn("__seq", lit(1L))
+      val query = changes.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Merge.applyChangesBucketed(path, b, Seq("o_orderkey"), "__op", "__seq", 16)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.read.parquet(path)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(15,2)")).as("total"))
+        .orderBy($"o_orderstatus")
+    }, Some("""
+      WITH m AS (
+        SELECT * REPLACE (CASE WHEN o_orderkey % 7 = 0
+                               THEN o_totalprice + 1000.0
+                               ELSE o_totalprice END AS o_totalprice)
+        FROM orders WHERE o_orderkey % 11 != 0
+        UNION ALL
+        SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+        FROM orders
+        WHERE o_orderkey % 11 != 0 AND o_orderkey % 7 != 0 AND o_orderkey % 13 = 0)
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS total
+      FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -128,5 +130,66 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("merge is idempotent: applying an empty feed changes nothing") {
     assert(merged(Seq((1L, "a"), (2L, "b")), Seq.empty) == Set(1L -> "a", 2L -> "b"))
+  }
+
+  // ---- bucketed CDC snapshot ----------------------------------------------
+
+  test("bucketed apply rewrites only touched buckets, equals full merge") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val path = Files.createTempDirectory("graft_cdc_spec").toString + "/snap"
+    val base = (1L to 500L).map(i => (i, s"v$i")).toDF("k", "v")
+    Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 8)
+
+    // record per-bucket file listings before the merge
+    def bucketFiles(b: Int): Set[(String, Long)] = {
+      val dir = Paths.get(path, s"__bucket=$b")
+      if (!Files.exists(dir)) Set.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => (p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+          .toSet
+        finally s.close()
+      }
+    }
+    val before = (0 until 8).map(b => b -> bucketFiles(b)).toMap
+
+    val changes = Seq((3L, "V3", "U", 1L), (7L, "x", "D", 1L), (900L, "new", "U", 1L))
+      .toDF("k", "v", "op", "seq")
+    Merge.applyChangesBucketed(path, changes, Seq("k"), "op", "seq", buckets = 8)
+
+    // snapshot content equals the all-at-once merge
+    val got = spark.read.parquet(path).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    val want = Merge.applyChanges(base, changes, Seq("k"), "op", "seq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == want)
+
+    // untouched buckets keep their exact files; touched ones were rewritten
+    val touchedBuckets = changes.select(pmod(xxhash64($"k"), lit(8L)).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    (0 until 8).foreach { b =>
+      if (touchedBuckets.contains(b))
+        assert(bucketFiles(b) != before(b), s"touched bucket $b not rewritten")
+      else
+        assert(bucketFiles(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+  }
+
+  test("bucketed apply supports repeated batches (stream shape)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_spec2").toString + "/snap"
+    val base = (1L to 100L).map(i => (i, i * 10)).toDF("k", "v")
+    Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 4)
+    Merge.applyChangesBucketed(path,
+      Seq((1L, 111L, "U", 1L)).toDF("k", "v", "op", "seq"), Seq("k"), "op", "seq", 4)
+    Merge.applyChangesBucketed(path,
+      Seq((1L, 999L, "U", 2L), (2L, 0L, "D", 2L)).toDF("k", "v", "op", "seq"),
+      Seq("k"), "op", "seq", 4)
+    val got = spark.read.parquet(path).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 999L && !got.contains(2L) && got.size == 99)
   }
 }
