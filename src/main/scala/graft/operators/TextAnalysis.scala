@@ -70,6 +70,30 @@ object TextAnalysis {
   /** Redact emails and phone numbers with typed placeholders — the
     * map-side scrub every shared-corpus release runs. regexp_replace
     * replaces ALL occurrences. */
+  /** Statistical language-model quality score — the CCNet recipe
+    * (Wenzek et al. 2020 rank crawled text by LM perplexity; here the LM
+    * is the corpus's own unigram distribution, trained and applied in
+    * the same plan): per document, the mean log-probability of its
+    * tokens under corpus unigram frequencies. Low scores flag
+    * gibberish/rare-token documents, high scores flag boilerplate — the
+    * standard statistical quality signal when no external model ships.
+    *
+    * Three shuffles at any scale: the corpus-wide term-count aggregate,
+    * the token→frequency join (vocab-keyed; AQE broadcasts it when the
+    * vocabulary is small), and the per-doc aggregate. The 1-row total
+    * broadcasts. Returns (id, n_tokens, avg_logp). */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("__w"))
+    val freqs = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val total = toks.agg(count(lit(1)).as("__t"))
+    toks.join(freqs, "__w").crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("__c") * lit(1.0) / col("__t"))), 6).as("avg_logp"))
+  }
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(text, emailPattern, "<EMAIL>"),

@@ -233,6 +233,68 @@ object Round4 {
         WHERE o_orderkey % 11 != 0 AND o_orderkey % 7 != 0 AND o_orderkey % 13 = 0)
       SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS total
-      FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+      FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // statistical LM quality score (the CCNet signal, self-trained):
+    // mean log-probability of each doc's tokens under the corpus's own
+    // unigram distribution — low = rare-token gibberish, high =
+    // boilerplate; the LM trains and applies inside one plan
+    Q("q109_lm_quality", (s, d) => {
+      import s.implicits._
+      TextAnalysis.unigramLogProb(T.documents(s, d), "doc_id", "text")
+        .select($"id".as("doc_id"), $"n_tokens", $"avg_logp")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                    FROM documents),
+      f AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+      t AS (SELECT count(*) AS t FROM toks)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln(f.c * 1.0 / t.t)), 6) AS avg_logp
+      FROM toks JOIN f USING (w) CROSS JOIN t
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // snapshot diff: what the q106 change feed actually did to the
+    // orders snapshot, recovered by comparing the two versions — the
+    // audit/validation step of dataset versioning. One full-outer join
+    Q("q110_snapshot_diff", (s, d) => {
+      import s.implicits._
+      val base = T.orders(s, d)
+      val upd = base.filter($"o_orderkey" % 7 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+      val del = base.filter($"o_orderkey" % 11 === 0)
+        .withColumn("__op", lit("D")).withColumn("__seq", lit(2L))
+      val ins = base.filter($"o_orderkey" % 13 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+      val next = Merge.applyChanges(base, upd.unionByName(del).unionByName(ins),
+        Seq("o_orderkey"), "__op", "__seq")
+      Merge.snapshotDiff(base, next, Seq("o_orderkey"))
+        .groupBy($"change").agg(count(lit(1)).as("n"))
+        .orderBy($"change")
+    }, Some("""
+      WITH merged AS (
+        SELECT * FROM (
+          SELECT * REPLACE (CASE WHEN o_orderkey % 7 = 0
+                                 THEN o_totalprice + 1000.0
+                                 ELSE o_totalprice END AS o_totalprice)
+          FROM orders) b
+        WHERE o_orderkey % 11 != 0
+        UNION ALL
+        SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+        FROM orders WHERE o_orderkey % 13 = 0),
+      d AS (SELECT CASE
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN (a.o_custkey      IS DISTINCT FROM b.o_custkey)
+                OR (a.o_orderstatus  IS DISTINCT FROM b.o_orderstatus)
+                OR (a.o_totalprice   IS DISTINCT FROM b.o_totalprice)
+                OR (a.o_orderdate    IS DISTINCT FROM b.o_orderdate)
+                OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+              THEN 'changed' ELSE 'unchanged' END AS change
+            FROM orders a FULL OUTER JOIN merged b USING (o_orderkey))
+      SELECT change, count(*) AS n FROM d GROUP BY change ORDER BY change"""))
   )
 }

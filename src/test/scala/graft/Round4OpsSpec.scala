@@ -132,6 +132,33 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged(Seq((1L, "a"), (2L, "b")), Seq.empty) == Set(1L -> "a", 2L -> "b"))
   }
 
+  // ---- snapshot diff -------------------------------------------------------
+
+  test("snapshot diff classifies added/removed/changed/unchanged, null-safely") {
+    import spark.implicits._
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None: Option[String]), (4L, Some("z")))
+      .toDF("k", "v")
+    val b = Seq((1L, Some("x")), (2L, Some("Y")), (3L, Some("now")), (5L, Some("new")))
+      .toDF("k", "v")
+    val got = Merge.snapshotDiff(a, b, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("diff of applyChanges output recovers the feed's effect") {
+    import spark.implicits._
+    val base = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    val feed = Seq((9L, "V9", "U", 1L), (10L, "x", "D", 1L), (99L, "n", "U", 1L))
+      .toDF("k", "v", "op", "seq")
+    val next = Merge.applyChanges(base, feed, Seq("k"), "op", "seq")
+    val byKind = Merge.snapshotDiff(base, next, Seq("k"))
+      .groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind == Map("unchanged" -> 48L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   // ---- bucketed CDC snapshot ----------------------------------------------
 
   test("bucketed apply rewrites only touched buckets, equals full merge") {
