@@ -8,10 +8,12 @@ import graft.sources.{Tables => T}
 
 /** End-to-end training-data pipeline over the fixtures: exact dedup →
   * near-dup removal (MinHash+LSH) → quality + repetition filter →
-  * benchmark decontamination → PII redaction → domain rebalancing →
-  * train/val/test split → chunking → token-budget shard packing. Every
-  * stage is a DataFrame transform; nothing touches the driver except the
-  * final counts. Usage: runMain graft.examples.PipelineDemo [sfDir]
+  * substring-duplication drop score → LM quality cut → benchmark
+  * decontamination → PII redaction → domain rebalancing →
+  * train/val/test split → chunking → token-budget shard packing →
+  * sequence-packing layout. Every stage is a DataFrame transform;
+  * nothing touches the driver except the final counts.
+  * Usage: runMain graft.examples.PipelineDemo [sfDir]
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
@@ -45,11 +47,29 @@ object PipelineDemo {
       .filter(size(ws) >= 20 && TextAnalysis.stopwordRatio(ws) < 0.5 && dupFrac <= 0.8)
     println(s"[pipeline] after quality+repetition filter: ${quality.count()}")
 
+    // 3b. substring-duplication drop score: discard docs whose content
+    //     is mostly corpus-duplicated text (exact k-token window test)
+    val dupScores = Dedup.duplicationRatio(quality, "doc_id", "text", k = 8)
+      .filter($"dup_ratio" > 0.8).select($"id".as("doc_id"))
+    val spanClean = quality.join(dupScores, Seq("doc_id"), "left_anti")
+    println(s"[pipeline] after substring-dup drop score: ${spanClean.count()}")
+
+    // 3c. statistical LM quality cut: drop the lowest-scoring 5% by
+    //     corpus-unigram log-probability (threshold from exact quantiles
+    //     — two operators composing, nothing hardcoded)
+    val lm = TextAnalysis.unigramLogProb(spanClean, "doc_id", "text")
+    val cut = graft.operators.Quantiles.exactQuantiles(
+        lm.withColumn("g", lit(1)), Seq("g"), "avg_logp", Seq(0.05))
+      .collect()(0).getDouble(1)
+    val fluent = spanClean.join(
+      lm.filter($"avg_logp" >= cut).select($"id".as("doc_id")), Seq("doc_id"))
+    println(f"[pipeline] after LM quality cut (p05=$cut%.3f): ${fluent.count()}")
+
     // 4. benchmark decontamination: screen against a held-out eval set
     //    (here: every 25th doc), dropping any doc with >= 3 shared 3-grams
     val eval = docs.filter($"doc_id" % 25 === 0)
     val clean = Decontaminate.removeContaminated(
-      quality.filter($"doc_id" % 25 =!= 0), eval, "doc_id", "text", minHits = 3L)
+      fluent.filter($"doc_id" % 25 =!= 0), eval, "doc_id", "text", minHits = 3L)
     println(s"[pipeline] after decontamination: ${clean.count()}")
 
     // 5. PII scrub: map-side regexp redaction of emails/phones
@@ -82,6 +102,15 @@ object PipelineDemo {
       .select((($"cum" - $"n_tokens") / lit(2000L)).cast("long").as("shard"))
       .groupBy($"shard").count()
     println(s"[pipeline] training shards: ${shards.count()}")
+
+    // 10. loader metadata: concat-and-chunk the deterministically
+    //     shuffled corpus into fixed 512-token training sequences
+    val packed = Mixing.packSequences(
+      train.select($"doc_id", md5($"doc_id".cast("string")).as("h"),
+        size(TextAnalysis.tokens($"text")).as("nt")),
+      "h", "nt", seqLen = 512)
+    println(s"[pipeline] training sequences: " +
+      s"${packed.agg(max($"last_seq")).collect()(0).getLong(0) + 1}")
 
     spark.stop()
   }
