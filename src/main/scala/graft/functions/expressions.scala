@@ -214,7 +214,17 @@ case class TokenWindowHashes(child: Expression, k: Int)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    // tokenize EXACTLY like split(trim(text), "\s+") in SQL: trim strips
+    // ASCII spaces only (Java's String.trim also eats tabs/newlines) and
+    // split keeps trailing empty tokens (limit -1; Java's default drops
+    // them) — a mismatch here desyncs window positions from the
+    // verify/oracle side, which slices the SQL-tokenized array
+    val s0 = input.asInstanceOf[UTF8String].toString
+    var st = 0
+    var en = s0.length
+    while (st < en && s0.charAt(st) == ' ') st += 1
+    while (en > st && s0.charAt(en - 1) == ' ') en -= 1
+    val words = s0.substring(st, en).split("\\s+", -1)
     if (words.length < k) return new GenericArrayData(Array.empty[Long])
     val th = new Array[Long](words.length)
     var i = 0

@@ -200,9 +200,9 @@ object Dedup {
     * window recurs millions of times).
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, broadcastCandidates: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dup = duplicatedPositions(docs, idCol, textCol, k)
+    val dup = duplicatedPositions(docs, idCol, textCol, k, broadcastCandidates)
     // gaps-and-islands: runs of consecutive duplicated positions form one
     // maximal span of (last - first + k) tokens
     val isl = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -220,7 +220,8 @@ object Dedup {
     * wide shuffle), exact-text verify second (kills collisions) — see
     * duplicatedSpans for the full cost model. */
   private[graft] def duplicatedPositions(docs: DataFrame, idCol: String,
-      textCol: String, k: Int): DataFrame = {
+      textCol: String, k: Int,
+      broadcastCandidates: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
     // slim exploded rows: (id, pos, 8-byte hash) — no token arrays
@@ -230,14 +231,20 @@ object Dedup {
     val repeats = wins.select(col("__wh"))
       .groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2)
-    // candidate positions, regrouped per doc (small: only colliding
-    // windows survive), then joined back to the corpus — broadcast, so
-    // the gram text is built map-side on the corpus scan, and ONLY for
-    // documents that have candidates (tokenization sits above the join,
-    // so non-colliding docs are dropped before paying it)
+    // candidate positions, regrouped per doc (small on a mostly-unique
+    // corpus: only colliding windows survive), then joined back to the
+    // corpus — broadcast by default, so the gram text is built map-side
+    // on the corpus scan, and ONLY for documents that have candidates
+    // (tokenization sits above the join, so non-colliding docs are
+    // dropped before paying it). On a boilerplate-heavy corpus where
+    // MOST documents collide, the candidate table is corpus-sized and
+    // must not broadcast: pass broadcastCandidates=false to let AQE
+    // pick the join (the fallback shuffles text strings on id — still
+    // never token arrays)
     val candByDoc = wins.join(repeats, "__wh")
       .groupBy(col("id")).agg(collect_list(col("pos")).as("__ps"))
-    val cand = raw.join(broadcast(candByDoc), Seq("id"))
+    val candSide = if (broadcastCandidates) broadcast(candByDoc) else candByDoc
+    val cand = raw.join(candSide, Seq("id"))
       .select(col("id"), TextAnalysis.tokens(col("__t")).as("__ws"), col("__ps"))
       .select(col("id"), explode(transform(col("__ps"), p =>
         struct(p.as("pos"),
@@ -263,12 +270,12 @@ object Dedup {
     * with at least one window; dup_ratio ∈ [0,1] rounded to 6 places.
     */
   def duplicationRatio(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, broadcastCandidates: Boolean = true): DataFrame = {
     val totals = docs.select(col(idCol).as("id"),
         greatest(size(TextAnalysis.tokens(col(textCol))) - lit(k - 1), lit(0))
           .cast("long").as("n_windows"))
       .filter(col("n_windows") > 0)
-    val dups = duplicatedPositions(docs, idCol, textCol, k)
+    val dups = duplicatedPositions(docs, idCol, textCol, k, broadcastCandidates)
       .groupBy(col("id")).agg(count(lit(1)).as("dup_windows"))
     totals.join(dups, Seq("id"), "left")
       .select(col("id"), col("n_windows"),

@@ -103,15 +103,37 @@ object Merge {
     *
     * This is the Delta/Iceberg MERGE access pattern on plain parquet:
     * per-batch cost scales with the touched buckets, not the snapshot.
-    * Readers racing a swap can briefly see a bucket mid-rename — a
-    * transaction log is the cure and is out of scope; the crash-recovery
-    * invariant still holds.
+    * Crash safety: every bucket's full data always exists under either
+    * its live name or its `.old` name, and the NEXT apply begins by
+    * recovering interrupted swaps (restoring `.old` when the live dir is
+    * missing — that batch's merge is lost and must be replayed — and
+    * dropping it when the swap had completed). Readers racing a swap can
+    * briefly see a bucket mid-rename — a transaction log is the cure and
+    * is out of scope.
     */
   def applyChangesBucketed(path: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String, seqCol: String,
       buckets: Int): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = changes.sparkSession
+    val base = path.stripSuffix("/")
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    // recover any interrupted swap BEFORE reading: a crash between the
+    // rename-aside and the rename-in leaves a bucket's only copy at its
+    // hidden `.old` name, where the reader would silently see an empty
+    // bucket (and the blind delete below would then destroy the data).
+    // Recovery: live dir missing -> restore the old copy (that batch's
+    // merge was lost and must be replayed); live present -> the swap
+    // completed, the old copy is stale
+    fs.listStatus(new Path(base)).foreach { f =>
+      val n = f.getPath.getName
+      if (n.startsWith(".__bucket=") && n.endsWith(".old")) {
+        val live = new Path(base, n.stripPrefix(".").stripSuffix(".old"))
+        if (!fs.exists(live))
+          require(fs.rename(f.getPath, live), s"recovery rename ${f.getPath} -> $live failed")
+        else fs.delete(f.getPath, true)
+      }
+    }
     val withB = changes.withColumn("__bucket", bucketOf(keyCols, buckets))
     val affected = withB.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -119,9 +141,7 @@ object Merge {
     val snap = spark.read.parquet(path)
       .filter(col("__bucket").isin(affected.map(Integer.valueOf).toSeq: _*))
     val merged = applyChanges(snap, withB, keyCols, opCol, seqCol)
-    val base = path.stripSuffix("/")
     val tmp = base + ".merge_tmp"
-    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
     merged.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
     affected.foreach { b =>
       val live = new Path(s"$base/__bucket=$b")

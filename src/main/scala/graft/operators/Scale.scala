@@ -95,13 +95,22 @@ object Scale {
     * boundary and make the result partition-dependent). The value column
     * is summed as LONG — use integral inputs.
     *
-    * The input is evaluated twice (the offsets pass, then the window
-    * pass) — the same trade RDD `zipWithIndex` makes. Deliberate: caching
-    * the ranged table between the passes would pin the WHOLE input in the
-    * block store (at 100 TB that is a full spill to disk, costlier than
-    * the recompute) and leak it afterwards, since the unpersist could
-    * only run after the caller materializes the result. Callers that
-    * already hold the input cached get the fast path for free.
+    * Both passes MUST see the same physical partitioning: the offsets
+    * are keyed by `spark_partition_id`, and a range exchange SAMPLES its
+    * bounds with a seed derived from the (fresh, per-plan) RDD — two
+    * independently planned actions can place boundary rows in different
+    * partitions, silently corrupting every row after the first moved one.
+    * (Small inputs hide this: when the sampler sees the whole population
+    * the bounds are data-deterministic. At scale they are not.)
+    * `localCheckpoint(eager=false)` pins the plan to ONE materialized
+    * RDD — one exchange, one set of bounds: the offsets pass
+    * materializes it, the window pass re-reads the same blocks, and the
+    * blocks are freed by the ContextCleaner once the caller drops the
+    * result (unlike `cache()`, whose CacheManager reference never dies).
+    * Trade: checkpoint blocks are not fault-tolerant — an executor loss
+    * mid-query fails the job instead of recomputing; for a multi-hour
+    * 100 TB run prefer a reliable checkpoint dir. RDD `zipWithIndex`
+    * makes the same single-partitioner choice for the same reason.
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
       resultCol: String = "cumsum"): DataFrame = {
@@ -110,6 +119,7 @@ object Scale {
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", col(valueCol).cast("long"))
+      .localCheckpoint(false)
     // coalesce: sum() of an all-NULL partition is NULL, not 0
     val partSums = ranged.groupBy(col("__pid"))
       .agg(coalesce(sum(col("__v")), lit(0L)).as("s"))

@@ -410,8 +410,13 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, threshold: Double,
       nlist: Int = 16, maxTrainSample: Int = 100000,
       maxCellPairs: Long = 100000000L): DataFrame = {
-    val sample = vectors.select(col("embedding")).limit(maxTrainSample)
-      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // ordered sample: a bare limit() takes whatever rows the scan yields
+    // first, so the trained centroids — and hence the survivor set —
+    // would depend on file layout/partitioning; TakeOrdered by id is
+    // deterministic for the same data regardless of either
+    val sample = vectors.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxTrainSample)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
     val centers = trainCentroids(sample, nlist)
     def cellOf(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       greatest(centers.zipWithIndex.map { case (c, i) =>

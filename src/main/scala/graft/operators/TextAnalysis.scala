@@ -87,7 +87,8 @@ object TextAnalysis {
     val toks = docs.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("__w"))
     val freqs = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-    val total = toks.agg(count(lit(1)).as("__t"))
+    // total from the vocab aggregate, not a third corpus scan
+    val total = freqs.agg(sum(col("__c")).as("__t"))
     toks.join(freqs, "__w").crossJoin(broadcast(total))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -216,10 +216,17 @@ object Round4 {
         }
         .trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
-      s.read.parquet(path)
+      val result = s.read.parquet(path)
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"),
           sum($"o_totalprice".cast("decimal(15,2)")).as("total"))
+        .orderBy($"o_orderstatus")
+      // the checksum is 3 rows: materialize it, then drop the snapshot
+      // dir so repeated runs don't accrete orders-sized copies in /tmp
+      val rows = result.collect()
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      fsPath.getFileSystem(s.sessionState.newHadoopConf()).delete(fsPath, true)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
         .orderBy($"o_orderstatus")
     }, Some("""
       WITH m AS (

@@ -205,6 +205,24 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("an interrupted bucket swap is recovered on the next apply") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_spec3").toString + "/snap"
+    val base = (1L to 100L).map(i => (i, i)).toDF("k", "v")
+    Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 4)
+    // simulate a crash between rename-aside and rename-in: bucket 2's
+    // only copy sits at the hidden .old name, live dir gone
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new Path(s"$path/__bucket=2"), new Path(s"$path/.__bucket=2.old")))
+    Merge.applyChangesBucketed(path,
+      Seq((1L, 999L, "U", 1L)).toDF("k", "v", "op", "seq"), Seq("k"), "op", "seq", 4)
+    // nothing lost: all 100 keys present, the update applied
+    val got = spark.read.parquet(path).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 100 && got(1L) == 999L && got(2L) == 2L)
+  }
+
   test("bucketed apply supports repeated batches (stream shape)") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_cdc_spec2").toString + "/snap"

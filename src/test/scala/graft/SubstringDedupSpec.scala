@@ -22,6 +22,28 @@ class SubstringDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
   }
 
+  test("tokenization matches split(trim(text), \\s+) on tabs/newlines exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // leading tab and trailing newline: SQL trim strips neither, so the
+    // token array gains empty-string tokens at both ends — the window
+    // hashes must align with THAT array, or verify-side gram slicing
+    // desyncs (Java's String.trim/split would eat them)
+    val texts = Seq("\ta0 a1 a2 a3 a4 a5 a6 a7 a8\n", "b0 b1  b2\rb3 b4 b5 b6 b7 b8")
+    val df = texts.toDF("text").select(
+      size(graft.operators.TextAnalysis.tokens($"text")).as("nt"),
+      size(graft.functions.Functions.token_window_hashes($"text", 8)).as("nw"))
+    df.collect().foreach(r => assert(r.getInt(1) == r.getInt(0) - 7,
+      s"windows ${r.getInt(1)} != tokens ${r.getInt(0)} - 7"))
+    // and spans still land exactly on a whitespace-noisy planted repeat
+    val shared = (0 until 10).map(i => s"dup$i").mkString(" ")
+    val spansGot = spans(Seq((1L, "\t" + shared), (2L, shared + "\n")))
+    // doc 1 tokens: ["", dup0..dup9] -> run at positions 1..10; doc 2:
+    // [dup0..dup9, ""] -> run at 0..9; shared 8-token windows are the 3
+    // fully inside dup0..dup9 on each side
+    assert(spansGot == Set((1L, 1, 10, 3), (2L, 0, 10, 3)), spansGot)
+  }
+
   test("a planted cross-document run is recovered with exact boundaries") {
     // unique filler words around one shared 10-token run: the run's
     // 10 − 8 + 1 = 3 windows are duplicated, nothing else is
