@@ -95,6 +95,35 @@ object TextAnalysis {
         round(avg(log(col("__c") * lit(1.0) / col("__t"))), 6).as("avg_logp"))
   }
 
+  /** Vocabulary-id encoding — the final text→tensor step of a training
+    * pipeline: build the top-`vocabSize` vocabulary (by count desc, word
+    * asc — a total, engine-stable order), assign ids 1..N in rank order
+    * (0 = UNK), and encode every document as its id sequence in token
+    * order.
+    *
+    * Scale shape: the vocabulary is an aggregate (corpus-wide term
+    * counts) reduced to `vocabSize` rows by a bounded TakeOrdered — the
+    * full vocab is never globally sorted; the id assignment window runs
+    * over vocabSize rows, not the corpus. Encoding is a vocab join on
+    * the exploded tokens (broadcast: the vocab is small by
+    * construction) re-assembled per document via sort-by-position, so
+    * token order survives the shuffle. Returns (id, token_ids). */
+  def encodeVocabIds(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "__w")))
+    val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(vocabSize)
+      .withColumn("__tid",
+        row_number().over(Window.orderBy(col("__c").desc, col("__w"))))
+    toks.join(broadcast(vocab.select(col("__w"), col("__tid"))), Seq("__w"), "left")
+      .select(col("id"), col("pos"), coalesce(col("__tid"), lit(0)).as("__tid"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("__tid")))),
+        s => s.getField("__tid")).as("token_ids"))
+  }
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(text, emailPattern, "<EMAIL>"),

@@ -242,6 +242,32 @@ object Round4 {
              CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS total
       FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // vocabulary-id encoding: top-100 vocab by (count desc, word asc),
+    // ids 1..100 in rank order, 0 = UNK; every doc becomes its token-id
+    // sequence in exact token order — the text -> tensor step
+    Q("q111_tokenize_ids", (s, d) => {
+      import s.implicits._
+      // the operator's artifact is the per-doc id ARRAY; the check emits
+      // the exploded (doc_id, pos, tid) form — same information, scalar
+      // cells the hash compare can order
+      TextAnalysis.encodeVocabIds(T.documents(s, d), "doc_id", "text", vocabSize = 100)
+        .select($"id".as("doc_id"),
+          posexplode($"token_ids").as(Seq("pos", "tid")))
+        .orderBy($"doc_id", $"pos")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      toks AS (SELECT doc_id,
+                      CAST(unnest(generate_series(1, len(ws))) AS INT) - 1 AS pos,
+                      unnest(ws) AS tok
+               FROM w),
+      f AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      v AS (SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS tid
+            FROM f ORDER BY c DESC, tok LIMIT 100),
+      e AS (SELECT t.doc_id, t.pos, coalesce(v.tid, 0) AS tid
+            FROM toks t LEFT JOIN v USING (tok))
+      SELECT doc_id, pos, tid FROM e ORDER BY doc_id, pos""")),
+
     // statistical LM quality score (the CCNet signal, self-trained):
     // mean log-probability of each doc's tokens under the corpus's own
     // unigram distribution — low = rare-token gibberish, high =

@@ -132,6 +132,30 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged(Seq((1L, "a"), (2L, "b")), Seq.empty) == Set(1L -> "a", 2L -> "b"))
   }
 
+  // ---- vocab-id encoding ---------------------------------------------------
+
+  test("vocab-id encoding preserves token order, ranks by freq, UNKs the tail") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // freq: the(3) > b(2) > a(1)=c(1) (ties broken a < c); vocab size 3
+    // keeps [the, b, a] as ids 1..3; c falls to UNK=0
+    val docs = Seq((1L, "the b a the"), (2L, "c b the")).toDF("doc_id", "text")
+    val got = TextAnalysis.encodeVocabIds(docs, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(got == Map(1L -> List(1, 2, 3, 1), 2L -> List(0, 2, 1)))
+  }
+
+  test("vocab-id encoding is partitioning-invariant") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = (1L to 60L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w$i"))
+    val enc = (df: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.encodeVocabIds(df, "doc_id", "text", 10)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(enc(docs.toDF("doc_id", "text").coalesce(1)) ==
+      enc(docs.toDF("doc_id", "text").repartition(13)))
+  }
+
   // ---- snapshot diff -------------------------------------------------------
 
   test("snapshot diff classifies added/removed/changed/unchanged, null-safely") {
