@@ -59,8 +59,8 @@ object PipelineDemo {
     //     — two operators composing, nothing hardcoded)
     val lm = TextAnalysis.unigramLogProb(spanClean, "doc_id", "text")
     val cut = graft.operators.Quantiles.exactQuantiles(
-        lm.withColumn("g", lit(1)), Seq("g"), "avg_logp", Seq(0.05))
-      .collect()(0).getDouble(1)
+        lm, Seq.empty, "avg_logp", Seq(0.05))
+      .collect().headOption.map(_.getDouble(0)).getOrElse(Double.NegativeInfinity)
     val fluent = spanClean.join(
       lm.filter($"avg_logp" >= cut).select($"id".as("doc_id")), Seq("doc_id"))
     println(f"[pipeline] after LM quality cut (p05=$cut%.3f): ${fluent.count()}")
@@ -109,8 +109,10 @@ object PipelineDemo {
       train.select($"doc_id", md5($"doc_id".cast("string")).as("h"),
         size(TextAnalysis.tokens($"text")).as("nt")),
       "h", "nt", seqLen = 512)
-    println(s"[pipeline] training sequences: " +
-      s"${packed.agg(max($"last_seq")).collect()(0).getLong(0) + 1}")
+    val nSeqs = packed.agg(max($"last_seq")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long] + 1))
+      .getOrElse(0L)
+    println(s"[pipeline] training sequences: $nSeqs")
 
     spark.stop()
   }

@@ -146,8 +146,8 @@ object Merge {
     affected.foreach { b =>
       val live = new Path(s"$base/__bucket=$b")
       val next = new Path(s"$tmp/__bucket=$b")
+      // no .old can exist here: the recovery pass at entry cleared them
       val old = new Path(s"$base/.__bucket=$b.old")
-      fs.delete(old, true) // leftover of a previous crash
       if (fs.exists(live))
         require(fs.rename(live, old), s"rename $live -> $old failed")
       // a bucket with every row deleted has no output directory — the

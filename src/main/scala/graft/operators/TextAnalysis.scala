@@ -70,6 +70,11 @@ object TextAnalysis {
   /** Redact emails and phone numbers with typed placeholders — the
     * map-side scrub every shared-corpus release runs. regexp_replace
     * replaces ALL occurrences. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Statistical language-model quality score — the CCNet recipe
     * (Wenzek et al. 2020 rank crawled text by LM perplexity; here the LM
     * is the corpus's own unigram distribution, trained and applied in
@@ -110,6 +115,7 @@ object TextAnalysis {
     * token order survives the shuffle. Returns (id, token_ids). */
   def encodeVocabIds(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "__w")))
@@ -123,9 +129,4 @@ object TextAnalysis {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("__tid")))),
         s => s.getField("__tid")).as("token_ids"))
   }
-
-  def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text, emailPattern, "<EMAIL>"),
-      phonePattern, "<PHONE>")
 }

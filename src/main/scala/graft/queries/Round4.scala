@@ -210,24 +210,30 @@ object Round4 {
           when(k % 11 =!= 0 && k % 7 =!= 0 && k % 13 === 0, k + 100000000L)
             .otherwise(k))
         .withColumn("__seq", lit(1L))
-      val query = changes.writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          Merge.applyChangesBucketed(path, b, Seq("o_orderkey"), "__op", "__seq", 16)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      query.awaitTermination()
-      val result = s.read.parquet(path)
-        .groupBy($"o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          sum($"o_totalprice".cast("decimal(15,2)")).as("total"))
-        .orderBy($"o_orderstatus")
       // the checksum is 3 rows: materialize it, then drop the snapshot
-      // dir so repeated runs don't accrete orders-sized copies in /tmp
-      val rows = result.collect()
-      val fsPath = new org.apache.hadoop.fs.Path(path)
-      fsPath.getFileSystem(s.sessionState.newHadoopConf()).delete(fsPath, true)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-        .orderBy($"o_orderstatus")
+      // dir (in finally — a failed run must not accrete orders-sized
+      // copies in /tmp either)
+      try {
+        val query = changes.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            Merge.applyChangesBucketed(path, b, Seq("o_orderkey"), "__op", "__seq", 16)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination()
+        val result = s.read.parquet(path)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(15,2)")).as("total"))
+          .orderBy($"o_orderstatus")
+        val rows = result.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+          .orderBy($"o_orderstatus")
+      } finally {
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(fsPath, true)
+        fs.delete(new org.apache.hadoop.fs.Path(path + ".merge_tmp"), true)
+      }
     }, Some("""
       WITH m AS (
         SELECT * REPLACE (CASE WHEN o_orderkey % 7 = 0
