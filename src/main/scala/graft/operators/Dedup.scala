@@ -200,7 +200,7 @@ object Dedup {
     * window recurs millions of times).
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, broadcastCandidates: Boolean = true): DataFrame = {
+      k: Int = 8, broadcastCandidates: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dup = duplicatedPositions(docs, idCol, textCol, k, broadcastCandidates)
     // gaps-and-islands: runs of consecutive duplicated positions form one
@@ -221,7 +221,7 @@ object Dedup {
     * duplicatedSpans for the full cost model. */
   private[graft] def duplicatedPositions(docs: DataFrame, idCol: String,
       textCol: String, k: Int,
-      broadcastCandidates: Boolean = true): DataFrame = {
+      broadcastCandidates: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val raw = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
     // slim exploded rows: (id, pos, 8-byte hash) — no token arrays
@@ -233,14 +233,15 @@ object Dedup {
       .filter(col("__n") >= 2)
     // candidate positions, regrouped per doc (small on a mostly-unique
     // corpus: only colliding windows survive), then joined back to the
-    // corpus — broadcast by default, so the gram text is built map-side
-    // on the corpus scan, and ONLY for documents that have candidates
-    // (tokenization sits above the join, so non-colliding docs are
-    // dropped before paying it). On a boilerplate-heavy corpus where
-    // MOST documents collide, the candidate table is corpus-sized and
-    // must not broadcast: pass broadcastCandidates=false to let AQE
-    // pick the join (the fallback shuffles text strings on id — still
-    // never token arrays)
+    // corpus. By default AQE picks the join from RUNTIME stats — it
+    // broadcasts the candidate table when it is actually small and
+    // falls back to a shuffle join on a boilerplate-heavy corpus where
+    // most documents collide and the table is corpus-sized (a forced
+    // broadcast() there OOMs; a driver-side count guard would compute
+    // the candidate pipeline twice). broadcastCandidates=true forces
+    // the map-side build for callers who know their collision rate.
+    // Either way tokenization sits above the join, so non-colliding
+    // docs never pay it, and token arrays never cross the network
     val candByDoc = wins.join(repeats, "__wh")
       .groupBy(col("id")).agg(collect_list(col("pos")).as("__ps"))
     val candSide = if (broadcastCandidates) broadcast(candByDoc) else candByDoc
@@ -270,7 +271,7 @@ object Dedup {
     * with at least one window; dup_ratio ∈ [0,1] rounded to 6 places.
     */
   def duplicationRatio(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, broadcastCandidates: Boolean = true): DataFrame = {
+      k: Int = 8, broadcastCandidates: Boolean = false): DataFrame = {
     val totals = docs.select(col(idCol).as("id"),
         greatest(size(TextAnalysis.tokens(col(textCol))) - lit(k - 1), lit(0))
           .cast("long").as("n_windows"))

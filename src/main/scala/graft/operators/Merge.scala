@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   *   - change op 'D' (delete): the key disappears from the snapshot;
   *   - keys untouched by the feed pass through unchanged;
   *   - multiple changes per key resolve by highest `seqCol` (latest
-  *     wins); ties on seq are rejected nowhere — the caller owns feed
-  *     ordering, we just take max.
+  *     wins). Ties on seq tiebreak deterministically by op ('D' before
+  *     'U', so a tied delete wins) — but equal-seq changes for one key
+  *     are a malformed feed (the caller owns sequencing), and two tied
+  *     'U' rows with different payloads still resolve arbitrarily;
+  *   - a change row with seqCol == Long.MinValue is rejected at run
+  *     time (raise_error): that value is the internal base-row sentinel
+  *     and would make base-vs-change resolution ambiguous.
   *
   * Execution: union (base tagged seq = -infinity) with the feed, one
   * hash shuffle on the key, keep each key's max-seq row, drop deletes.
@@ -35,12 +40,22 @@ object Merge {
     val dataCols = base.columns.toSeq
     require(dataCols.forall(changes.columns.contains),
       s"changes must carry every base column; missing ${dataCols.filterNot(changes.columns.contains)}")
-    // base rows sort below every change row: Long.MinValue sentinel seq
+    // base rows sort below every change row: Long.MinValue sentinel seq.
+    // A feed row carrying the sentinel itself would tie the base row, so
+    // it fails fast (codegen'd per-row check, no extra pass)
+    val seqExpr = col(seqCol).cast("long")
+    val guardedSeq = when(seqExpr === Long.MinValue,
+      raise_error(concat(lit(s"change $seqCol == Long.MinValue collides with the base-row sentinel for key "),
+        concat_ws(",", keyCols.map(k => col(k).cast("string")): _*)))
+      .cast("long")).otherwise(seqExpr)
     val tagged = base
       .select(dataCols.map(col) :+ lit("U").as("__op") :+ lit(Long.MinValue).as("__seq"): _*)
       .unionByName(changes.select(
-        dataCols.map(col) :+ col(opCol).as("__op") :+ col(seqCol).cast("long").as("__seq"): _*))
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__seq").desc)
+        dataCols.map(col) :+ col(opCol).as("__op") :+ guardedSeq.as("__seq"): _*))
+    // secondary key __op: equal-seq ties resolve the same way on every
+    // run and partitioning ('D' < 'U' — a tied delete wins)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__seq").desc, col("__op"))
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__op") =!= "D")
@@ -79,17 +94,181 @@ object Merge {
   private def bucketOf(keyCols: Seq[String], buckets: Int) =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast("int")
 
+  // ——— snapshot manifest (transaction-log lite) ———————————————————————
+  // `_manifest.json` at the snapshot root records, per bucket, the row
+  // count, an order-independent content checksum (bit-XOR of xxhash64
+  // over the data columns in sorted-name order), and the exact file
+  // list (name + length). It serves two purposes:
+  //   1. readers ([[readBucketedSnapshot]]) can detect a bucket caught
+  //      mid-swap (live files disagree with the manifest) and retry
+  //      instead of silently reading a hole — closing the documented
+  //      race of the rename-based swap;
+  //   2. a red end-to-end checksum now names WHICH bucket diverged
+  //      (the per-bucket rows+checksum are on disk after every apply).
+  // The manifest commits atomically (write `.tmp`, delete, rename); it
+  // always lands AFTER the bucket swaps, so mid-apply readers validate
+  // against the previous manifest and keep retrying until the commit.
+  // A crash between the swaps and the manifest commit leaves the
+  // manifest one apply behind — readers fail closed, and the next
+  // apply heals stale entries by re-deriving them from the live data.
+
+  private val ManifestName = "_manifest.json"
+
+  private[graft] case class BucketStat(rows: Long, checksum: Long,
+      files: Seq[(String, Long)])
+
+  /** (rows, checksum) of one bucket's data — checksum is invariant to
+    * row and file order, so any two byte-layouts of the same row set
+    * agree. Column order is canonicalized by name. */
+  private def statsOf(df: DataFrame): (Long, Long) = {
+    val dataCols = df.columns.filterNot(_ == "__bucket").sorted.map(col)
+    val r = df.withColumn("__h", xxhash64(dataCols: _*))
+      .agg(count(lit(1)).as("rows"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).as("checksum"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Per-bucket (rows, checksum) in one distributed pass over a frame
+    * that carries `__bucket` — one keyed aggregate, nothing collects
+    * beyond ≤ `buckets` rows. */
+  private def statsByBucket(df: DataFrame): Map[Int, (Long, Long)] = {
+    val dataCols = df.columns.filterNot(_ == "__bucket").sorted.map(col)
+    df.withColumn("__h", xxhash64(dataCols: _*))
+      .groupBy(col("__bucket").cast("int").as("__b"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(__h)").as("checksum"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  private def bucketFiles(fs: org.apache.hadoop.fs.FileSystem, base: String,
+      b: Int): Seq[(String, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$base/__bucket=$b")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filterNot(f => f.getPath.getName.startsWith("_") || f.getPath.getName.startsWith("."))
+      .map(f => (f.getPath.getName, f.getLen)).sortBy(_._1)
+  }
+
+  private def liveBucketIds(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Seq[Int] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(base)).toSeq
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith("__bucket="))
+      .map(_.getPath.getName.stripPrefix("__bucket=").toInt).sorted
+
+  private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Option[(Long, Map[Int, BucketStat])] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(base, ManifestName)
+    // the exists/open pair can race a concurrent manifest commit
+    // (delete + rename) — a vanished file reads as "no manifest yet",
+    // which callers treat as a retryable state
+    if (!fs.exists(p)) None
+    else try {
+      val st = fs.getFileStatus(p)
+      val bytes = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(bytes) finally in.close()
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val buckets = scala.collection.mutable.Map[Int, BucketStat]()
+      val it = root.get("buckets").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue
+        val files = (0 until v.get("files").size()).map { i =>
+          val f = v.get("files").get(i)
+          (f.get("name").asText(), f.get("size").asLong())
+        }
+        buckets(e.getKey.toInt) =
+          BucketStat(v.get("rows").asLong(), v.get("checksum").asLong(), files)
+      }
+      Some((root.get("apply_seq").asLong(), buckets.toMap))
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, base: String,
+      applySeq: Long, buckets: Map[Int, BucketStat]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("apply_seq", applySeq)
+    val bn = root.putObject("buckets")
+    buckets.toSeq.sortBy(_._1).foreach { case (b, s) =>
+      val o = bn.putObject(b.toString)
+      o.put("rows", s.rows)
+      o.put("checksum", s.checksum)
+      val fa = o.putArray("files")
+      s.files.foreach { case (n, sz) =>
+        val f = fa.addObject(); f.put("name", n); f.put("size", sz)
+      }
+    }
+    val tmp = new Path(base, ManifestName + ".tmp")
+    val live = new Path(base, ManifestName)
+    val out = fs.create(tmp, true)
+    try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    finally out.close()
+    fs.delete(live, false)
+    require(fs.rename(tmp, live), s"manifest commit rename $tmp -> $live failed")
+  }
+
   /** Write `df` as a key-hash-bucketed snapshot layout:
-    * `path/__bucket=N/…` directory partitions. The layout exists so
+    * `path/__bucket=N/…` directory partitions, plus a `_manifest.json`
+    * recording every bucket's rows/checksum/files. The layout exists so
     * [[applyChangesBucketed]] can rewrite ONLY the buckets a change feed
     * touches — at 100 TB a CDC batch touches a tiny key set, and
     * rewriting the whole snapshot per batch (the naive plain-parquet
-    * MERGE) is exactly the non-scalable shape to avoid. */
+    * MERGE) is exactly the non-scalable shape to avoid. The manifest
+    * pass re-reads the written data once — a one-time cost at snapshot
+    * creation; per-batch applies checksum only the touched buckets. */
   def writeBucketedSnapshot(df: DataFrame, path: String, keyCols: Seq[String],
       buckets: Int): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     df.withColumn("__bucket", bucketOf(keyCols, buckets))
       .write.partitionBy("__bucket").mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val base = path.stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stats = statsByBucket(spark.read.parquet(path))
+    writeManifest(fs, base, 0L, stats.map { case (b, (n, c)) =>
+      b -> BucketStat(n, c, bucketFiles(fs, base, b))
+    })
+  }
+
+  /** Validated read of a bucketed snapshot: loads `_manifest.json`,
+    * checks every manifest bucket's live file list against it, and
+    * returns the plain parquet read once they agree. A disagreement
+    * means a concurrent [[applyChangesBucketed]] is mid-swap — the read
+    * retries (the apply commits a fresh manifest right after its swaps)
+    * and fails closed after `maxRetries` rather than serving a bucket
+    * caught between renames. A snapshot with no manifest (legacy layout)
+    * falls back to an unvalidated read. */
+  def readBucketedSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxRetries: Int = 20, retryMs: Long = 100): DataFrame = {
+    val base = path.stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      readManifest(fs, base) match {
+        case None =>
+          // no manifest at all: either a legacy layout (valid, read it)
+          // or the instant of a manifest commit (retry a few times first)
+          if (attempt >= math.min(3, maxRetries)) return spark.read.parquet(path)
+        case Some((_, buckets)) =>
+          val torn = buckets.find { case (b, s) => bucketFiles(fs, base, b) != s.files }
+          if (torn.isEmpty) return spark.read.parquet(path)
+          else if (attempt == maxRetries)
+            throw new IllegalStateException(
+              s"bucket ${torn.get._1} of $base disagrees with the manifest after " +
+                s"$maxRetries retries — apply crashed mid-swap? run applyChangesBucketed to heal")
+      }
+      attempt += 1
+      Thread.sleep(retryMs)
+    }
+    spark.read.parquet(path)
   }
 
   /** Apply a change feed to a bucketed snapshot IN PLACE, touching only
@@ -106,10 +285,15 @@ object Merge {
     * Crash safety: every bucket's full data always exists under either
     * its live name or its `.old` name, and the NEXT apply begins by
     * recovering interrupted swaps (restoring `.old` when the live dir is
-    * missing — that batch's merge is lost and must be replayed — and
-    * dropping it when the swap had completed). Readers racing a swap can
-    * briefly see a bucket mid-rename — a transaction log is the cure and
-    * is out of scope.
+    * missing — that batch's merge is lost and must be REPLAYED, which
+    * requires the caller to run the feed from a durable streaming
+    * checkpoint or re-apply the batch itself; a temporary checkpoint
+    * silently drops the lost batch — and dropping it when the swap had
+    * completed). Readers go through [[readBucketedSnapshot]], which
+    * validates the live file lists against `_manifest.json` and retries
+    * across a concurrent swap. The manifest commits after the swaps; a
+    * crash in between leaves it one apply behind, which the next apply
+    * heals by re-deriving stale entries from the live data.
     */
   def applyChangesBucketed(path: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String, seqCol: String,
@@ -118,6 +302,8 @@ object Merge {
     val spark = changes.sparkSession
     val base = path.stripSuffix("/")
     val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(base)),
+      s"snapshot $base does not exist — write it first with writeBucketedSnapshot")
     // recover any interrupted swap BEFORE reading: a crash between the
     // rename-aside and the rename-in leaves a bucket's only copy at its
     // hidden `.old` name, where the reader would silently see an empty
@@ -134,15 +320,43 @@ object Merge {
         else fs.delete(f.getPath, true)
       }
     }
+    // load + heal the manifest: entries whose file list disagrees with
+    // the live layout (crash between swap and manifest commit, or a
+    // legacy layout with no manifest) are re-derived from the live data
+    // — a listStatus per bucket, plus one bucket scan only when stale
+    val prior = readManifest(fs, base)
+    val applySeq = prior.map(_._1 + 1).getOrElse(0L)
+    val healed: Map[Int, BucketStat] = liveBucketIds(fs, base).map { b =>
+      val files = bucketFiles(fs, base, b)
+      prior.flatMap(_._2.get(b)).filter(_.files == files) match {
+        case Some(ok) => b -> ok
+        case None =>
+          val (n, c) = statsOf(spark.read.parquet(s"$base/__bucket=$b"))
+          b -> BucketStat(n, c, files)
+      }
+    }.toMap
     val withB = changes.withColumn("__bucket", bucketOf(keyCols, buckets))
     val affected = withB.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
-    if (affected.isEmpty) return
+    if (affected.isEmpty) {
+      // still commit the healed manifest (it may have been stale/absent)
+      if (prior.map(_._2) != Some(healed)) writeManifest(fs, base, applySeq, healed)
+      return
+    }
     val snap = spark.read.parquet(path)
       .filter(col("__bucket").isin(affected.map(Integer.valueOf).toSeq: _*))
     val merged = applyChanges(snap, withB, keyCols, opCol, seqCol)
     val tmp = base + ".merge_tmp"
     merged.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
+    // checksum the rewritten buckets from the staged output BEFORE the
+    // swap: rename preserves file names and bytes, so the staged stats
+    // describe exactly what goes live, and the data is read while it is
+    // still immutable-by-construction
+    val nextStats = statsByBucket(spark.read.parquet(tmp)
+      .withColumn("__bucket", col("__bucket").cast("int")))
+    val nextFiles = affected.map { b =>
+      b -> bucketFiles(fs, tmp, b)
+    }.toMap
     affected.foreach { b =>
       val live = new Path(s"$base/__bucket=$b")
       val next = new Path(s"$tmp/__bucket=$b")
@@ -156,6 +370,10 @@ object Merge {
         require(fs.rename(next, live), s"rename $next -> $live failed; old at $old")
       fs.delete(old, true)
     }
+    val committed = healed -- affected ++ nextStats.map { case (b, (n, c)) =>
+      b -> BucketStat(n, c, nextFiles.getOrElse(b, Seq.empty))
+    }
+    writeManifest(fs, base, applySeq, committed)
     fs.delete(new Path(tmp), true)
   }
 }

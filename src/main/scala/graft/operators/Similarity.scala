@@ -45,6 +45,18 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** The bounded driver-side quantizer-training sample, shared by every
+    * trained operator (IVF, PQ, SemDeDup). Ordered: a bare limit() takes
+    * whatever rows the scan yields first, so trained centroids — and
+    * hence serving layouts and rows-only result sets — would depend on
+    * file layout/partitioning. TakeOrdered by id is deterministic for the
+    * same data regardless of either, and stays a bounded driver-side
+    * collect (≤ maxTrainSample rows) at any corpus size. */
+  private[operators] def trainSample(vectors: DataFrame, maxTrainSample: Int): Array[Array[Double]] =
+    vectors.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(maxTrainSample)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+
   /** Spherical k-means on a driver-side sample: the FAISS-style coarse
     * quantizer. At 100 TB you never run Lloyd iterations over the full
     * table — you train on a bounded sample (FAISS trains IVF on ~1M
@@ -54,15 +66,17 @@ object Similarity {
     */
   private[operators] def trainCentroids(
       sample: Array[Array[Double]], nlist: Int, iters: Int = 10): Array[Array[Double]] = {
+    require(sample.nonEmpty, "cannot train a quantizer on an empty sample")
     val dim = sample.head.length
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
     val unit = sample.map(normalize)
-    // strided init over the sample sorted by first coordinate: spread,
-    // deterministic, no seed dependence
-    val sorted = unit.sortBy(v => (v(0), v(1)))
+    // strided init over the lexicographically sorted sample: spread,
+    // deterministic, no seed dependence, dimension-count-safe
+    import scala.math.Ordering.Implicits.seqOrdering
+    val sorted = unit.sortBy(_.toSeq)
     var centroids = Array.tabulate(nlist)(i => sorted((i.toLong * sorted.length / nlist).toInt))
     var it = 0
     while (it < iters) {
@@ -103,8 +117,7 @@ object Similarity {
     val spark = vectors.sparkSession
     import spark.implicits._
 
-    val sample = vectors.select(col("embedding")).limit(maxTrainSample)
-      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = trainSample(vectors, maxTrainSample)
     val centers = trainCentroids(sample, nlist)
 
     // cell = argmax_c cos(embedding, centroid_c), evaluated inline:
@@ -152,8 +165,7 @@ object Similarity {
     */
   def writeIvfPartitioned(vectors: DataFrame, path: String,
       nlist: Int = 16, maxTrainSample: Int = 100000): Array[Array[Double]] = {
-    val sample = vectors.select(col("embedding")).limit(maxTrainSample)
-      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = trainSample(vectors, maxTrainSample)
     val centers = trainCentroids(sample, nlist)
     val cell = greatest(centers.zipWithIndex.map { case (c, i) =>
       struct(cosine_similarity(col("embedding"), typedLit(c.map(_.toFloat))).as("s"),
@@ -173,12 +185,14 @@ object Similarity {
     * subspace j. */
   private[operators] def trainPQ(sample: Array[Array[Double]], m: Int, k: Int,
       iters: Int = 10): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty sample")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
+    import scala.math.Ordering.Implicits.seqOrdering
     Array.tabulate(m) { j =>
       val vecs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
-      val sorted = vecs.sortBy(v => (v(0), v(math.min(1, sub - 1))))
+      val sorted = vecs.sortBy(_.toSeq)
       var cents = Array.tabulate(k)(i => sorted((i.toLong * sorted.length / k).toInt))
       var it = 0
       while (it < iters) {
@@ -216,8 +230,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = vectors.sparkSession
     import spark.implicits._
-    val sample = vectors.select(col("embedding")).limit(maxTrainSample)
-      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = trainSample(vectors, maxTrainSample)
     val dim = sample.head.length
     val sub = dim / m
     val books = trainPQ(sample, m, codebookSize)
@@ -288,8 +301,10 @@ object Similarity {
     // caller reusing a path with a different nlist/sample budget can never
     // be served a stale index (nprobe is query-time only — it selects
     // cells, it doesn't change what's on disk); existence goes through the
-    // Hadoop FileSystem so non-local layout paths work
-    val paramPath = s"$layoutPath.nlist${nlist}_t$maxTrainSample"
+    // Hadoop FileSystem so non-local layout paths work. The v2 tag marks
+    // the ordered-training-sample quantizer — a layout built by the
+    // pre-fix scan-order sampler must not be reused
+    val paramPath = s"$layoutPath.nlist${nlist}_t${maxTrainSample}_v2"
     val centPath = paramPath + ".centroids"
     val fs = new org.apache.hadoop.fs.Path(paramPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -410,13 +425,7 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, threshold: Double,
       nlist: Int = 16, maxTrainSample: Int = 100000,
       maxCellPairs: Long = 100000000L): DataFrame = {
-    // ordered sample: a bare limit() takes whatever rows the scan yields
-    // first, so the trained centroids — and hence the survivor set —
-    // would depend on file layout/partitioning; TakeOrdered by id is
-    // deterministic for the same data regardless of either
-    val sample = vectors.select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(maxTrainSample)
-      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val sample = trainSample(vectors, maxTrainSample)
     val centers = trainCentroids(sample, nlist)
     def cellOf(emb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       greatest(centers.zipWithIndex.map { case (c, i) =>

@@ -212,15 +212,29 @@ object Round4 {
         .withColumn("__seq", lit(1L))
       // the checksum is 3 rows: materialize it, then drop the snapshot
       // dir (in finally — a failed run must not accrete orders-sized
-      // copies in /tmp either)
+      // copies in /tmp either). The DURABLE checkpoint (under the same
+      // temp root) matters for crash safety: applyChangesBucketed's
+      // mid-swap recovery loses the interrupted batch and relies on the
+      // stream replaying it — a temporary checkpoint would drop it
       try {
         val query = changes.writeStream
+          .option("checkpointLocation", path + ".ckpt")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
             Merge.applyChangesBucketed(path, b, Seq("o_orderkey"), "__op", "__seq", 16)
           }
           .trigger(Trigger.AvailableNow()).start()
         query.awaitTermination()
-        val result = s.read.parquet(path)
+        // flake forensics (round-4 driver run had one unreproducible red
+        // hash here): the manifest's per-bucket rows+checksums go to
+        // stderr so a future mismatch names the diverging bucket
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        Merge.readManifest(fs, path).foreach { case (seq, bs) =>
+          System.err.println(s"[q108] apply_seq=$seq buckets=" +
+            bs.toSeq.sortBy(_._1).map { case (b, st) =>
+              s"$b:${st.rows}:${st.checksum}" }.mkString(","))
+        }
+        val result = Merge.readBucketedSnapshot(s, path)
           .groupBy($"o_orderstatus")
           .agg(count(lit(1)).as("n"),
             sum($"o_totalprice".cast("decimal(15,2)")).as("total"))
@@ -233,6 +247,7 @@ object Round4 {
         val fs = fsPath.getFileSystem(s.sessionState.newHadoopConf())
         fs.delete(fsPath, true)
         fs.delete(new org.apache.hadoop.fs.Path(path + ".merge_tmp"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(path + ".ckpt"), true)
       }
     }, Some("""
       WITH m AS (

@@ -81,6 +81,19 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() < total)
   }
 
+  test("trained quantizers are layout-invariant: identical results on any partitioning") {
+    // regression pin for the ordered training sample: a bare limit()
+    // feeds the k-means whatever rows the scan yields first, so the
+    // trained centroids — and these result sets — would vary with the
+    // input's partitioning
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    assert(pairs(Similarity.ivfTopK(emb.coalesce(1), probes, 5)) ==
+      pairs(Similarity.ivfTopK(emb.repartition(13), probes, 5)))
+    assert(pairs(Similarity.pqTopK(emb.coalesce(1), probes, 5)) ==
+      pairs(Similarity.pqTopK(emb.repartition(13), probes, 5)))
+  }
+
   test("hyperplane-LSH candidates keep nonzero recall@5 and never invent ids") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)

@@ -132,6 +132,28 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged(Seq((1L, "a"), (2L, "b")), Seq.empty) == Set(1L -> "a", 2L -> "b"))
   }
 
+  test("equal-seq ties resolve deterministically: the delete wins") {
+    // malformed feed (caller owns sequencing) but the outcome must not
+    // depend on partition order: 'D' sorts before 'U' on the tiebreak
+    assert(merged(
+      base = Seq((1L, "a"), (2L, "b")),
+      changes = Seq((1L, "x", "U", 5L), (1L, "y", "D", 5L),
+        (1L, "z", "U", 5L), (2L, "B", "U", 1L)))
+      == Set(2L -> "B"))
+  }
+
+  test("a change carrying the base sentinel seq is rejected at run time") {
+    import spark.implicits._
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    val e = intercept[Throwable] {
+      Merge.applyChanges(Seq((1L, "a")).toDF("k", "v"),
+        Seq((1L, "x", "U", Long.MinValue)).toDF("k", "v", "op", "seq"),
+        Seq("k"), "op", "seq").collect()
+    }
+    assert(msgs(e).contains("sentinel"), msgs(e))
+  }
+
   // ---- vocab-id encoding ---------------------------------------------------
 
   test("vocab-id encoding preserves token order, ranks by freq, UNKs the tail") {
@@ -245,6 +267,69 @@ class Round4OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = spark.read.parquet(path).select("k", "v")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 100 && got(1L) == 999L && got(2L) == 2L)
+  }
+
+  // ---- snapshot manifest ----------------------------------------------------
+
+  test("manifest tracks apply_seq and per-bucket stats across applies") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_m1").toString + "/snap"
+    val base = (1L to 100L).map(i => (i, i)).toDF("k", "v")
+    Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (s0, m0) = Merge.readManifest(fs, path).get
+    assert(s0 == 0L && m0.values.map(_.rows).sum == 100L)
+    // apply touches exactly key 1's bucket: its entry changes, every
+    // other bucket keeps rows, checksum AND file list bit-for-bit
+    val touched = spark.range(1).select(
+      pmod(xxhash64(lit(1L)), lit(4L)).cast("int")).collect()(0).getInt(0)
+    Merge.applyChangesBucketed(path,
+      Seq((1L, 999L, "U", 1L)).toDF("k", "v", "op", "seq"), Seq("k"), "op", "seq", 4)
+    val (s1, m1) = Merge.readManifest(fs, path).get
+    assert(s1 == 1L)
+    assert(m1(touched) != m0(touched), "touched bucket's manifest entry unchanged")
+    assert((m1 - touched) == (m0 - touched), "untouched manifest entries drifted")
+    assert(m1.values.map(_.rows).sum == 100L)
+  }
+
+  test("readBucketedSnapshot validates against the manifest and fails closed on a torn bucket") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_m2").toString + "/snap"
+    Merge.writeBucketedSnapshot((1L to 100L).map(i => (i, i)).toDF("k", "v"),
+      path, Seq("k"), buckets = 4)
+    assert(Merge.readBucketedSnapshot(spark, path).count() == 100L)
+    // tear a bucket: remove one data file without committing a manifest —
+    // the mid-swap state a racing reader must not silently serve
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val b = Merge.readManifest(fs, path).get._2.keys.min
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/__bucket=$b"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.delete(victim, false)
+    val e = intercept[IllegalStateException] {
+      Merge.readBucketedSnapshot(spark, path, maxRetries = 2, retryMs = 1)
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
+  test("a missing manifest falls back to a plain read and is healed by the next apply") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_m3").toString + "/snap"
+    Merge.writeBucketedSnapshot((1L to 100L).map(i => (i, i)).toDF("k", "v"),
+      path, Seq("k"), buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_manifest.json"), false)
+    // legacy layout: unvalidated read still works
+    assert(Merge.readBucketedSnapshot(spark, path, maxRetries = 3, retryMs = 1)
+      .count() == 100L)
+    // even an EMPTY apply re-derives the manifest from the live data
+    Merge.applyChangesBucketed(path,
+      Seq.empty[(Long, Long, String, Long)].toDF("k", "v", "op", "seq"),
+      Seq("k"), "op", "seq", 4)
+    val (seq, m) = Merge.readManifest(fs, path).get
+    assert(m.values.map(_.rows).sum == 100L, s"healed manifest wrong: $m")
   }
 
   test("bucketed apply supports repeated batches (stream shape)") {

@@ -71,6 +71,35 @@ class SemanticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && (200 until 210).forall(i => !a.contains(i.toLong)))
   }
 
+  test("drops are a subset of exact all-pairs dedup, with bounded recall") {
+    // the quantitative contract vs brute force: SemDeDup's drop rule
+    // ("has a lower-id mate at cosine ≥ t") only ever fires on a REAL
+    // in-cell pair, so its drop set must be an exact subset of the
+    // all-pairs drop set (precision 1.0); pairs split across cells are
+    // the method's accepted recall loss, bounded here on a planted
+    // fixture (perturbed copies of near-orthogonal vectors)
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(base.filter(col("vec_id") < 60)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.02f)).as("embedding")))
+    val t = 0.9
+    val exactDrops = Similarity.nearPairs(corpus, t, maxId = Long.MaxValue)
+      .select("b_id").distinct().collect().map(_.getLong(0)).toSet
+    val survivors = Similarity.semanticDedup(corpus, t, nlist = 8)
+      .collect().map(_.getLong(0)).toSet
+    val all = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    val semDrops = all -- survivors
+    assert((semDrops -- exactDrops).isEmpty,
+      s"SemDeDup dropped non-duplicates: ${(semDrops -- exactDrops).take(5)}")
+    assert(exactDrops.nonEmpty, "fixture planted no exact drops — test is vacuous")
+    val recall = (semDrops & exactDrops).size.toDouble / exactDrops.size
+    info(f"SemDeDup drop recall = $recall%.2f (|exact|=${exactDrops.size})")
+    assert(recall >= 0.5, s"cross-cell drop recall collapsed: $recall")
+  }
+
   test("the stop-cell guard rejects a degenerate pair space") {
     val rows = (0 until 100).map(i => (i.toLong, oneHot(0))) // all one cell
     val e = intercept[IllegalArgumentException] {
