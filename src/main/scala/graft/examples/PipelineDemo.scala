@@ -8,11 +8,12 @@ import graft.sources.{Tables => T}
 
 /** End-to-end training-data pipeline over the fixtures: exact dedup →
   * near-dup removal (MinHash+LSH) → quality + repetition filter →
-  * substring-duplication drop score → LM quality cut → benchmark
-  * decontamination → PII redaction → domain rebalancing →
-  * train/val/test split → chunking → token-budget shard packing →
-  * sequence-packing layout. Every stage is a DataFrame transform;
-  * nothing touches the driver except the final counts.
+  * substring-duplication drop score → LM quality cut → contamination
+  * scoring + benchmark decontamination → PII redaction →
+  * temperature-scaled domain mixing → train/val/test split → chunking →
+  * token-budget shard packing → sequence-packing layout. Every stage is
+  * a DataFrame transform; nothing touches the driver except the final
+  * counts.
   * Usage: runMain graft.examples.PipelineDemo [sfDir]
   */
 object PipelineDemo {
@@ -65,19 +66,24 @@ object PipelineDemo {
       lm.filter($"avg_logp" >= cut).select($"id".as("doc_id")), Seq("doc_id"))
     println(f"[pipeline] after LM quality cut (p05=$cut%.3f): ${fluent.count()}")
 
-    // 4. benchmark decontamination: screen against a held-out eval set
-    //    (here: every 25th doc), dropping any doc with >= 3 shared 3-grams
+    // 4. benchmark decontamination: score every doc's eval-gram overlap
+    //    fraction, then drop by threshold (>= 3 shared 3-grams)
     val eval = docs.filter($"doc_id" % 25 === 0)
+    val contamMax = Decontaminate.contaminationRatio(
+        fluent.filter($"doc_id" % 25 =!= 0), eval, "doc_id", "text")
+      .agg(max($"contamination")).collect()(0).getDouble(0)
     val clean = Decontaminate.removeContaminated(
       fluent.filter($"doc_id" % 25 =!= 0), eval, "doc_id", "text", minHits = 3L)
-    println(s"[pipeline] after decontamination: ${clean.count()}")
+    println(f"[pipeline] after decontamination (max overlap $contamMax%.3f): ${clean.count()}")
 
     // 5. PII scrub: map-side regexp redaction of emails/phones
     val scrubbed = clean.withColumn("text", TextAnalysis.redactPii($"text"))
 
-    // 6. rebalance the source mixture toward uniform target counts
-    val mixed = Mixing.rebalanceDomains(scrubbed, "source", "doc_id", targetPerDomain = 15)
-    println(s"[pipeline] after domain rebalancing: ${mixed.count()}")
+    // 6. temperature-scaled source mixture (tau = 0.5 flattens toward
+    //    low-resource sources; capped domains keep everything)
+    val mixed = Mixing.temperatureSample(scrubbed, "source", "doc_id",
+      tau = 0.5, targetTotal = 300L)
+    println(s"[pipeline] after temperature mixing: ${mixed.count()}")
 
     // 7. deterministic train/val/test split (hash slots, RNG-free)
     val split = Mixing.splitByHash(mixed, "doc_id", "split",

@@ -38,6 +38,34 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Per-document contamination RATIO — the overlap as a fraction of
+    * the document's own distinct grams, zero-overlap docs included:
+    * the continuous score a filtering threshold or a contamination
+    * report consumes, where [[contaminationStats]] is the raw hit list.
+    * Returns (idCol, n_grams, n_contaminated, contamination) for every
+    * doc with at least one gram; ratio rounded to 6 places. Same scale
+    * shape as the stats: eval grams broadcast, corpus scanned once
+    * map-side, only per-doc aggregates move. */
+  def contaminationRatio(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextAnalysis.shingleSet(col(textCol), n)).as("gram"))
+      .distinct()
+    val totals = corpus.select(col(idCol),
+        size(TextAnalysis.shingleSet(col(textCol), n)).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+    val hits = corpus
+      .select(col(idCol), explode(TextAnalysis.shingleSet(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)) / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
   /** The decontaminated corpus: drops every doc whose eval-gram overlap
     * reaches `minHits` (anti-join against the flagged ids). */
   def removeContaminated(corpus: DataFrame, eval: DataFrame, idCol: String,

@@ -89,6 +89,53 @@ object Mixing {
     df.filter(slot < admit)
   }
 
+  /** Temperature-scaled domain mixture rates — the multilingual/domain
+    * data-mixing recipe (Conneau & Lample 2019; GPT-3's dataset weights):
+    * domain d's target share of the mixture is n_d^tau / Σ_e n_e^tau,
+    * so tau < 1 flattens the natural distribution toward low-resource
+    * domains and tau = 1 keeps it. The per-row admission rate that hits
+    * an EXPECTED `targetTotal` rows overall is min(1, targetTotal ·
+    * share_d / n_d); a domain whose rate caps at 1 contributes all it
+    * has, so the realized total can land below target (the standard
+    * behavior — re-run with a higher tau or target to compensate).
+    *
+    * Returns (domainCol, n, rate) with rate rounded to 6 places so the
+    * downstream draw threshold is engine-stable. One aggregate over the
+    * corpus + arithmetic on |domains| rows — nothing corpus-sized moves.
+    */
+  def temperatureRates(df: DataFrame, domainCol: String, tau: Double,
+      targetTotal: Long): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    require(targetTotal > 0, s"targetTotal must be positive: $targetTotal")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .withColumn("__w", pow(col("n").cast("double"), lit(tau)))
+    // total weight via a broadcast 1-row cross join, not a window over
+    // an empty partitioning (which would single-partition the frame —
+    // harmless at |domains| rows but a bad habit to codify)
+    val total = counts.agg(sum(col("__w")).as("__tw"))
+    counts.crossJoin(broadcast(total))
+      .select(col(domainCol), col("n"),
+        round(least(lit(1.0),
+          lit(targetTotal.toDouble) * col("__w") / col("__tw") / col("n")), 6)
+          .as("rate"))
+  }
+
+  /** The temperature-sampled mixture itself: every row admitted by the
+    * same reproducible multiplicative-hash draw as [[stratifiedSample]],
+    * at its domain's [[temperatureRates]] rate. One corpus scan plus a
+    * broadcast hash join against |domains| rows — map-side at any scale,
+    * and RNG-free, so the sampled corpus is a stable artifact. */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+      tau: Double, targetTotal: Long, buckets: Int = 1000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val admits = temperatureRates(df, domainCol, tau, targetTotal)
+      .select(col(domainCol),
+        floor(lit(buckets.toDouble) * col("rate")).as("__admit"))
+    df.join(broadcast(admits), domainCol)
+      .filter(slotOf(col(idCol), buckets) < col("__admit"))
+      .drop("__admit")
+  }
+
   /** Concat-and-chunk sequence packing — the layout step that turns a
     * tokenized corpus into fixed-length training sequences (the GPT-style
     * "pack everything end to end, cut every seqLen tokens" recipe):

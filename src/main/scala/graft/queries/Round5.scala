@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, Mixing}
+import graft.sources.{Tables => T}
+
+/** Round-5 surface additions: temperature-scaled domain mixing (the
+  * multilingual/domain data-mixing recipe) and document-level
+  * contamination scoring — the two remaining corpus-prep scores the
+  * earlier families express only as binary keep/drop decisions.
+  */
+object Round5 {
+
+  val all: Seq[Q] = Seq(
+
+    // temperature-scaled mixture: per-domain admission rates for
+    // tau = 0.5 (flatten toward low-resource domains) at an expected
+    // 2000-row mixture, then the realized kept counts per domain under
+    // the reproducible multiplicative-hash draw. Rates round to 6
+    // places on both sides so the floor'd draw threshold is
+    // engine-stable (pow(n, 0.5) = sqrt — correctly rounded in both
+    // engines)
+    Q("q112_temperature_mix", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val rates = Mixing.temperatureRates(docs, "source", tau = 0.5,
+        targetTotal = 2000L)
+      val kept = Mixing.temperatureSample(docs, "source", "doc_id",
+          tau = 0.5, targetTotal = 2000L)
+        .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select($"source", $"n", $"rate",
+          coalesce($"n_kept", lit(0L)).as("n_kept"))
+        .orderBy($"source")
+    }, Some("""
+      WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      w AS (SELECT source, n, pow(n, 0.5) AS wt FROM c),
+      r AS (SELECT source, n,
+                   round(least(1.0, 2000.0 * wt / (SELECT sum(wt) FROM w) / n), 6) AS rate
+            FROM w),
+      k AS (SELECT d.source, count(*) AS n_kept
+            FROM documents d JOIN r USING (source)
+            WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000 <
+                  floor(1000.0 * r.rate)
+            GROUP BY d.source)
+      SELECT source, n, rate, coalesce(n_kept, 0) AS n_kept
+      FROM r LEFT JOIN k USING (source) ORDER BY source""")),
+
+    // document-level contamination score: the fraction of each doc's
+    // distinct 3-grams that appear anywhere in the "benchmark" slice
+    // (every 25th doc), zero-overlap docs included — the continuous
+    // score a decontamination threshold consumes
+    Q("q113_contamination_ratio", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      Decontaminate.contaminationRatio(
+          docs.filter($"doc_id" % 25 =!= 0), docs.filter($"doc_id" % 25 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      ev AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 25 = 0),
+      tot AS (SELECT doc_id, len(s) AS n_grams FROM sh
+              WHERE doc_id % 25 <> 0 AND len(s) > 0),
+      hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+               FROM (SELECT doc_id, unnest(s) AS gram FROM sh
+                     WHERE doc_id % 25 <> 0) c
+               JOIN ev USING (gram) GROUP BY 1)
+      SELECT doc_id, n_grams, coalesce(n_contaminated, 0) AS n_contaminated,
+             round(coalesce(n_contaminated, 0) / n_grams, 6) AS contamination
+      FROM tot LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.{Decontaminate, Mixing}
+
+/** Round-5 operators: temperature-scaled domain mixing and document
+  * contamination scoring. */
+class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- temperature mixing --------------------------------------------------
+
+  test("tau=1 keeps the natural mixture: every domain gets the same rate") {
+    import spark.implicits._
+    // 3000 + 1000 rows, target 2000 of 4000 total -> rate 0.5 everywhere
+    val df = ((1L to 3000L).map(i => (i, "big")) ++
+      (3001L to 4000L).map(i => (i, "small"))).toDF("id", "dom")
+    val rates = Mixing.temperatureRates(df, "dom", tau = 1.0, targetTotal = 2000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rates == Map("big" -> 0.5, "small" -> 0.5))
+  }
+
+  test("tau<1 flattens toward low-resource domains; capped rates stay at 1") {
+    import spark.implicits._
+    // n = 6400 vs 100: natural share 98.5/1.5; tau=0.5 shares 80/10 -> 8:1.
+    // small domain's uncapped rate = 2000*(10/90)/100 = 2.2 -> caps at 1
+    val df = ((1L to 6400L).map(i => (i, "big")) ++
+      (10001L to 10100L).map(i => (i, "small"))).toDF("id", "dom")
+    val rates = Mixing.temperatureRates(df, "dom", tau = 0.5, targetTotal = 2000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rates("small") == ((100L, 1.0)), s"got $rates")
+    // big: 2000 * (80/90) / 6400 = 0.277778
+    assert(math.abs(rates("big")._2 - 0.277778) < 1e-6, s"got $rates")
+  }
+
+  test("temperature sample is deterministic and concentrates near expectation") {
+    import spark.implicits._
+    val df = ((1L to 6400L).map(i => (i, "big")) ++
+      (10001L to 10100L).map(i => (i, "small"))).toDF("id", "dom")
+    val kept = Mixing.temperatureSample(df, "dom", "id", 0.5, 2000L)
+    val again = Mixing.temperatureSample(df.repartition(7), "dom", "id", 0.5, 2000L)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    val byDom = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("small") == 100L, s"capped domain must keep everything: $byDom")
+    // expected 6400 * 0.277 = 1777; hash-slot draw concentrates within ±15%
+    assert(math.abs(byDom("big") - 1777L) < 270, s"big=${byDom("big")}")
+  }
+
+  // ---- contamination ratio -------------------------------------------------
+
+  test("contamination ratio is exact, zero-overlap docs included") {
+    import spark.implicits._
+    // doc 1: 6 tokens = 4 distinct 3-grams, of which the 2 inside the
+    // eval run overlap; doc 2: no overlap at all; eval doc has 4 tokens
+    // = 2 grams
+    val corpus = Seq(
+      (1L, "e1 e2 e3 e4 a b"),   // grams: e1e2e3, e2e3e4 (hits), e3e4a, e4ab
+      (2L, "x y z w")).toDF("doc_id", "text")
+    val eval = Seq((100L, "e1 e2 e3 e4")).toDF("doc_id", "text")
+    val got = Decontaminate.contaminationRatio(corpus, eval, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set((1L, 4L, 2L, 0.5), (2L, 2L, 0L, 0.0)))
+  }
+}
