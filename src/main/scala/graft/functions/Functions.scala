@@ -70,4 +70,10 @@ object Functions {
   /** MinHash signature of an `array<string>` shingle column (map-side, no shuffle). */
   def minhash_signature(shingles: Column, numHashes: Int = 64): Column =
     Shims.column(MinHashSignature(Shims.expression(shingles), numHashes))
+
+  /** BPE subword pieces of a string column under a trained merge table
+    * (train with [[graft.operators.Bpe.train]]; not SQL-registered — the
+    * merge table is a data-dependent artifact, not a literal). */
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    Shims.column(BpeEncode(Shims.expression(text), merges))
 }

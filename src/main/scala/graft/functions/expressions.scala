@@ -368,6 +368,85 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** BPE subword encoding of a whitespace-tokenized string against a FIXED,
+  * trained merge table (Sennrich et al. 2016, word-internal variant with
+  * an end-of-word marker): each word starts as its characters plus
+  * `</w>`, then the lowest-rank merge present in the word fuses all its
+  * occurrences, repeating until no merge applies — the standard greedy
+  * encode. The merge table is a constructor argument, so it serializes
+  * with the plan and rides to every executor once; encoding is pure
+  * map-side compute with no lookup join. Output is the document's
+  * subword pieces in order, words concatenated.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  // pair -> application rank; the ' ' separator cannot occur inside a symbol (symbols
+  // come from whitespace-split words), so the joined key is unambiguous
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(a + " " + b, Int.box(i))
+    }
+    m
+  }
+
+  private def encodeWord(w: String, out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    var syms = new Array[String](w.length + 1)
+    var i = 0
+    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    syms(w.length) = BpeEncode.EndOfWord
+    var done = false
+    while (!done && syms.length > 1) {
+      // lowest-rank pair present in the word
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j + 1 < syms.length) {
+        val r = rank.get(syms(j) + " " + syms(j + 1))
+        if (r != null && r < bestRank) bestRank = r
+        j += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(bestRank)
+        val joined = a + b
+        val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var k = 0
+        while (k < syms.length) {
+          if (k + 1 < syms.length && syms(k) == a && syms(k + 1) == b) {
+            next += joined; k += 2
+          } else { next += syms(k); k += 1 }
+        }
+        syms = next.toArray
+      }
+    }
+    var t = 0
+    while (t < syms.length) { out += UTF8String.fromString(syms(t)); t += 1 }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) encodeWord(words(i), out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BpeEncode {
+  /** End-of-word marker symbol (the paper's `</w>`). */
+  final val EndOfWord = "</w>"
+}
+
 /** Random-hyperplane LSH signature of a float vector (Charikar, STOC'02).
   *
   * Bit b is the sign of ⟨v, r_b⟩ where r_b is a deterministic ±1

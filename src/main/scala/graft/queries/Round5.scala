@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontaminate, Mixing}
+import graft.operators.{Bpe, Decontaminate, Mixing}
 import graft.sources.{Tables => T}
 
 /** Round-5 surface additions: temperature-scaled domain mixing (the
@@ -75,6 +75,20 @@ object Round5 {
                JOIN ev USING (gram) GROUP BY 1)
       SELECT doc_id, n_grams, coalesce(n_contaminated, 0) AS n_contaminated,
              round(coalesce(n_contaminated, 0) / n_grams, 6) AS contamination
-      FROM tot LEFT JOIN hits USING (doc_id) ORDER BY doc_id"""))
+      FROM tot LEFT JOIN hits USING (doc_id) ORDER BY doc_id""")),
+
+    // subword BPE tokenization: train 60 merges driver-side on the
+    // id-ordered corpus sample (the quantizer pattern), encode every
+    // document map-side with the broadcast merge table. The learned
+    // merges are a data-dependent artifact, so this is rows-only;
+    // BpeSpec pins training and greedy encoding exactly (hand-computed
+    // merges on the classic corpus, lossless reconstruction,
+    // partitioning invariance)
+    Q("q114_bpe_encode", (s, d) => {
+      import s.implicits._
+      Bpe.trainAndEncode(T.documents(s, d), "doc_id", "text", numMerges = 60)
+        .select($"doc_id", posexplode($"pieces").as(Seq("pos", "piece")))
+        .orderBy($"doc_id", $"pos")
+    }, None)
   )
 }

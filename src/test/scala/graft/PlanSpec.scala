@@ -155,6 +155,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange".r.findAllIn(p).size <= 1, s"extra shuffles in:\n$p")
   }
 
+  test("q112: temperature mixing joins the corpus against broadcast domain rates") {
+    val p = plan("q112_temperature_mix")
+    // the admission join must broadcast the |domains|-row rate table;
+    // the 1-row total-weight cross join is a broadcast nested loop by
+    // construction and is fine — what must never appear is a
+    // corpus-sized cartesian
+    assert(p.contains("BroadcastHashJoin"), s"domain rates must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q113: contamination scoring broadcasts the eval grams like q93") {
+    val p = plan("q113_contamination_ratio")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q106: CDC merge is one keyed shuffle — union + window, no join") {
     val p = plan("q106_merge_upsert")
     assert(!p.contains("Join"), s"merge must not join:\n$p")
