@@ -124,7 +124,11 @@ object Mixing {
     * same reproducible multiplicative-hash draw as [[stratifiedSample]],
     * at its domain's [[temperatureRates]] rate. One corpus scan plus a
     * broadcast hash join against |domains| rows — map-side at any scale,
-    * and RNG-free, so the sampled corpus is a stable artifact. */
+    * and RNG-free, so the sampled corpus is a stable artifact.
+    *
+    * Rows with a NULL domain are dropped (the inner rate join cannot
+    * match them) — bucket them under a sentinel domain first if they
+    * should participate. */
   def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
       tau: Double, targetTotal: Long, buckets: Int = 1000): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
