@@ -100,6 +100,44 @@ object TextAnalysis {
         round(avg(log(col("__c") * lit(1.0) / col("__t"))), 6).as("avg_logp"))
   }
 
+  /** Bigram LM quality score — one step up from [[unigramLogProb]]
+    * toward CCNet's n-gram-LM signal: per-doc mean ln P(w_i | w_{i-1})
+    * under corpus bigram statistics with add-alpha smoothing,
+    * P(b|a) = (c(a,b) + α) / (c1(a) + α·V), where c1(a) counts bigram
+    * CONTEXTS (occurrences of `a` with a successor — derived from the
+    * bigram table, not a rescan) and V is the corpus vocabulary size,
+    * so each context's probabilities sum to 1 and unseen continuations
+    * get mass. Documents with fewer than 2 tokens have no bigrams and
+    * are absent from the result.
+    *
+    * Scale shape: the bigram-count aggregate, the bigram→count join
+    * (AQE-broadcastable — the bigram vocabulary is Zipf-small next to
+    * the corpus), a 1-row vocab-size broadcast, and the per-doc
+    * aggregate; the context counts reduce the bigram table. The
+    * documents scan twice (bigram pass + vocab-size pass) — both
+    * map-side. Returns (id, n_bigrams, avg_logp). */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val t = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__ws"))
+    val bi = t.filter(size(col("__ws")) >= 2).select(col("id"),
+        explode(zip_with(
+          slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+          slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+      .select(col("id"), col("__p.a").as("__a"), col("__p.b").as("__b"))
+    val c2 = bi.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("__a")).agg(sum(col("__c2")).as("__c1"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    bi.join(c2, Seq("__a", "__b")).join(c1, Seq("__a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("__c2") + lit(alpha)) /
+          (col("__c1") + lit(alpha) * col("__v")))), 6).as("avg_logp"))
+  }
+
   /** Vocabulary-id encoding — the final text→tensor step of a training
     * pipeline: build the top-`vocabSize` vocabulary (by count desc, word
     * asc — a total, engine-stable order), assign ids 1..N in rank order

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Decontaminate, Mixing}
+import graft.operators.{Bpe, Decontaminate, Mixing, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** Round-5 surface additions: temperature-scaled domain mixing (the
@@ -89,6 +89,28 @@ object Round5 {
       Bpe.trainAndEncode(T.documents(s, d), "doc_id", "text", numMerges = 60)
         .select($"doc_id", posexplode($"pieces").as(Seq("pos", "piece")))
         .orderBy($"doc_id", $"pos")
-    }, None)
+    }, None),
+
+    // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus
+    // bigram statistics with add-0.5 smoothing (0.5 is exact in binary,
+    // so the only float ops are the shared ln/avg, handled like q109)
+    Q("q115_bigram_lm", (s, d) => {
+      import s.implicits._
+      TextAnalysis.bigramLogProb(T.documents(s, d), "doc_id", "text", alpha = 0.5)
+        .select($"id".as("doc_id"), $"n_bigrams", $"avg_logp")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      bi AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS a, unnest(ws[2:len(ws)]) AS b
+             FROM w WHERE len(ws) >= 2),
+      c2 AS (SELECT a, b, count(*) AS c2 FROM bi GROUP BY a, b),
+      c1 AS (SELECT a, sum(c2) AS c1 FROM c2 GROUP BY a),
+      v AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(ws) AS w FROM w) t)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS avg_logp
+      FROM bi JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -171,6 +171,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q115: bigram LM joins counts by key — no corpus-sized nested loop") {
+    val p = plan("q115_bigram_lm")
+    // the only nested-loop join allowed is the broadcast of the 1-row
+    // vocab-size aggregate; the bigram->count joins must be hash joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashJoin".r.findAllIn(p).nonEmpty, s"expected hash joins:\n$p")
+  }
+
   test("q106: CDC merge is one keyed shuffle — union + window, no join") {
     val p = plan("q106_merge_upsert")
     assert(!p.contains("Join"), s"merge must not join:\n$p")

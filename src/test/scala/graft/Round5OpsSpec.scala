@@ -54,6 +54,27 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(byDom("big") - 1777L) < 270, s"big=${byDom("big")}")
   }
 
+  // ---- bigram LM -----------------------------------------------------------
+
+  test("bigram log-prob matches the hand-computed smoothed model") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // corpus: "a b a b" + "a b" + "x" -> c2(a,b)=3, c2(b,a)=1; contexts
+    // c1(a)=3, c1(b)=1; vocabulary {a,b,x} so V=3 (the bigram-less doc
+    // still contributes its token). With alpha=0.5 (exact in binary):
+    // P(b|a) = 3.5/4.5, P(a|b) = 1.5/2.5
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs, "doc_id", "text", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val pba = 3.5 / 4.5
+    val pab = 1.5 / 2.5
+    val d1 = r6((math.log(pba) + math.log(pab) + math.log(pba)) / 3)
+    val d2 = r6(math.log(pba))
+    assert(got(1L) == ((3L, d1)) && got(2L) == ((1L, d2)))
+    assert(!got.contains(3L), "single-token doc has no bigrams")
+  }
+
   // ---- contamination ratio -------------------------------------------------
 
   test("contamination ratio is exact, zero-overlap docs included") {
