@@ -294,6 +294,10 @@ object Merge {
     * across a concurrent swap. The manifest commits after the swaps; a
     * crash in between leaves it one apply behind, which the next apply
     * heals by re-deriving stale entries from the live data.
+    *
+    * Edge: a snapshot whose buckets have ALL been deleted cannot be
+    * re-seeded by apply (the base read needs at least one parquet file
+    * to infer the schema) — re-create it with [[writeBucketedSnapshot]].
     */
   def applyChangesBucketed(path: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String, seqCol: String,
