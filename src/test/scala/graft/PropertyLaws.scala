@@ -107,6 +107,30 @@ object PropertyLaws extends Properties("graft") {
         (perDom > target || a.size == rows)
     }
 
+  property("temperature rates: shares sum to 1 pre-cap, expected total ≤ target, τ=1 is natural") =
+    forAll(Gen.chooseNum(2, 4), Gen.chooseNum(100, 400), Gen.oneOf(0.3, 0.5, 0.7, 1.0)) {
+      (nDoms, perDom, tau) =>
+        val counts = (0 until nDoms).map(d => (d + 1) * perDom) // distinct sizes
+        val df = counts.zipWithIndex.flatMap { case (n, d) =>
+          (0 until n).map(i => (d.toLong * 1000000 + i, s"dom$d"))
+        }.toDF("id", "dom")
+        val target = counts.sum / 2L
+        val rates = graft.operators.Mixing
+          .temperatureRates(df, "dom", tau, target)
+          .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        // expected kept = Σ n_d·rate_d never exceeds the target (rates
+        // only ever shrink via the cap), up to the 6dp rounding slack —
+        // each rate can round UP by 5e-7, weighted by its domain size
+        val expTotal = rates.values.map { case (n, r) => n * r }.sum
+        val natural = tau == 1.0 && rates.values.forall { case (_, r) =>
+          math.abs(r - math.min(1.0, target.toDouble / counts.sum)) < 1e-6
+        }
+        rates.size == nDoms &&
+          rates.values.forall { case (_, r) => r > 0 && r <= 1.0 } &&
+          expTotal <= target + counts.sum * 5e-7 + 1e-9 &&
+          (tau != 1.0 || natural)
+    }
+
   property("splitByHash partitions every id and matches the hash boundaries") =
     forAll(Gen.chooseNum(2, 5), Gen.chooseNum(50, 300)) { (nSplits, rows) =>
       val weights = (1 to nSplits).map(i => s"s$i" -> i.toDouble)
