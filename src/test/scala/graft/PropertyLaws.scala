@@ -131,6 +131,19 @@ object PropertyLaws extends Properties("graft") {
           (tau != 1.0 || natural)
     }
 
+  property("winnowing guarantee: docs sharing a long substring share a fingerprint") =
+    forAll(Gen.identifier.suchThat(_.length >= 10),
+      Gen.identifier, Gen.identifier) { (shared, pre, post) =>
+      // Schleimer et al.'s core detection guarantee: with k-gram size k
+      // and window w, any match of length >= w + k - 1 is caught — the
+      // shared block here is >= 10 chars vs w + k - 1 = 5 + 4 - 1 = 8
+      val df = Seq((1L, pre + " " + shared + " x"), (2L, "y " + shared + " " + post))
+        .toDF("id", "text")
+        .select($"id", winnow_fingerprint($"text", k = 4, w = 5).as("fp"))
+      val fps = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      (fps(1L) & fps(2L)).nonEmpty
+    }
+
   property("splitByHash partitions every id and matches the hash boundaries") =
     forAll(Gen.chooseNum(2, 5), Gen.chooseNum(50, 300)) { (nSplits, rows) =>
       val weights = (1 to nSplits).map(i => s"s$i" -> i.toDouble)
