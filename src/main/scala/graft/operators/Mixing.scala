@@ -140,6 +140,57 @@ object Mixing {
       .drop("__admit")
   }
 
+  /** Uncapped temperature mixture rates: like [[temperatureRates]] but a
+    * low-resource domain's rate may exceed 1 — the standard recipe then
+    * REPEATS its documents (multiple epochs over the small domain per
+    * epoch over the large one) instead of capping its contribution.
+    * Returns (domainCol, n, rate) with the same 6-place rounding. */
+  def temperatureRatesUncapped(df: DataFrame, domainCol: String, tau: Double,
+      targetTotal: Long): DataFrame = {
+    require(tau > 0, s"tau must be positive: $tau")
+    require(targetTotal > 0, s"targetTotal must be positive: $targetTotal")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .withColumn("__w", pow(col("n").cast("double"), lit(tau)))
+    val total = counts.agg(sum(col("__w")).as("__tw"))
+    counts.crossJoin(broadcast(total))
+      .select(col(domainCol), col("n"),
+        round(lit(targetTotal.toDouble) * col("__w") / col("__tw") / col("n"), 6)
+          .as("rate"))
+  }
+
+  /** Repetition-based domain up/down-sampling — the full data-mixing
+    * recipe: every row is emitted `floor(rate)` times plus one more when
+    * the reproducible multiplicative-hash draw admits it at the rate's
+    * fractional part, so a domain at rate 2.3 contributes each document
+    * twice and ~30% of them a third time (expected emitted count =
+    * rate · n exactly), while rate 0.4 downsamples as before. Output
+    * rows carry a 1-based `copy` index — the training loader's dedup
+    * handle within an epoch.
+    *
+    * Scale shape: one corpus aggregate for the rates, a broadcast join
+    * against |domains| rows, then a pure map-side explode of a
+    * `sequence(1, copies)` literal — nothing corpus-sized shuffles, and
+    * the blowup factor is exactly the requested oversampling. RNG-free
+    * like every sampler here: the same copies are emitted on every run,
+    * engine, and partitioning. */
+  def upsampleDomains(df: DataFrame, domainCol: String, idCol: String,
+      tau: Double, targetTotal: Long, buckets: Int = 1000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val rates = temperatureRatesUncapped(df, domainCol, tau, targetTotal)
+      .select(col(domainCol), floor(col("rate")).cast("int").as("__whole"),
+        floor(lit(buckets.toDouble) * (col("rate") - floor(col("rate"))))
+          .as("__fracAdmit"))
+    val copies = (col("__whole") +
+      when(slotOf(col(idCol), buckets) < col("__fracAdmit"), 1).otherwise(0))
+      .cast("int")
+    // Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty — the
+    // zero-copy case must short-circuit to an empty array explicitly
+    df.join(broadcast(rates), domainCol)
+      .withColumn("copy", explode(when(copies >= 1,
+        sequence(lit(1), copies)).otherwise(array().cast("array<int>"))))
+      .drop("__whole", "__fracAdmit")
+  }
+
   /** Concat-and-chunk sequence packing — the layout step that turns a
     * tokenized corpus into fixed-length training sequences (the GPT-style
     * "pack everything end to end, cut every seqLen tokens" recipe):

@@ -75,6 +75,42 @@ object TextAnalysis {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1: the
+    * published composite of word-count bounds, mean-word-length bounds,
+    * a stopword-presence floor, and a repetition ceiling) — the cheap
+    * rule filter a pipeline runs BEFORE any model-based scoring. Emits
+    * the per-document signals plus the composite `keep` decision
+    * (1/0), so a threshold sweep reads the signals without recomputing.
+    *
+    * `top_word_frac` (the most frequent word's share) is computed with
+    * array HOFs over the doc's own tokens — O(distinct·n) per document
+    * but entirely map-side, so the whole gate is ONE corpus scan with
+    * ZERO shuffles at any scale (an exploded groupBy would shuffle
+    * corpus-sized token rows to compute the same number). The quadratic
+    * term is bounded by document length; route pathological mega-docs
+    * through chunking (q65) first. `keep` compares the same 6-place-
+    * rounded signals the output carries, so the decision is engine-
+    * reproducible. */
+  def gopherQuality(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 5, maxWords: Int = 1000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+      minStopHits: Int = 2, maxTopWordFrac: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val n = size(col("__ws"))
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__ws"))
+      .select(col("id"), n.as("n_words"),
+        round(aggregate(col("__ws"), lit(0L), (a, w) => a + length(w))
+          .cast("double") / n, 6).as("mean_word_len"),
+        size(array_intersect(col("__ws"), typedLit(stopwords))).as("stop_hits"),
+        round(array_max(transform(array_distinct(col("__ws")),
+          w => size(filter(col("__ws"), x => x === w))))
+          .cast("double") / n, 6).as("top_word_frac"))
+      .withColumn("keep",
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("stop_hits") >= minStopHits &&
+          col("top_word_frac") <= maxTopWordFrac).cast("int"))
+  }
+
   /** Statistical language-model quality score — the CCNet recipe
     * (Wenzek et al. 2020 rank crawled text by LM perplexity; here the LM
     * is the corpus's own unigram distribution, trained and applied in

@@ -225,8 +225,11 @@ object Round4 {
           .trigger(Trigger.AvailableNow()).start()
         query.awaitTermination()
         // flake forensics (round-4 driver run had one unreproducible red
-        // hash here): the manifest's per-bucket rows+checksums go to
-        // stderr so a future mismatch names the diverging bucket
+        // hash here; a 20-iteration fresh-JVM Verify->DuckDB loop at the
+        // driver's exact config passed 20/20 with BIT-IDENTICAL
+        // per-bucket checksums every run — tools/q108_loop.sh): the
+        // manifest's per-bucket rows+checksums go to stderr so a future
+        // mismatch names the diverging bucket
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(s.sessionState.newHadoopConf())
         Merge.readManifest(fs, path).foreach { case (seq, bs) =>

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Decontaminate, Mixing, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Mixing, Pca, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** Round-5 surface additions: temperature-scaled domain mixing (the
@@ -47,6 +47,32 @@ object Round5 {
       SELECT source, n, rate, coalesce(n_kept, 0) AS n_kept
       FROM r LEFT JOIN k USING (source) ORDER BY source""")),
 
+    // repetition-based up/down-sampling: uncapped temperature rates at
+    // an expected 1250-row mixture (rate 2.5 per domain at sf0.01 —
+    // every doc twice, hash-admitted half a third time), each emitted
+    // copy carrying its 1-based index. The oracle replays the exact
+    // floor/frac/hash arithmetic and generates the same copies
+    Q("q116_upsample", (s, d) => {
+      import s.implicits._
+      Mixing.upsampleDomains(T.documents(s, d), "source", "doc_id",
+          tau = 0.5, targetTotal = 1250L)
+        .select($"doc_id", $"source", $"copy")
+        .orderBy($"doc_id", $"copy")
+    }, Some("""
+      WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      w AS (SELECT source, n, pow(n, 0.5) AS wt FROM c),
+      r AS (SELECT source, n,
+                   round(1250.0 * wt / (SELECT sum(wt) FROM w) / n, 6) AS rate
+            FROM w),
+      cp AS (SELECT d.doc_id, d.source,
+                    CAST(floor(r.rate) AS INT) +
+                    CASE WHEN ((d.doc_id % 2147483648) * 2654435761) % 1000 <
+                              floor(1000.0 * (r.rate - floor(r.rate)))
+                         THEN 1 ELSE 0 END AS copies
+             FROM documents d JOIN r USING (source))
+      SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS INT) AS copy
+      FROM cp WHERE copies >= 1 ORDER BY doc_id, copy""")),
+
     // document-level contamination score: the fraction of each doc's
     // distinct 3-grams that appear anywhere in the "benchmark" slice
     // (every 25th doc), zero-overlap docs included — the continuous
@@ -89,6 +115,53 @@ object Round5 {
       Bpe.trainAndEncode(T.documents(s, d), "doc_id", "text", numMerges = 60)
         .select($"doc_id", posexplode($"pieces").as(Seq("pos", "piece")))
         .orderBy($"doc_id", $"pos")
+    }, None),
+
+    // Gopher-style rule gate: word-count bounds, mean-word-length
+    // bounds, stopword floor, repetition ceiling, and the composite
+    // keep bit — computed over the same rounded signals in both engines
+    Q("q117_gopher_rules", (s, d) => {
+      import s.implicits._
+      TextAnalysis.gopherQuality(T.documents(s, d), "doc_id", "text",
+          minWords = 5, maxWords = 1000, minMeanLen = 2.0, maxMeanLen = 12.0,
+          minStopHits = 2, maxTopWordFrac = 0.2)
+        .select($"id".as("doc_id"), $"n_words", $"mean_word_len",
+          $"stop_hits", $"top_word_frac", $"keep")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      m AS (SELECT doc_id,
+                   CAST(len(ws) AS INT) AS n_words,
+                   round(list_sum(list_transform(ws, w -> length(w))) * 1.0
+                         / len(ws), 6) AS mean_word_len,
+                   CAST(len(list_intersect(ws, ['the','a','of','and','to','in','is','it','on','for'])) AS INT) AS stop_hits,
+                   round(list_max(list_transform(list_distinct(ws),
+                         w -> len(list_filter(ws, x -> x = w)))) * 1.0
+                         / len(ws), 6) AS top_word_frac
+            FROM t)
+      SELECT doc_id, n_words, mean_word_len, stop_hits, top_word_frac,
+             CAST(CASE WHEN n_words BETWEEN 5 AND 1000
+                        AND mean_word_len BETWEEN 2.0 AND 12.0
+                        AND stop_hits >= 2 AND top_word_frac <= 0.2
+                       THEN 1 ELSE 0 END AS INT) AS keep
+      FROM m ORDER BY doc_id""")),
+
+    // PCA projection of the embeddings onto the top-4 principal
+    // components: Gram aggregate -> driver-side Jacobi on the 64x64
+    // covariance -> map-side literal-component dot products. The fit is
+    // data-dependent (like every trained quantizer here), so rows-only;
+    // PcaSpec pins exact recovery on planted low-rank data,
+    // orthonormality, variance ordering, sign canonicalization, and
+    // partitioning invariance
+    Q("q118_pca_project", (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val model = Pca.fit(emb, "embedding")
+      Pca.project(emb, "embedding", model, k = 4)
+        .select($"vec_id", round($"p1", 6).as("p1"), round($"p2", 6).as("p2"),
+          round($"p3", 6).as("p3"), round($"p4", 6).as("p4"))
+        .orderBy($"vec_id")
     }, None),
 
     // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus

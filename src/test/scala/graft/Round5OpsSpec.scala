@@ -54,7 +54,61 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(byDom("big") - 1777L) < 270, s"big=${byDom("big")}")
   }
 
-  // ---- bigram LM -----------------------------------------------------------
+  // ---- repetition-based upsampling ------------------------------------------
+
+  test("upsample emits floor(rate) copies plus a hash-admitted fractional one") {
+    import spark.implicits._
+    // 100 big + 10 small, tau=1, target 220 -> rate 2.0 everywhere:
+    // exactly 2 copies per row, no fractional draw at all
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (201L to 210L).map(i => (i, "small"))).toDF("id", "dom")
+    val out = Mixing.upsampleDomains(df, "dom", "id", tau = 1.0, targetTotal = 220L)
+    assert(out.count() == 220L)
+    val copies = out.groupBy("id").count().collect().map(_.getLong(1)).toSet
+    assert(copies == Set(2L), "rate 2.0 must mean exactly two copies each")
+    assert(out.select("copy").distinct().collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
+  test("fractional rates concentrate near expectation and downsampling still works") {
+    import spark.implicits._
+    // one domain, 1000 rows, target 2500 -> rate 2.5: expected 2500 ± draw
+    val df = (1L to 1000L).map(i => (i, "d")).toDF("id", "dom")
+    val n = Mixing.upsampleDomains(df, "dom", "id", 1.0, 2500L).count()
+    assert(math.abs(n - 2500L) < 120, s"rate 2.5 over 1000 rows emitted $n")
+    // rate 0.4: pure downsample, no row repeated
+    val down = Mixing.upsampleDomains(df, "dom", "id", 1.0, 400L)
+    assert(math.abs(down.count() - 400L) < 80)
+    assert(down.select("copy").distinct().collect().map(_.getInt(0)).toSet == Set(1))
+  }
+
+  test("upsample is deterministic across partitionings") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "dom")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Mixing.upsampleDomains(d, "dom", "id", 0.7, 900L)
+        .select("id", "copy").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(run(df) == run(df.repartition(7)))
+  }
+
+  // ---- Gopher rule gate ------------------------------------------------------
+
+  test("gopher gate computes exact signals and the composite keep bit") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it is fine"), // 10 words, keeps
+      (2L, "a b"),                                   // too short
+      (3L, "the the the the the the the the of x")   // top-word frac 0.8
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getInt(3), r.getDouble(4), r.getInt(5)))).toMap
+    // doc 1: 10 words, 28 chars -> 2.8 mean, stopwords {the,on,and,it,is} = 5
+    // distinct hits, top word "the" 2/10
+    assert(got(1L) == ((10, 2.8, 5, 0.2, 1)), s"got ${got(1L)}")
+    assert(got(2L)._5 == 0, "2-word doc must fail the word-count floor")
+    assert(got(3L) == ((10, 2.7, 2, 0.8, 0)), s"got ${got(3L)}")
+  }
 
   test("bigram log-prob matches the hand-computed smoothed model") {
     import spark.implicits._
