@@ -114,8 +114,19 @@ object Merge {
 
   private val ManifestName = "_manifest.json"
 
+  /** `since` = the apply seq that wrote this bucket's current content
+    * (0 at snapshot creation) — the key that makes time travel exact:
+    * as-of S serves the live bucket only when since <= S. */
   private[graft] case class BucketStat(rows: Long, checksum: Long,
-      files: Seq[(String, Long)])
+      files: Seq[(String, Long)], since: Long = 0L)
+
+  /** A retained historical bucket version: `dir` (under the snapshot
+    * root) holds bucket `bucket`'s content that was live for apply seqs
+    * `[since, until]`. Version intervals of one bucket never overlap —
+    * each replacement's `since` is its `until + 1` — and a gap means the
+    * bucket did not exist in that seq range (deleted, later recreated). */
+  private[graft] case class Retained(bucket: Int, since: Long, until: Long,
+      dir: String, rows: Long, checksum: Long)
 
   /** (rows, checksum) of one bucket's data — checksum is invariant to
     * row and file order, so any two byte-layouts of the same row set
@@ -156,8 +167,23 @@ object Merge {
       .filter(f => f.isDirectory && f.getPath.getName.startsWith("__bucket="))
       .map(_.getPath.getName.stripPrefix("__bucket=").toInt).sorted
 
+  /** Full manifest state. `retainOk` = every apply so far retained the
+    * versions it replaced, so the history intervals chain back to each
+    * bucket's creation and an uncovered seq provably means "bucket did
+    * not exist then" — the invariant [[readSnapshotAsOf]] needs to be
+    * exact instead of silently partial. One non-retaining apply flips it
+    * false forever. `minAsOf` = the oldest seq [[vacuumSnapshot]] has
+    * kept readable. */
+  private[graft] case class ManifestData(applySeq: Long,
+      buckets: Map[Int, BucketStat], history: Seq[Retained],
+      retainOk: Boolean, minAsOf: Long)
+
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      base: String): Option[(Long, Map[Int, BucketStat])] = {
+      base: String): Option[(Long, Map[Int, BucketStat])] =
+    readManifestFull(fs, base).map(m => (m.applySeq, m.buckets))
+
+  private[graft] def readManifestFull(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Option[ManifestData] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(base, ManifestName)
     // the exists/open pair can race a concurrent manifest commit
@@ -179,30 +205,54 @@ object Merge {
           val f = v.get("files").get(i)
           (f.get("name").asText(), f.get("size").asLong())
         }
+        val since = if (v.has("since")) v.get("since").asLong() else 0L
         buckets(e.getKey.toInt) =
-          BucketStat(v.get("rows").asLong(), v.get("checksum").asLong(), files)
+          BucketStat(v.get("rows").asLong(), v.get("checksum").asLong(), files, since)
       }
-      Some((root.get("apply_seq").asLong(), buckets.toMap))
+      val history = if (!root.has("history")) Seq.empty else
+        (0 until root.get("history").size()).map { i =>
+          val h = root.get("history").get(i)
+          Retained(h.get("bucket").asInt(), h.get("since").asLong(),
+            h.get("until").asLong(), h.get("dir").asText(),
+            h.get("rows").asLong(), h.get("checksum").asLong())
+        }
+      // legacy manifests predate history: unknown past, fail time travel
+      // closed
+      val retainOk = root.has("retain_history") && root.get("retain_history").asBoolean()
+      val minAsOf = if (root.has("min_asof_seq")) root.get("min_asof_seq").asLong() else 0L
+      Some(ManifestData(root.get("apply_seq").asLong(), buckets.toMap, history,
+        retainOk, minAsOf))
     } catch {
       case _: java.io.FileNotFoundException => None
     }
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, base: String,
-      applySeq: Long, buckets: Map[Int, BucketStat]): Unit = {
+      applySeq: Long, buckets: Map[Int, BucketStat],
+      history: Seq[Retained] = Seq.empty, retainOk: Boolean = true,
+      minAsOf: Long = 0L): Unit = {
     import org.apache.hadoop.fs.Path
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("apply_seq", applySeq)
+    root.put("retain_history", retainOk)
+    root.put("min_asof_seq", minAsOf)
     val bn = root.putObject("buckets")
     buckets.toSeq.sortBy(_._1).foreach { case (b, s) =>
       val o = bn.putObject(b.toString)
       o.put("rows", s.rows)
       o.put("checksum", s.checksum)
+      o.put("since", s.since)
       val fa = o.putArray("files")
       s.files.foreach { case (n, sz) =>
         val f = fa.addObject(); f.put("name", n); f.put("size", sz)
       }
+    }
+    val ha = root.putArray("history")
+    history.sortBy(r => (r.bucket, r.since)).foreach { r =>
+      val o = ha.addObject()
+      o.put("bucket", r.bucket); o.put("since", r.since); o.put("until", r.until)
+      o.put("dir", r.dir); o.put("rows", r.rows); o.put("checksum", r.checksum)
     }
     val tmp = new Path(base, ManifestName + ".tmp")
     val live = new Path(base, ManifestName)
@@ -295,13 +345,19 @@ object Merge {
     * crash in between leaves it one apply behind, which the next apply
     * heals by re-deriving stale entries from the live data.
     *
-    * Edge: a snapshot whose buckets have ALL been deleted cannot be
-    * re-seeded by apply (the base read needs at least one parquet file
-    * to infer the schema) — re-create it with [[writeBucketedSnapshot]].
+    * Edge: a snapshot whose buckets have ALL been deleted is re-seeded
+    * by the next apply — the feed (which carries every base column by
+    * contract) defines the schema when no parquet remains to infer from.
+    *
+    * With `retainHistory` every replaced bucket version is kept under a
+    * hidden `.__bucket=N.v<seq>` name and recorded in the manifest, so
+    * [[readSnapshotAsOf]] can reconstruct any earlier apply seq;
+    * [[vacuumSnapshot]] bounds the retained space. The default keeps
+    * nothing (live-only, the round-4 behavior, byte-identical layout).
     */
   def applyChangesBucketed(path: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String, seqCol: String,
-      buckets: Int): Unit = {
+      buckets: Int, retainHistory: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = changes.sparkSession
     val base = path.stripSuffix("/")
@@ -328,26 +384,41 @@ object Merge {
     // the live layout (crash between swap and manifest commit, or a
     // legacy layout with no manifest) are re-derived from the live data
     // — a listStatus per bucket, plus one bucket scan only when stale
-    val prior = readManifest(fs, base)
-    val applySeq = prior.map(_._1 + 1).getOrElse(0L)
+    val prior = readManifestFull(fs, base)
+    val applySeq = prior.map(_.applySeq + 1).getOrElse(0L)
     val healed: Map[Int, BucketStat] = liveBucketIds(fs, base).map { b =>
       val files = bucketFiles(fs, base, b)
-      prior.flatMap(_._2.get(b)).filter(_.files == files) match {
+      prior.flatMap(_.buckets.get(b)).filter(_.files == files) match {
         case Some(ok) => b -> ok
         case None =>
           val (n, c) = statsOf(spark.read.parquet(s"$base/__bucket=$b"))
-          b -> BucketStat(n, c, files)
+          // an unknown bucket's validity start is unknowable: 0 keeps
+          // every as-of read serving it (fail-open to the live data)
+          b -> BucketStat(n, c, files,
+            prior.flatMap(_.buckets.get(b)).map(_.since).getOrElse(0L))
       }
     }.toMap
+    // history entries whose retained dir vanished (vacuumed by hand,
+    // torn vacuum) drop out rather than serving a dead pointer
+    val healedHistory = prior.map(_.history).getOrElse(Seq.empty)
+      .filter(r => fs.exists(new Path(base, r.dir)))
     val withB = changes.withColumn("__bucket", bucketOf(keyCols, buckets))
     val affected = withB.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) {
       // still commit the healed manifest (it may have been stale/absent)
-      if (prior.map(_._2) != Some(healed)) writeManifest(fs, base, applySeq, healed)
+      if (prior.map(p => (p.buckets, p.history)) != Some((healed, healedHistory)))
+        writeManifest(fs, base, applySeq, healed, healedHistory,
+          prior.forall(_.retainOk), prior.map(_.minAsOf).getOrElse(0L))
       return
     }
-    val snap = spark.read.parquet(path)
+    val snap = if (healed.isEmpty) {
+      // a fully-deleted snapshot has no parquet to infer a schema from;
+      // the feed carries every base column by contract, so IT defines
+      // the base schema and the apply re-seeds the snapshot
+      val dataCols = withB.columns.filterNot(c => c == opCol || c == seqCol)
+      withB.select(dataCols.map(col).toSeq: _*).filter(lit(false))
+    } else spark.read.parquet(path)
       .filter(col("__bucket").isin(affected.map(Integer.valueOf).toSeq: _*))
     val merged = applyChanges(snap, withB, keyCols, opCol, seqCol)
     val tmp = base + ".merge_tmp"
@@ -355,29 +426,137 @@ object Merge {
     // checksum the rewritten buckets from the staged output BEFORE the
     // swap: rename preserves file names and bytes, so the staged stats
     // describe exactly what goes live, and the data is read while it is
-    // still immutable-by-construction
-    val nextStats = statsByBucket(spark.read.parquet(tmp)
-      .withColumn("__bucket", col("__bucket").cast("int")))
+    // still immutable-by-construction. An all-delete batch stages zero
+    // bucket dirs — nothing to checksum (and nothing to infer from)
+    val nextStats = if (liveBucketIds(fs, tmp).isEmpty) Map.empty[Int, (Long, Long)]
+      else statsByBucket(spark.read.parquet(tmp)
+        .withColumn("__bucket", col("__bucket").cast("int")))
     val nextFiles = affected.map { b =>
       b -> bucketFiles(fs, tmp, b)
     }.toMap
+    val retained = scala.collection.mutable.ArrayBuffer[Retained]()
     affected.foreach { b =>
       val live = new Path(s"$base/__bucket=$b")
       val next = new Path(s"$tmp/__bucket=$b")
       // no .old can exist here: the recovery pass at entry cleared them
       val old = new Path(s"$base/.__bucket=$b.old")
-      if (fs.exists(live))
+      val hadLive = fs.exists(live)
+      if (hadLive)
         require(fs.rename(live, old), s"rename $live -> $old failed")
       // a bucket with every row deleted has no output directory — the
       // rename-away above already removed it from the live layout
       if (fs.exists(next))
         require(fs.rename(next, live), s"rename $next -> $live failed; old at $old")
-      fs.delete(old, true)
+      if (hadLive) {
+        // time travel: keep the replaced version under its valid-until
+        // seq instead of deleting it. applySeq 0 means a legacy layout
+        // with no manifest — there is no seq to file the old data under.
+        // A crash between the rename-in and this rename loses only the
+        // historical copy, never live data (the recovery pass deletes a
+        // stale .old when live exists)
+        if (retainHistory && applySeq > 0) {
+          val ret = new Path(s"$base/.__bucket=$b.v${applySeq - 1}")
+          // a pre-existing target is the remnant of a crashed attempt of
+          // this same seq (manifest never committed) — stale, replace it
+          if (fs.exists(ret)) fs.delete(ret, true)
+          require(fs.rename(old, ret), s"rename $old -> $ret failed")
+          healed.get(b).foreach { st =>
+            retained += Retained(b, st.since, applySeq - 1, ret.getName,
+              st.rows, st.checksum)
+          }
+        } else fs.delete(old, true)
+      }
     }
     val committed = healed -- affected ++ nextStats.map { case (b, (n, c)) =>
-      b -> BucketStat(n, c, nextFiles.getOrElse(b, Seq.empty))
+      b -> BucketStat(n, c, nextFiles.getOrElse(b, Seq.empty), applySeq)
     }
-    writeManifest(fs, base, applySeq, committed)
+    // history completeness survives only if nothing replaced was dropped:
+    // one non-retaining apply that discarded a live version makes every
+    // earlier seq unreconstructable, and the flag records that forever.
+    // A legacy layout (no prior manifest) starts its seq history HERE —
+    // there is nothing earlier to reconstruct, so completeness holds
+    val replacedAny = affected.exists(b => healed.contains(b))
+    val stillRetainOk = prior match {
+      case None    => true
+      case Some(p) => p.retainOk && (retainHistory || !replacedAny)
+    }
+    writeManifest(fs, base, applySeq, committed, healedHistory ++ retained,
+      stillRetainOk, prior.map(_.minAsOf).getOrElse(0L))
     fs.delete(new Path(tmp), true)
+  }
+
+  /** Read a bucketed snapshot AS OF an earlier apply seq — time travel
+    * over the [[applyChangesBucketed]] layout (pass `retainHistory =
+    * true` on every apply to build the history; seq 0 is the
+    * [[writeBucketedSnapshot]] state). Per bucket, the manifest names
+    * exactly one directory valid at `asOfSeq` — the live one when its
+    * `since` predates the ask, else the retained version whose
+    * `[since, until]` interval covers it, else the bucket did not exist
+    * then. The result is ONE multi-root parquet scan (no union tree —
+    * the plan has a single FileScan whatever the bucket count), with
+    * `__bucket` recovered from the file path, so an as-of read costs
+    * the same as a live read of equal size. */
+  def readSnapshotAsOf(spark: org.apache.spark.sql.SparkSession, path: String,
+      asOfSeq: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    require(asOfSeq >= 0, s"asOfSeq must be >= 0: $asOfSeq")
+    val base = path.stripSuffix("/")
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val m = readManifestFull(fs, base).getOrElse(
+      throw new IllegalStateException(s"$base has no manifest — time travel " +
+        "needs a snapshot written by writeBucketedSnapshot"))
+    require(asOfSeq <= m.applySeq,
+      s"asOfSeq $asOfSeq is in the future: snapshot is at ${m.applySeq}")
+    // asking for the CURRENT seq is just the live read — always valid;
+    // anything earlier needs the complete, unvacuumed interval chain or
+    // the result would silently miss replaced buckets
+    if (asOfSeq < m.applySeq) {
+      if (!m.retainOk) throw new IllegalStateException(s"$base history is " +
+        "incomplete (an apply ran without retainHistory) — as-of reads " +
+        "before the current seq would be partial")
+      if (asOfSeq < m.minAsOf) throw new IllegalStateException(s"$base " +
+        s"history before seq ${m.minAsOf} was vacuumed")
+    }
+    val liveDirs = m.buckets.collect {
+      case (b, st) if st.since <= asOfSeq => s"$base/__bucket=$b"
+    }.toSeq
+    val histDirs = m.history.filter(r => r.since <= asOfSeq && asOfSeq <= r.until)
+      .map(r => s"$base/${r.dir}")
+    val dirs = (liveDirs ++ histDirs).sorted
+    val roots = if (dirs.nonEmpty) dirs else
+      // a version where every bucket was deleted is a valid EMPTY
+      // snapshot — serve it with the right schema from any version's dir
+      (m.buckets.keys.map(b => s"$base/__bucket=$b") ++
+        m.history.map(r => s"$base/${r.dir}")).take(1).toSeq
+    if (roots.isEmpty)
+      throw new IllegalStateException(s"$base has no data in any version")
+    val df = spark.read.parquet(roots: _*)
+      .withColumn("__bucket",
+        regexp_extract(input_file_name(), "__bucket=(\\d+)", 1).cast("int"))
+    if (dirs.nonEmpty) df else df.filter(lit(false))
+  }
+
+  /** Drop retained history older than `minSeqToKeep`: as-of reads for
+    * seqs >= the cutoff keep working, older ones fail closed. The
+    * manifest commits BEFORE the directories are removed, so a racing
+    * [[readSnapshotAsOf]] never holds a manifest pointing at a deleted
+    * dir; a crash in between leaves orphan `.v` dirs, which the next
+    * vacuum sweeps (any retained-style dir the manifest no longer
+    * references). */
+  def vacuumSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+      minSeqToKeep: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = path.stripSuffix("/")
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val m = readManifestFull(fs, base).getOrElse(return)
+    val keep = m.history.filter(_.until >= minSeqToKeep)
+    writeManifest(fs, base, m.applySeq, m.buckets, keep, m.retainOk,
+      math.max(m.minAsOf, math.min(minSeqToKeep, m.applySeq)))
+    val kept = keep.map(_.dir).toSet
+    fs.listStatus(new Path(base)).foreach { f =>
+      val n = f.getPath.getName
+      if (n.startsWith(".__bucket=") && n.contains(".v") && !kept.contains(n))
+        fs.delete(f.getPath, true)
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Decontaminate, Mixing, Pca, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Merge, Mixing, Pca, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** Round-5 surface additions: temperature-scaled domain mixing (the
@@ -163,6 +163,66 @@ object Round5 {
           round($"p3", 6).as("p3"), round($"p4", 6).as("p4"))
         .orderBy($"vec_id")
     }, None),
+
+    // TIME TRAVEL over the bucketed CDC snapshot: base (seq 0), a price
+    // bump apply (seq 1), a delete+insert apply (seq 2) — then each
+    // version re-read as-of its seq and checksummed. The oracle replays
+    // the same three versions as plain SQL prefixes of the feed
+    Q("q119_time_travel", (s, d) => {
+      import s.implicits._
+      val path = s"/tmp/graft_tt_${System.nanoTime()}"
+      val base = T.orders(s, d)
+      try {
+        Merge.writeBucketedSnapshot(base, path, Seq("o_orderkey"), buckets = 8)
+        val feed1 = base.filter($"o_orderkey" % 7 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+          .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+        Merge.applyChangesBucketed(path, feed1, Seq("o_orderkey"),
+          "__op", "__seq", 8, retainHistory = true)
+        val feed2 = base.filter($"o_orderkey" % 11 === 0)
+          .withColumn("__op", lit("D")).withColumn("__seq", lit(2L))
+          .unionByName(base.filter($"o_orderkey" % 13 === 0)
+            .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+            .withColumn("__op", lit("U")).withColumn("__seq", lit(2L)))
+        Merge.applyChangesBucketed(path, feed2, Seq("o_orderkey"),
+          "__op", "__seq", 8, retainHistory = true)
+        val per = (0 to 2).map { v =>
+          Merge.readSnapshotAsOf(s, path, v.toLong)
+            .agg(count(lit(1)).as("n"),
+              sum($"o_totalprice".cast("decimal(15,2)")).as("total"))
+            .withColumn("version", lit(v))
+        }.reduce(_.unionByName(_))
+          .select($"version", $"n", $"total")
+        val rows = per.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), per.schema)
+          .orderBy($"version")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(p, true)
+        fs.delete(new org.apache.hadoop.fs.Path(path + ".merge_tmp"), true)
+      }
+    }, Some("""
+      WITH v1 AS (SELECT * REPLACE (CASE WHEN o_orderkey % 7 = 0
+                                    THEN o_totalprice + 1000.0
+                                    ELSE o_totalprice END AS o_totalprice)
+                  FROM orders),
+      v2 AS (SELECT * FROM v1 WHERE o_orderkey % 11 <> 0
+             UNION ALL
+             SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+             FROM orders WHERE o_orderkey % 13 = 0)
+      SELECT 0 AS version, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS total
+      FROM orders
+      UNION ALL
+      SELECT 1, count(*),
+             CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2))
+      FROM v1
+      UNION ALL
+      SELECT 2, count(*),
+             CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2))
+      FROM v2
+      ORDER BY version""")),
 
     // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus
     // bigram statistics with add-0.5 smoothing (0.5 is exact in binary,

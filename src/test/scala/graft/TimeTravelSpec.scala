@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.Merge
+
+/** Time travel over the bucketed CDC snapshot: retained versions,
+  * as-of reconstruction, vacuum, and the fail-closed cases. */
+class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshPath() = s"/tmp/graft_tt_spec_${System.nanoTime()}"
+
+  private def cleanup(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".merge_tmp"), true)
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long)] =
+    df.select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("as-of reads reproduce every version exactly") {
+    import spark.implicits._
+    val path = freshPath()
+    try {
+      val base = (1L to 60L).map(k => (k, k * 10)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 4)
+      val feed1 = base.filter($"k" % 5 === 0)
+        .withColumn("v", $"v" + 100L)
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      Merge.applyChangesBucketed(path, feed1, Seq("k"), "op", "seq", 4,
+        retainHistory = true)
+      val feed2 = base.filter($"k" % 3 === 0)
+        .withColumn("op", org.apache.spark.sql.functions.lit("D"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(2L))
+      Merge.applyChangesBucketed(path, feed2, Seq("k"), "op", "seq", 4,
+        retainHistory = true)
+      val v1 = Merge.applyChanges(base, feed1, Seq("k"), "op", "seq")
+      val v2 = Merge.applyChanges(v1, feed2, Seq("k"), "op", "seq")
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 0)) == rows(base))
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 1)) == rows(v1))
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 2)) == rows(v2))
+      // the recovered __bucket column matches the key hashing
+      val b = Merge.readSnapshotAsOf(spark, path, 1)
+        .select("k", "__bucket").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val live = spark.read.parquet(path).select("k", "__bucket").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(live.keySet.forall(k => b(k) == live(k)))
+    } finally cleanup(path)
+  }
+
+  test("a bucket deleted then recreated leaves a gap; empty versions read as empty") {
+    import spark.implicits._
+    val path = freshPath()
+    try {
+      val base = (1L to 10L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 1)
+      // seq 1: delete everything -> the only bucket disappears
+      val wipe = base.withColumn("op", org.apache.spark.sql.functions.lit("D"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      Merge.applyChangesBucketed(path, wipe, Seq("k"), "op", "seq", 1,
+        retainHistory = true)
+      // seq 2: fresh keys recreate the bucket
+      val reborn = (11L to 15L).map(k => (k, k)).toDF("k", "v")
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(2L))
+      Merge.applyChangesBucketed(path, reborn, Seq("k"), "op", "seq", 1,
+        retainHistory = true)
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 0)) ==
+        (1L to 10L).map(k => (k, k)).toSet)
+      assert(Merge.readSnapshotAsOf(spark, path, 1).count() == 0,
+        "the wiped version must read as an empty snapshot")
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 2)) ==
+        (11L to 15L).map(k => (k, k)).toSet)
+    } finally cleanup(path)
+  }
+
+  test("vacuum drops old versions, keeps newer ones, and fails closed") {
+    import spark.implicits._
+    val path = freshPath()
+    try {
+      val base = (1L to 40L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 2)
+      (1 to 3).foreach { s =>
+        val feed = base.filter($"k" % 4 === 0)
+          .withColumn("v", $"v" + s * 1000L)
+          .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+          .withColumn("seq", org.apache.spark.sql.functions.lit(s.toLong))
+        Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 2,
+          retainHistory = true)
+      }
+      Merge.vacuumSnapshot(spark, path, minSeqToKeep = 2)
+      val ex = intercept[IllegalStateException](
+        Merge.readSnapshotAsOf(spark, path, 1))
+      assert(ex.getMessage.contains("vacuumed"))
+      // seq >= cutoff still reconstructs
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 2))
+        .collect { case (k, v) if k % 4 == 0 => v }.forall(_ > 2000))
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 3)) ==
+        rows(spark.read.parquet(path)))
+      // vacuumed dirs are actually gone
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val retained = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).filter(n => n.startsWith(".__bucket=") && n.contains(".v"))
+      assert(retained.forall(_.endsWith(".v2")), s"left: ${retained.toSeq}")
+    } finally cleanup(path)
+  }
+
+  test("an apply without retainHistory makes earlier as-of reads fail closed") {
+    import spark.implicits._
+    val path = freshPath()
+    try {
+      val base = (1L to 20L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 2)
+      val feed = base.filter($"k" % 2 === 0)
+        .withColumn("v", $"v" + 7L)
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 2)
+      val ex = intercept[IllegalStateException](
+        Merge.readSnapshotAsOf(spark, path, 0))
+      assert(ex.getMessage.contains("incomplete"))
+      // the current seq is still just the live read
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 1)) ==
+        rows(spark.read.parquet(path)))
+    } finally cleanup(path)
+  }
+
+  test("a fresh snapshot reads as-of 0 and rejects the future") {
+    import spark.implicits._
+    val path = freshPath()
+    try {
+      val base = (1L to 9L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 2)
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 0)) == rows(base))
+      intercept[IllegalArgumentException](Merge.readSnapshotAsOf(spark, path, 1))
+      intercept[IllegalArgumentException](Merge.readSnapshotAsOf(spark, path, -1))
+    } finally cleanup(path)
+  }
+}
