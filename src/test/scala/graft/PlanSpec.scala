@@ -186,4 +186,54 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"merge should shuffle once on the key (plus the final agg):\n$p")
   }
+
+  test("q116: upsampling broadcasts the rate table and explodes map-side") {
+    val p = plan("q116_upsample")
+    assert(p.contains("BroadcastHashJoin"), s"domain rates must broadcast:\n$p")
+    assert(p.contains("Generate explode"), s"copies must explode in-task:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus side: scan -> broadcast join -> explode, never shuffled
+    // (the one exchange allowed is the rate aggregate's, domain-sized)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q117: the Gopher gate is one scan with zero shuffles") {
+    val q = SparkEntry.queries("q117_gopher_rules")(spark, sf)
+    val p = q.queryExecution.executedPlan.toString
+    // orderBy adds a range exchange for output; nothing else may shuffle
+    assert("Exchange".r.findAllIn(p).size <= 1, s"gate must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q118: PCA is one aggregate pass plus a map-side projection") {
+    val p = plan("q118_pca_project")
+    // the projection plan (post-fit) must not join or shuffle beyond the
+    // output sort — components are literals baked into the projection
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"extra shuffles in:\n$p")
+  }
+
+  test("q119: an as-of read is a single multi-root file scan") {
+    // plan the as-of reconstruction itself (the query's checksum side):
+    // one FileScan whatever the bucket count, no union of per-bucket reads
+    import spark.implicits._
+    val path = s"/tmp/graft_tt_plan_${System.nanoTime()}"
+    try {
+      val base = (1L to 40L).map(k => (k, k)).toDF("k", "v")
+      operators.Merge.writeBucketedSnapshot(base, path, Seq("k"), 4)
+      val feed = base.filter($"k" % 2 === 0)
+        .withColumn("v", $"v" + 1L)
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      operators.Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 4,
+        retainHistory = true)
+      val p = operators.Merge.readSnapshotAsOf(spark, path, 0)
+        .queryExecution.executedPlan.toString
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"expected ONE scan:\n$p")
+      assert(!p.contains("Union"), s"as-of must not union per-bucket reads:\n$p")
+    } finally {
+      val pt = new org.apache.hadoop.fs.Path(path)
+      pt.getFileSystem(spark.sessionState.newHadoopConf()).delete(pt, true)
+    }
+  }
 }
