@@ -224,6 +224,26 @@ object Round5 {
       FROM v2
       ORDER BY version""")),
 
+    // character-entropy quality signal: per-doc Shannon entropy of the
+    // character distribution — zero-shuffle HOF arithmetic, ln parity
+    // with the oracle like q109/q115 (terms summed over the same
+    // first-occurrence-ordered distinct list in both engines)
+    Q("q120_char_entropy", (s, d) => {
+      import s.implicits._
+      TextAnalysis.charEntropy(T.documents(s, d), "doc_id", "text")
+        .select($"id".as("doc_id"), $"n_chars", $"entropy")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, list_filter(string_split(text, ''),
+                          c -> length(c) = 1) AS cs
+                 FROM documents)
+      SELECT doc_id, CAST(len(cs) AS INT) AS n_chars,
+             round(-list_sum(list_transform(list_distinct(cs),
+               c -> (len(list_filter(cs, x -> x = c)) * 1.0 / len(cs)) *
+                    ln(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs)))), 6)
+               AS entropy
+      FROM t ORDER BY doc_id""")),
+
     // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus
     // bigram statistics with add-0.5 smoothing (0.5 is exact in binary,
     // so the only float ops are the shared ln/avg, handled like q109)

@@ -110,6 +110,20 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == ((10, 2.7, 2, 0.8, 0)), s"got ${got(3L)}")
   }
 
+  test("char entropy matches the hand-computed distribution") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "aab"), (2L, "aaaa"), (3L, "ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val h1 = r6(-(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)))
+    assert(got(1L) == ((3, h1)), s"got ${got(1L)}")
+    assert(got(2L)._1 == 4 && got(2L)._2 == 0.0,
+      s"single-char doc has zero entropy: ${got(2L)}")
+    assert(got(3L) == ((2, r6(math.log(2)))), s"got ${got(3L)}")
+  }
+
   test("bigram log-prob matches the hand-computed smoothed model") {
     import spark.implicits._
     import graft.operators.TextAnalysis

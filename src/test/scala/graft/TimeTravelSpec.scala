@@ -136,6 +136,31 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally cleanup(path)
   }
 
+  test("snapshotDiff between consecutive as-of reads recovers the feed effect") {
+    import spark.implicits._
+    val path = freshPath()
+    try {
+      val base = (1L to 30L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 4)
+      val feed = base.filter($"k" % 6 === 0)
+        .withColumn("v", $"v" * 2L)
+        .withColumn("op", org.apache.spark.sql.functions
+          .when($"k" % 12 === 0, "D").otherwise("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 4,
+        retainHistory = true)
+      val diff = Merge.snapshotDiff(
+          Merge.readSnapshotAsOf(spark, path, 0).drop("__bucket"),
+          Merge.readSnapshotAsOf(spark, path, 1).drop("__bucket"), Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      (1L to 30L).foreach { k =>
+        val want = if (k % 12 == 0) "removed"
+        else if (k % 6 == 0) "changed" else "unchanged"
+        assert(diff(k) == want, s"k=$k: ${diff(k)} != $want")
+      }
+    } finally cleanup(path)
+  }
+
   test("a fresh snapshot reads as-of 0 and rejects the future") {
     import spark.implicits._
     val path = freshPath()
