@@ -174,18 +174,24 @@ object Pca {
   /** Append the top-`k` centered projections as columns `p1..pk`: pure
     * map-side zip_with/aggregate dot products against literal component
     * arrays (the mean offset folds into one scalar per component), so
-    * projection composes into any plan without a shuffle. */
+    * projection composes into any plan without a shuffle. With `whiten`
+    * each projection is scaled by 1/sqrt(variance) — unit-variance
+    * coordinates, the normalization cosine-based downstream stages
+    * (SemDeDup-style clustering) expect after a PCA reduction. */
   def project(df: DataFrame, vecCol: String, model: PcaModel, k: Int,
-      prefix: String = "p"): DataFrame = {
+      prefix: String = "p", whiten: Boolean = false): DataFrame = {
     require(k >= 1 && k <= model.components.length,
       s"k must be in [1, ${model.components.length}]: $k")
+    if (whiten) (0 until k).foreach(j => require(model.variances(j) > 1e-12,
+      s"cannot whiten component ${j + 1}: variance ${model.variances(j)} ~ 0"))
     val projCols: Seq[Column] = (0 until k).map { j =>
       val w = model.components(j)
       val meanDot = w.indices.map(i => w(i) * model.mean(i)).sum
+      val scale = if (whiten) 1.0 / math.sqrt(model.variances(j)) else 1.0
       val dot = aggregate(
         zip_with(col(vecCol), typedLit(w.toSeq), (x, wv) => x.cast("double") * wv),
         lit(0.0), (acc, x) => acc + x)
-      (dot - lit(meanDot)).as(s"$prefix${j + 1}")
+      ((dot - lit(meanDot)) * lit(scale)).as(s"$prefix${j + 1}")
     }
     df.select(df.columns.map(col).toSeq ++ projCols: _*)
   }

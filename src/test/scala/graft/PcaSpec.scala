@@ -66,6 +66,20 @@ class PcaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(3L) == ((-8.0, -2.0)) && rows(4L) == ((8.0, 2.0)))
   }
 
+  test("whitened projections have exactly unit swing on planted data") {
+    import spark.implicits._
+    val df = planted(40).toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding")
+    // planted variances are 64 and 4: whitening divides by 8 and 2
+    val rows = Pca.project(df, "embedding", m, k = 2, whiten = true)
+      .select("p1", "p2").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.forall { case (a, b) => math.abs(a) == 1.0 && math.abs(b) == 1.0 },
+      s"got ${rows.take(4).toSeq}")
+    // a zero-variance component refuses to whiten
+    intercept[IllegalArgumentException](
+      Pca.project(df, "embedding", m, k = 3, whiten = true))
+  }
+
   test("fit is invariant to partitioning on integer-valued embeddings") {
     import spark.implicits._
     val base = (1 to 200).map { i =>

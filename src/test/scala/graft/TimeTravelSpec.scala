@@ -161,6 +161,46 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally cleanup(path)
   }
 
+  test("streaming applies with retention leave every micro-batch reconstructable") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val path = freshPath()
+    val feedDir = path + ".feed"
+    try {
+      val base = (1L to 20L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 4)
+      // three feed files, five fresh keys each -> every micro-batch grows
+      // the snapshot by exactly 5 rows whatever order the files arrive in
+      Seq(101L to 105L, 201L to 205L, 301L to 305L).zipWithIndex.foreach {
+        case (ks, i) =>
+          ks.map(k => (k, k)).toDF("k", "v")
+            .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+            .withColumn("seq", org.apache.spark.sql.functions.lit(i.toLong))
+            .coalesce(1).write.mode("append").parquet(feedDir)
+      }
+      val schema = spark.read.parquet(feedDir).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .writeStream.option("checkpointLocation", path + ".ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Merge.applyChangesBucketed(path, b, Seq("k"), "op", "seq", 4,
+            retainHistory = true)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (0L to 3L).foreach { s =>
+        assert(Merge.readSnapshotAsOf(spark, path, s).count() == 20 + 5 * s,
+          s"version $s has the wrong row count")
+      }
+    } finally {
+      cleanup(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(feedDir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + ".ckpt"), true)
+    }
+  }
+
   test("a fresh snapshot reads as-of 0 and rejects the future") {
     import spark.implicits._
     val path = freshPath()
