@@ -7,13 +7,13 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Scale, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** End-to-end training-data pipeline over the fixtures: exact dedup →
-  * near-dup removal (MinHash+LSH) → quality + repetition filter →
-  * substring-duplication drop score → LM quality cut → contamination
-  * scoring + benchmark decontamination → PII redaction →
-  * temperature-scaled domain mixing → train/val/test split → chunking →
-  * token-budget shard packing → sequence-packing layout. Every stage is
-  * a DataFrame transform; nothing touches the driver except the final
-  * counts.
+  * near-dup removal (MinHash+LSH) → rule gates (Gopher composite +
+  * character entropy + repetition) → substring-duplication drop score →
+  * LM quality cut → contamination scoring + benchmark decontamination →
+  * PII redaction → temperature-scaled domain mixing with repetition
+  * upsampling → train/val/test split → chunking → token-budget shard
+  * packing → sequence-packing layout. Every stage is a DataFrame
+  * transform; nothing touches the driver except the final counts.
   * Usage: runMain graft.examples.PipelineDemo [sfDir]
   */
 object PipelineDemo {
@@ -35,18 +35,29 @@ object PipelineDemo {
     // 2. near-dup removal: drop the higher doc_id of every verified pair
     val nearDupLosers = Dedup.minHashNearDupPairs(exact, "doc_id", "text", 0.5)
       .select($"b_id".as("doc_id")).distinct()
-    val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // persist at the expensive cut points: every staged count would
+    // otherwise recompute the whole upstream lineage (pair mining,
+    // duplication ratios, quantiles) once per stage
+    val deduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti").persist()
     println(s"[pipeline] after near-dup removal: ${deduped.count()}")
 
-    // 3. quality filter: enough tokens, not stopword-soup, and not
-    //    boilerplate (duplicate-3-gram fraction)
+    // 3. quality gate, rule tier: the Gopher composite (word-count and
+    //    mean-word-length bounds, stopword floor, repetition ceiling)
+    //    plus a character-entropy floor — both zero-shuffle scans —
+    //    then the duplicate-3-gram boilerplate signal
     val ws = TextAnalysis.tokens($"text")
+    val gopherKeep = TextAnalysis.gopherQuality(deduped, "doc_id", "text",
+        minWords = 20, maxTopWordFrac = 0.3)
+      .filter($"keep" === 1).select($"id".as("doc_id"))
+    val entropyKeep = TextAnalysis.charEntropy(deduped, "doc_id", "text")
+      .filter($"entropy" >= 2.0).select($"id".as("doc_id"))
     val total3 = greatest(size(ws) - 2, lit(0)).cast("double")
     val dupFrac = when(total3 > 0,
       lit(1.0) - size(TextAnalysis.shingleSet($"text", 3)) / total3).otherwise(lit(0.0))
-    val quality = deduped
-      .filter(size(ws) >= 20 && TextAnalysis.stopwordRatio(ws) < 0.5 && dupFrac <= 0.8)
-    println(s"[pipeline] after quality+repetition filter: ${quality.count()}")
+    val quality = deduped.join(gopherKeep, Seq("doc_id"))
+      .join(entropyKeep, Seq("doc_id"))
+      .filter(TextAnalysis.stopwordRatio(ws) < 0.5 && dupFrac <= 0.8)
+    println(s"[pipeline] after rule gates (gopher+entropy+repetition): ${quality.count()}")
 
     // 3b. substring-duplication drop score: discard docs whose content
     //     is mostly corpus-duplicated text (exact k-token window test)
@@ -64,6 +75,7 @@ object PipelineDemo {
       .collect().headOption.map(_.getDouble(0)).getOrElse(Double.NegativeInfinity)
     val fluent = spanClean.join(
       lm.filter($"avg_logp" >= cut).select($"id".as("doc_id")), Seq("doc_id"))
+      .persist()
     println(f"[pipeline] after LM quality cut (p05=$cut%.3f): ${fluent.count()}")
 
     // 4. benchmark decontamination: score every doc's eval-gram overlap
@@ -79,30 +91,34 @@ object PipelineDemo {
     // 5. PII scrub: map-side regexp redaction of emails/phones
     val scrubbed = clean.withColumn("text", TextAnalysis.redactPii($"text"))
 
-    // 6. temperature-scaled source mixture (tau = 0.5 flattens toward
-    //    low-resource sources; capped domains keep everything)
-    val mixed = Mixing.temperatureSample(scrubbed, "source", "doc_id",
+    // 6. temperature-scaled source mixture with REPETITION: uncapped
+    //    rates, so scarce sources are upsampled by repeating documents
+    //    (copy index in `copy`) instead of capping their contribution
+    val mixed = Mixing.upsampleDomains(scrubbed, "source", "doc_id",
       tau = 0.5, targetTotal = 300L)
-    println(s"[pipeline] after temperature mixing: ${mixed.count()}")
+    println(s"[pipeline] after temperature mixing (with repetition): ${mixed.count()}")
 
-    // 7. deterministic train/val/test split (hash slots, RNG-free)
+    // 7. deterministic train/val/test split (hash slots, RNG-free; all
+    //    copies of a document land in the same split by construction).
+    //    `uid` makes each emitted copy unique for the packing stages
     val split = Mixing.splitByHash(mixed, "doc_id", "split",
-      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .withColumn("uid", $"doc_id" * 100 + $"copy")
     split.groupBy($"split").count().orderBy($"split").collect()
       .foreach(r => println(s"[pipeline] split ${r.getString(0)}: ${r.getLong(1)}"))
-    val train = split.filter($"split" === "train")
+    val train = split.filter($"split" === "train").persist()
 
     // 8. chunk into overlapping token windows for training
     val chunks = train
       .withColumn("st", explode(sequence(lit(1), size(ws), lit(32))))
-      .select($"doc_id", $"st",
+      .select($"uid", $"st",
         concat_ws(" ", slice(TextAnalysis.tokens($"text"), $"st", lit(48))).as("chunk"))
     println(s"[pipeline] chunks produced: ${chunks.count()}")
 
     // 9. pack chunks into ~2k-token shards in stable order (two-phase
     //    distributed prefix sum — no single-task global window)
     val withTokens = chunks.select(
-      (($"doc_id" * 100000) + $"st").as("seq"),
+      (($"uid" * 100000) + $"st").as("seq"),
       size(TextAnalysis.tokens($"chunk")).as("n_tokens"))
     val shards = Scale.prefixSum(withTokens, "seq", "n_tokens", "cum")
       .select((($"cum" - $"n_tokens") / lit(2000L)).cast("long").as("shard"))
@@ -112,7 +128,7 @@ object PipelineDemo {
     // 10. loader metadata: concat-and-chunk the deterministically
     //     shuffled corpus into fixed 512-token training sequences
     val packed = Mixing.packSequences(
-      train.select($"doc_id", md5($"doc_id".cast("string")).as("h"),
+      train.select($"uid", md5($"uid".cast("string")).as("h"),
         size(TextAnalysis.tokens($"text")).as("nt")),
       "h", "nt", seqLen = 512)
     val nSeqs = packed.agg(max($"last_seq")).collect()
