@@ -196,6 +196,35 @@ object TextAnalysis {
           (col("__c1") + lit(alpha) * col("__v")))), 6).as("avg_logp"))
   }
 
+  /** One-row corpus report — the data card a corpus release ships with:
+    * document/token/vocabulary counts, exact-duplicate count, token-
+    * length mean/median, mean stopword ratio, and the English share
+    * (per [[languageGuess]]). Three aggregates total — one over the
+    * documents (with an exact `percentile` median), one over the
+    * exploded token stream for the vocabulary, one over distinct
+    * content hashes — joined as 1-row broadcasts; the corpus is scanned
+    * twice (doc stats + tokens), never collected. */
+  def corpusReport(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val ws = tokens(col(textCol))
+    val docStats = docs.select(size(ws).as("__nt"),
+        stopwordRatio(ws).as("__swr"),
+        (languageGuess(ws) === "en").cast("int").as("__en"),
+        md5(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt").cast("long")).as("total_tokens"),
+        round(avg(col("__nt")), 6).as("mean_doc_tokens"),
+        round(expr("percentile(__nt, 0.5)"), 6).as("median_doc_tokens"),
+        round(avg(col("__swr")), 6).as("mean_stopword_ratio"),
+        round(avg(col("__en")), 6).as("english_share"),
+        countDistinct(col("__h")).as("__distinct"))
+      .withColumn("exact_dup_docs", col("n_docs") - col("__distinct"))
+      .drop("__distinct")
+    val vocab = docs.select(explode(tokens(col(textCol))).as("__w"))
+      .agg(countDistinct(col("__w")).as("vocab_size"))
+    docStats.crossJoin(broadcast(vocab))
+  }
+
   /** Vocabulary-id encoding — the final text→tensor step of a training
     * pipeline: build the top-`vocabSize` vocabulary (by count desc, word
     * asc — a total, engine-stable order), assign ids 1..N in rank order

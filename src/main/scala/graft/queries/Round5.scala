@@ -244,6 +244,34 @@ object Round5 {
                AS entropy
       FROM t ORDER BY doc_id""")),
 
+    // one-row corpus report: the data card a release ships with —
+    // doc/token/vocab counts, exact-dup count, length stats (exact
+    // interpolated median on both engines), stopword + English shares
+    Q("q121_corpus_report", (s, d) => {
+      import s.implicits._
+      TextAnalysis.corpusReport(T.documents(s, d), "doc_id", "text")
+        .select($"n_docs", $"total_tokens", $"mean_doc_tokens",
+          $"median_doc_tokens", $"mean_stopword_ratio", $"english_share",
+          $"exact_dup_docs", $"vocab_size")
+    }, Some("""
+      WITH t AS (SELECT doc_id, text,
+                        regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(ws)) AS BIGINT) AS total_tokens,
+                   round(avg(len(ws)), 6) AS mean_doc_tokens,
+                   round(quantile_cont(len(ws), 0.5), 6) AS median_doc_tokens,
+                   round(avg(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it','on','for'))) * 1.0 / len(ws)), 6) AS mean_stopword_ratio,
+                   round(avg(CASE WHEN len(list_filter(ws, x -> x IN ('the','and','of'))) > 0
+                             THEN 1 ELSE 0 END), 6) AS english_share,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS exact_dup_docs
+            FROM t),
+      v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
+            FROM (SELECT unnest(ws) AS w FROM t))
+      SELECT n_docs, total_tokens, mean_doc_tokens, median_doc_tokens,
+             mean_stopword_ratio, english_share, exact_dup_docs, vocab_size
+      FROM d CROSS JOIN v""")),
+
     // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus
     // bigram statistics with add-0.5 smoothing (0.5 is exact in binary,
     // so the only float ops are the shared ln/avg, handled like q109)
