@@ -167,6 +167,31 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs: containment(a ⊆ b) =
+    * |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold — the signal symmetric
+    * Jaccard misses when the container is much larger than the
+    * contained doc (quotes, boilerplate wrappers, subset pages; the
+    * near-dup literature's containment dedup). Output is DIRECTED
+    * (a_id largely contained in b_id); both directions fall out of one
+    * inverted-index self-join — same scale shape as
+    * [[shingleJaccardPairs]], shared shingles drive the pair space,
+    * never a cross join. */
+  def shingleContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+    val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
+    val ex = sets.select(col("id"), explode(col("shingles")).as("sh"))
+    val common = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("ni"))
+    common
+      .join(sizes.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("ni") / col("na"), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Maximal EXACT repeated token spans — the substring-level dedup of
     * published training-data pipelines (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better": repeated ~50-token

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Decontaminate, Merge, Mixing, Pca, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Dedup, Merge, Mixing, Pca, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** Round-5 surface additions: temperature-scaled domain mixing (the
@@ -271,6 +271,30 @@ object Round5 {
       SELECT n_docs, total_tokens, mean_doc_tokens, median_doc_tokens,
              mean_stopword_ratio, english_share, exact_dup_docs, vocab_size
       FROM d CROSS JOIN v""")),
+
+    // asymmetric containment near-dup: directed pairs where most of a
+    // doc's shingles appear in another (the quote/boilerplate signal
+    // symmetric Jaccard misses); same bounded slice as q29
+    Q("q122_containment", (s, d) => {
+      import s.implicits._
+      Dedup.shingleContainmentPairs(
+          T.documents(s, d).filter($"doc_id" < 500), "doc_id", "text", 0.6)
+        .orderBy($"a_id", $"b_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents WHERE doc_id < 500),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
+                         AS containment
+                FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+                WHERE len(a.s) > 0)
+      SELECT a_id, b_id, containment FROM pairs WHERE containment >= 0.6
+      ORDER BY a_id, b_id""")),
 
     // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus
     // bigram statistics with add-0.5 smoothing (0.5 is exact in binary,
