@@ -19,6 +19,7 @@ object Functions {
       "cosine_similarity" -> ((es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
       "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
       "rolling_hash" -> ((es: Seq[Expression]) => RollingHash(es(0))),
+      "char_entropy" -> ((es: Seq[Expression]) => CharEntropy(es(0))),
       "word_shingles" -> ((es: Seq[Expression]) =>
         WordShingles(es(0), if (es.length > 1) litInt(es(1), "shingle size") else 3)),
       "token_window_hashes" -> ((es: Seq[Expression]) =>
@@ -49,6 +50,10 @@ object Functions {
   /** Karp–Rabin polynomial hash of a string column. */
   def rolling_hash(text: Column): Column =
     Shims.column(RollingHash(Shims.expression(text)))
+
+  /** Shannon entropy (nats) of a string's character distribution. */
+  def char_entropy(text: Column): Column =
+    Shims.column(CharEntropy(Shims.expression(text)))
 
   /** Rolling hashes of every k-token window of a string column, in
     * position order (see [[TokenWindowHashes]]). */

@@ -140,6 +140,41 @@ case class SimHash64(child: Expression)
   * incrementally left-to-right — the building block of shift-resistant
   * fingerprinting.
   */
+/** Shannon entropy (nats) of a string's character distribution — the
+  * per-document gibberish/boilerplate quality signal. One O(n log n)
+  * pass: code points sorted, run lengths summed in ascending code-point
+  * order, so the value is a pure function of the string and the SQL
+  * oracle reproduces the exact float sum over `list_sort`'d distinct
+  * characters (UTF-8 byte order equals code-point order). No
+  * per-character array allocations — the HOF composition of the same
+  * formula pays an interpreted lambda per (distinct char × char). */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    if (cps.isEmpty) return 0.0
+    java.util.Arrays.sort(cps)
+    val n = cps.length.toDouble
+    var ent = 0.0
+    var i = 0
+    while (i < cps.length) {
+      var j = i
+      while (j < cps.length && cps(j) == cps(i)) j += 1
+      val p = (j - i) / n
+      ent -= p * math.log(p)
+      i = j
+    }
+    ent
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class RollingHash(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
 

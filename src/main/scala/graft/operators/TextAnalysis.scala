@@ -114,24 +114,18 @@ object TextAnalysis {
   /** Per-document Shannon entropy of the character distribution (nats)
     * — the classic gibberish/boilerplate detector: natural text sits in
     * a mid band, key-mash and single-char repetition score low, uniform
-    * random bytes score high. Like [[gopherQuality]] this is pure array
-    * HOFs over each doc's own characters — O(alphabet·n) per document,
-    * ZERO shuffles at any corpus size. Returns (id, n_chars, entropy)
-    * with entropy rounded to 6 places (the ln-parity convention). */
+    * random bytes score high. The score is the native
+    * [[graft.functions.CharEntropy]] expression — ONE sorted-run pass
+    * per document, zero shuffles at any corpus size (the array-HOF
+    * composition of the same formula pays an interpreted lambda per
+    * distinct-char × char and re-allocates per filter: ~10× slower).
+    * Returns (id, n_chars, entropy) rounded to 6 places (ln parity). */
   def charEntropy(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
-    // split("") keeps a trailing empty token (Java split semantics with
-    // limit -1): drop non-single-char artifacts before counting
-    val chars = filter(split(col(textCol), ""), c => length(c) === 1)
-    docs.select(col(idCol).as("id"), chars.as("__cs"))
-      .select(col("id"), size(col("__cs")).as("n_chars"),
-        round(-aggregate(
-          transform(array_distinct(col("__cs")), c => {
-            val p = size(filter(col("__cs"), x => x === c)).cast("double") /
-              size(col("__cs"))
-            p * log(p)
-          }), lit(0.0), (a, x) => a + x), 6).as("entropy"))
-  }
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"),
+      length(col(textCol)).as("n_chars"),
+      round(graft.functions.Functions.char_entropy(col(textCol)), 6)
+        .as("entropy"))
 
   /** Statistical language-model quality score — the CCNet recipe
     * (Wenzek et al. 2020 rank crawled text by LM perplexity; here the LM

@@ -225,22 +225,22 @@ object Round5 {
       ORDER BY version""")),
 
     // character-entropy quality signal: per-doc Shannon entropy of the
-    // character distribution — zero-shuffle HOF arithmetic, ln parity
-    // with the oracle like q109/q115 (terms summed over the same
-    // first-occurrence-ordered distinct list in both engines)
+    // character distribution via the native sorted-run expression — ln
+    // parity with the oracle like q109/q115, terms summed in ascending
+    // character order on BOTH sides (list_sort'd distinct in SQL)
     Q("q120_char_entropy", (s, d) => {
       import s.implicits._
       TextAnalysis.charEntropy(T.documents(s, d), "doc_id", "text")
         .select($"id".as("doc_id"), $"n_chars", $"entropy")
         .orderBy($"doc_id")
     }, Some("""
-      WITH t AS (SELECT doc_id, list_filter(string_split(text, ''),
-                          c -> length(c) = 1) AS cs
+      WITH t AS (SELECT doc_id, length(text) AS n, string_split(text, '') AS cs
                  FROM documents)
-      SELECT doc_id, CAST(len(cs) AS INT) AS n_chars,
-             round(-list_sum(list_transform(list_distinct(cs),
-               c -> (len(list_filter(cs, x -> x = c)) * 1.0 / len(cs)) *
-                    ln(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs)))), 6)
+      SELECT doc_id, CAST(n AS INT) AS n_chars,
+             round(coalesce(-list_sum(list_transform(
+               list_sort(list_distinct(cs)),
+               c -> (len(list_filter(cs, x -> x = c)) * 1.0 / n) *
+                    ln(len(list_filter(cs, x -> x = c)) * 1.0 / n))), 0.0), 6)
                AS entropy
       FROM t ORDER BY doc_id""")),
 
@@ -295,6 +295,38 @@ object Round5 {
                 WHERE len(a.s) > 0)
       SELECT a_id, b_id, containment FROM pairs WHERE containment >= 0.6
       ORDER BY a_id, b_id""")),
+
+    // boilerplate mining: the 25 most-repeated word 5-grams corpus-wide
+    // with exact occurrence and document counts — what a template-
+    // stripping pass consumes. Bounded TakeOrdered on (count desc,
+    // gram asc): the gram table is never globally sorted
+    Q("q123_top_ngrams", (s, d) => {
+      import s.implicits._
+      // tokenize ONCE into a bound column before the windowing HOF:
+      // higher-order functions evaluate interpreted, so a lambda over
+      // the raw split() expression re-tokenizes the document on every
+      // element access (~250 full tokenizations per doc — 10x slower)
+      val grams = T.documents(s, d)
+        .select($"doc_id", TextAnalysis.tokens($"text").as("__ws"))
+        .select($"doc_id",
+          explode(TextAnalysis.wordShingles($"__ws", 5)).as("gram"))
+      grams.groupBy($"gram")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"n_occurrences".desc, $"gram")
+        .limit(25)
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      g AS (SELECT doc_id, unnest(list_transform(
+                     generate_series(1, greatest(len(ws) - 4, 0)),
+                     i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))
+                   AS gram
+            FROM w)
+      SELECT gram, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY gram
+      ORDER BY n_occurrences DESC, gram LIMIT 25""")),
 
     // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus
     // bigram statistics with add-0.5 smoothing (0.5 is exact in binary,
