@@ -22,7 +22,13 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles: contiguous n-word windows joined by single
-    * spaces; empty when the document has fewer than n words. */
+    * spaces; empty when the document has fewer than n words.
+    *
+    * PERF: pass a BOUND COLUMN, not a raw `tokens(...)` expression —
+    * higher-order functions evaluate interpreted, and the window lambda
+    * references `words` n+1 times per element, so an unbound split()
+    * re-tokenizes the document on every access (~10× slowdown, see
+    * q123). For the distinct-set form use [[shingleSet]] (native). */
   def wordShingles(words: Column, n: Int): Column = {
     val gram = (i: Column) =>
       concat_ws(" ", (0 until n).map(j => element_at(words, i + lit(j))): _*)
