@@ -456,13 +456,26 @@ object Merge {
         // stale .old when live exists)
         if (retainHistory && applySeq > 0) {
           val ret = new Path(s"$base/.__bucket=$b.v${applySeq - 1}")
-          // a pre-existing target is the remnant of a crashed attempt of
-          // this same seq (manifest never committed) — stale, replace it
-          if (fs.exists(ret)) fs.delete(ret, true)
-          require(fs.rename(old, ret), s"rename $old -> $ret failed")
-          healed.get(b).foreach { st =>
-            retained += Retained(b, st.since, applySeq - 1, ret.getName,
-              st.rows, st.checksum)
+          if (fs.exists(ret)) {
+            // a pre-existing target is the remnant of a crashed attempt
+            // of this SAME seq (the manifest never advanced) — and that
+            // attempt's rename already preserved the true v{applySeq-1}
+            // data there. The data at `old` is the crashed attempt's
+            // MERGED output re-renamed aside, not the older version —
+            // keep the existing retained copy, drop `old`, and re-derive
+            // the retained stats from the copy itself (the healed stats
+            // describe the post-crash live data, not this version)
+            fs.delete(old, true)
+            val (n, c) = statsOf(spark.read.parquet(ret.toString))
+            retained += Retained(b,
+              healed.get(b).map(_.since).getOrElse(0L), applySeq - 1,
+              ret.getName, n, c)
+          } else {
+            require(fs.rename(old, ret), s"rename $old -> $ret failed")
+            healed.get(b).foreach { st =>
+              retained += Retained(b, st.since, applySeq - 1, ret.getName,
+                st.rows, st.checksum)
+            }
           }
         } else fs.delete(old, true)
       }

@@ -201,6 +201,40 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a crashed retained apply retried does not corrupt the older version") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = freshPath()
+    try {
+      val base = (1L to 20L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 2)
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      // snapshot the pre-apply manifest
+      val mPath = new Path(path, "_manifest.json")
+      val m0 = new Array[Byte](fs.getFileStatus(mPath).getLen.toInt)
+      val in = fs.open(mPath); try in.readFully(m0) finally in.close()
+      val feed = base.filter($"k" % 2 === 0)
+        .withColumn("v", $"v" + 100L)
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 2,
+        retainHistory = true)
+      // simulate a crash between the retained rename and the manifest
+      // commit: live + .v0 dirs hold the post-apply state, manifest
+      // rolls back to seq 0 — exactly what a killed process leaves
+      val out = fs.create(mPath, true); try out.write(m0) finally out.close()
+      // the durable-checkpoint contract replays the batch
+      Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 2,
+        retainHistory = true)
+      // v0 must still be the ORIGINAL data, not the crashed attempt's
+      // merged output; v1 is the merged state; the merge is idempotent
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 0)) == rows(base),
+        "the retained v0 copy was clobbered by the retry")
+      val want1 = (1L to 20L).map(k => (k, if (k % 2 == 0) k + 100 else k)).toSet
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 1)) == want1)
+    } finally cleanup(path)
+  }
+
   test("a fresh snapshot reads as-of 0 and rejects the future") {
     import spark.implicits._
     val path = freshPath()
