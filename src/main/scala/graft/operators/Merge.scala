@@ -34,12 +34,25 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
-      opCol: String, seqCol: String): DataFrame = {
+      opCol: String, seqCol: String, evolveSchema: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     import org.apache.spark.sql.expressions.Window
-    val dataCols = base.columns.toSeq
-    require(dataCols.forall(changes.columns.contains),
-      s"changes must carry every base column; missing ${dataCols.filterNot(changes.columns.contains)}")
+    val baseCols = base.columns.toSeq
+    require(baseCols.forall(changes.columns.contains),
+      s"changes must carry every base column; missing ${baseCols.filterNot(changes.columns.contains)}")
+    // schema evolution: columns the feed carries beyond the base schema
+    // widen the snapshot — base rows null-pad them (the lakehouse
+    // mergeSchema write). Off by default: extra feed columns are
+    // metadata and drop silently
+    val newCols =
+      if (!evolveSchema) Seq.empty
+      else changes.columns.toSeq
+        .filterNot(c => baseCols.contains(c) || c == opCol || c == seqCol)
+    val dataCols = baseCols ++ newCols
+    val paddedBase =
+      if (newCols.isEmpty) base
+      else base.select(baseCols.map(col) ++ newCols.map(c =>
+        lit(null).cast(changes.schema(c).dataType).as(c)): _*)
     // base rows sort below every change row: Long.MinValue sentinel seq.
     // A feed row carrying the sentinel itself would tie the base row, so
     // it fails fast (codegen'd per-row check, no extra pass)
@@ -48,7 +61,7 @@ object Merge {
       raise_error(concat(lit(s"change $seqCol == Long.MinValue collides with the base-row sentinel for key "),
         concat_ws(",", keyCols.map(k => col(k).cast("string")): _*)))
       .cast("long")).otherwise(seqExpr)
-    val tagged = base
+    val tagged = paddedBase
       .select(dataCols.map(col) :+ lit("U").as("__op") :+ lit(Long.MinValue).as("__seq"): _*)
       .unionByName(changes.select(
         dataCols.map(col) :+ col(opCol).as("__op") :+ guardedSeq.as("__seq"): _*))
@@ -306,10 +319,11 @@ object Merge {
         case None =>
           // no manifest at all: either a legacy layout (valid, read it)
           // or the instant of a manifest commit (retry a few times first)
-          if (attempt >= math.min(3, maxRetries)) return spark.read.parquet(path)
+          if (attempt >= math.min(3, maxRetries))
+            return spark.read.option("mergeSchema", "true").parquet(path)
         case Some((_, buckets)) =>
           val torn = buckets.find { case (b, s) => bucketFiles(fs, base, b) != s.files }
-          if (torn.isEmpty) return spark.read.parquet(path)
+          if (torn.isEmpty) return spark.read.option("mergeSchema", "true").parquet(path)
           else if (attempt == maxRetries)
             throw new IllegalStateException(
               s"bucket ${torn.get._1} of $base disagrees with the manifest after " +
@@ -318,7 +332,7 @@ object Merge {
       attempt += 1
       Thread.sleep(retryMs)
     }
-    spark.read.parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
   }
 
   /** Apply a change feed to a bucketed snapshot IN PLACE, touching only
@@ -357,7 +371,8 @@ object Merge {
     */
   def applyChangesBucketed(path: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String, seqCol: String,
-      buckets: Int, retainHistory: Boolean = false): Unit = {
+      buckets: Int, retainHistory: Boolean = false,
+      evolveSchema: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = changes.sparkSession
     val base = path.stripSuffix("/")
@@ -418,9 +433,9 @@ object Merge {
       // the base schema and the apply re-seeds the snapshot
       val dataCols = withB.columns.filterNot(c => c == opCol || c == seqCol)
       withB.select(dataCols.map(col).toSeq: _*).filter(lit(false))
-    } else spark.read.parquet(path)
+    } else spark.read.option("mergeSchema", "true").parquet(path)
       .filter(col("__bucket").isin(affected.map(Integer.valueOf).toSeq: _*))
-    val merged = applyChanges(snap, withB, keyCols, opCol, seqCol)
+    val merged = applyChanges(snap, withB, keyCols, opCol, seqCol, evolveSchema)
     val tmp = base + ".merge_tmp"
     merged.write.partitionBy("__bucket").mode("overwrite").parquet(tmp)
     // checksum the rewritten buckets from the staged output BEFORE the
@@ -543,7 +558,7 @@ object Merge {
         m.history.map(r => s"$base/${r.dir}")).take(1).toSeq
     if (roots.isEmpty)
       throw new IllegalStateException(s"$base has no data in any version")
-    val df = spark.read.parquet(roots: _*)
+    val df = spark.read.option("mergeSchema", "true").parquet(roots: _*)
       .withColumn("__bucket",
         regexp_extract(input_file_name(), "__bucket=(\\d+)", 1).cast("int"))
     if (dirs.nonEmpty) df else df.filter(lit(false))

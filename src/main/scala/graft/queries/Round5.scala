@@ -328,6 +328,31 @@ object Round5 {
       FROM g GROUP BY gram
       ORDER BY n_occurrences DESC, gram LIMIT 25""")),
 
+    // CDC schema evolution: a feed carrying a NEW column widens the
+    // snapshot, base rows null-pad it (the lakehouse mergeSchema write);
+    // grouping on the evolved column (NULL bucket = untouched rows)
+    // checksums the whole merge
+    Q("q124_schema_evolution", (s, d) => {
+      import s.implicits._
+      val base = T.orders(s, d)
+      val feed = base.filter($"o_orderkey" % 9 === 0)
+        .withColumn("priority_flag",
+          when($"o_totalprice" > 150000, 1).otherwise(0))
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+      Merge.applyChanges(base, feed, Seq("o_orderkey"), "__op", "__seq",
+          evolveSchema = true)
+        .groupBy(coalesce($"priority_flag", lit(-1)).as("priority_flag"))
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(15,2)")).as("total"))
+        .orderBy($"priority_flag")
+    }, Some("""
+      SELECT coalesce(CASE WHEN o_orderkey % 9 = 0 THEN
+               (CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) END, -1)
+               AS priority_flag,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS total
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
     // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus
     // bigram statistics with add-0.5 smoothing (0.5 is exact in binary,
     // so the only float ops are the shared ln/avg, handled like q109)

@@ -34,6 +34,17 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getLong(0) == r2.getLong(0) && r1.getLong(1) == r2.getLong(1))
   }
 
+  test("char_entropy in SQL matches the closed form and handles edges") {
+    val r = spark.sql(
+      "SELECT char_entropy('aab') AS h, char_entropy('aaaa') AS z, " +
+        "char_entropy('') AS e, char_entropy(CAST(NULL AS STRING)) AS n")
+      .collect()(0)
+    val want = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(r.getDouble(0) - want) < 1e-12)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    assert(r.isNullAt(3), "null input must stay null")
+  }
+
   test("hyperplane_signature and winnow_fingerprint in SQL") {
     val r = spark.sql("""
       SELECT hyperplane_signature(array(1.0F, -1.0F, 0.5F), 8) AS hs,

@@ -235,6 +235,36 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally cleanup(path)
   }
 
+  test("bucketed apply evolves the schema; untouched buckets read back null-padded") {
+    import spark.implicits._
+    val path = freshPath()
+    try {
+      val base = (1L to 40L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 8)
+      // feed touches a strict subset of buckets and carries a NEW column
+      val feed = base.filter($"k" <= 5)
+        .withColumn("tag", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("t"), $"k".cast("string")))
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 8,
+        retainHistory = true, evolveSchema = true)
+      val got = Merge.readBucketedSnapshot(spark, path)
+        .select("k", "tag").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got.size == 40)
+      (1L to 5L).foreach(k => assert(got(k) == Some(s"t$k"), s"k=$k: ${got(k)}"))
+      (6L to 40L).foreach(k => assert(got(k).isEmpty, s"k=$k must be null"))
+      // time travel across the evolution: v0 reads under the merged
+      // schema with the new column all-null
+      val v0 = Merge.readSnapshotAsOf(spark, path, 0)
+      assert(v0.count() == 40)
+      if (v0.columns.contains("tag"))
+        assert(v0.filter($"tag".isNotNull).count() == 0,
+          "pre-evolution version must not carry values for the new column")
+    } finally cleanup(path)
+  }
+
   test("a fresh snapshot reads as-of 0 and rejects the future") {
     import spark.implicits._
     val path = freshPath()
