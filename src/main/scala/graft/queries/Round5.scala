@@ -353,6 +353,45 @@ object Round5 {
              CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS total
       FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // STREAMING session windows: the same 30-minute-gap sessionization
+    // as q23, but through the streaming session_window operator (state
+    // merged per micro-batch, complete-mode drain) — completing the
+    // window family's streaming side next to q39/q77/q98's shapes
+    Q("q125_session_stream", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = s"graft_sess_${System.nanoTime()}"
+      val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
+      val ev = if (schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+      val query = ev
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+          $"n_events", $"sum_value")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qn).orderBy($"user_id", $"session_start")
+    }, Some("""
+      WITH flags AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flags)
+      SELECT user_id, min(ts) AS session_start,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
     // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus
     // bigram statistics with add-0.5 smoothing (0.5 is exact in binary,
     // so the only float ops are the shared ln/avg, handled like q109)

@@ -213,6 +213,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange".r.findAllIn(p).size <= 1, s"extra shuffles in:\n$p")
   }
 
+  test("q124: schema evolution keeps the merge join-free") {
+    val p = plan("q124_schema_evolution")
+    // null-padding the base must stay a projection — union + window,
+    // exactly the q106 shape, with no join introduced by the widening
+    assert(!p.contains("Join"), s"evolved merge must not join:\n$p")
+    assert(p.contains("Union"), p)
+  }
+
   test("q119: an as-of read is a single multi-root file scan") {
     // plan the as-of reconstruction itself (the query's checksum side):
     // one FileScan whatever the bucket count, no union of per-bucket reads
