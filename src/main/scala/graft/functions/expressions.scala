@@ -134,12 +134,6 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Polynomial rolling hash of a whole string (document fingerprint).
-  *
-  * Karp–Rabin style: h = Σ byte·B^i mod M with B=257, M=2^61−1, computed
-  * incrementally left-to-right — the building block of shift-resistant
-  * fingerprinting.
-  */
 /** Shannon entropy (nats) of a string's character distribution — the
   * per-document gibberish/boilerplate quality signal. One O(n log n)
   * pass: code points sorted, run lengths summed in ascending code-point
@@ -175,6 +169,12 @@ case class CharEntropy(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Polynomial rolling hash of a whole string (document fingerprint).
+  *
+  * Karp–Rabin style: h = Σ byte·B^i mod M with B=257, M=2^61−1, computed
+  * incrementally left-to-right — the building block of shift-resistant
+  * fingerprinting.
+  */
 case class RollingHash(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
 

@@ -189,7 +189,8 @@ object Merge {
     * kept readable. */
   private[graft] case class ManifestData(applySeq: Long,
       buckets: Map[Int, BucketStat], history: Seq[Retained],
-      retainOk: Boolean, minAsOf: Long)
+      retainOk: Boolean, minAsOf: Long, evolved: Boolean,
+      columns: Seq[String])
 
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       base: String): Option[(Long, Map[Int, BucketStat])] =
@@ -233,8 +234,13 @@ object Merge {
       // closed
       val retainOk = root.has("retain_history") && root.get("retain_history").asBoolean()
       val minAsOf = if (root.has("min_asof_seq")) root.get("min_asof_seq").asLong() else 0L
+      // legacy manifests lack these: evolved=true falls back to the
+      // safe (mergeSchema) read; columns empty = schema unknown
+      val evolved = !root.has("evolved") || root.get("evolved").asBoolean()
+      val columns = if (!root.has("columns")) Seq.empty else
+        (0 until root.get("columns").size()).map(root.get("columns").get(_).asText())
       Some(ManifestData(root.get("apply_seq").asLong(), buckets.toMap, history,
-        retainOk, minAsOf))
+        retainOk, minAsOf, evolved, columns))
     } catch {
       case _: java.io.FileNotFoundException => None
     }
@@ -243,13 +249,17 @@ object Merge {
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, base: String,
       applySeq: Long, buckets: Map[Int, BucketStat],
       history: Seq[Retained] = Seq.empty, retainOk: Boolean = true,
-      minAsOf: Long = 0L): Unit = {
+      minAsOf: Long = 0L, evolved: Boolean = false,
+      columns: Seq[String] = Seq.empty): Unit = {
     import org.apache.hadoop.fs.Path
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
     root.put("apply_seq", applySeq)
     root.put("retain_history", retainOk)
     root.put("min_asof_seq", minAsOf)
+    root.put("evolved", evolved)
+    val ca = root.putArray("columns")
+    columns.foreach(ca.add)
     val bn = root.putObject("buckets")
     buckets.toSeq.sortBy(_._1).foreach { case (b, s) =>
       val o = bn.putObject(b.toString)
@@ -297,7 +307,7 @@ object Merge {
     val stats = statsByBucket(spark.read.parquet(path))
     writeManifest(fs, base, 0L, stats.map { case (b, (n, c)) =>
       b -> BucketStat(n, c, bucketFiles(fs, base, b))
-    })
+    }, columns = df.columns.toSeq :+ "__bucket")
   }
 
   /** Validated read of a bucketed snapshot: loads `_manifest.json`,
@@ -315,15 +325,18 @@ object Merge {
       .getFileSystem(spark.sessionState.newHadoopConf())
     var attempt = 0
     while (attempt <= maxRetries) {
-      readManifest(fs, base) match {
+      readManifestFull(fs, base) match {
         case None =>
           // no manifest at all: either a legacy layout (valid, read it)
           // or the instant of a manifest commit (retry a few times first)
-          if (attempt >= math.min(3, maxRetries))
-            return spark.read.option("mergeSchema", "true").parquet(path)
-        case Some((_, buckets)) =>
-          val torn = buckets.find { case (b, s) => bucketFiles(fs, base, b) != s.files }
-          if (torn.isEmpty) return spark.read.option("mergeSchema", "true").parquet(path)
+          if (attempt >= math.min(3, maxRetries)) return spark.read.parquet(path)
+        case Some(m) =>
+          val torn = m.buckets.find { case (b, s) => bucketFiles(fs, base, b) != s.files }
+          // mergeSchema only when an evolveSchema apply actually widened
+          // the layout: it costs a footer read of EVERY file, which the
+          // common never-evolved path must not pay per read
+          if (torn.isEmpty)
+            return spark.read.option("mergeSchema", m.evolved.toString).parquet(path)
           else if (attempt == maxRetries)
             throw new IllegalStateException(
               s"bucket ${torn.get._1} of $base disagrees with the manifest after " +
@@ -332,7 +345,7 @@ object Merge {
       attempt += 1
       Thread.sleep(retryMs)
     }
-    spark.read.option("mergeSchema", "true").parquet(path)
+    spark.read.parquet(path)
   }
 
   /** Apply a change feed to a bucketed snapshot IN PLACE, touching only
@@ -414,9 +427,14 @@ object Merge {
       }
     }.toMap
     // history entries whose retained dir vanished (vacuumed by hand,
-    // torn vacuum) drop out rather than serving a dead pointer
-    val healedHistory = prior.map(_.history).getOrElse(Seq.empty)
-      .filter(r => fs.exists(new Path(base, r.dir)))
+    // torn vacuum) drop out rather than serving a dead pointer — and
+    // every seq a dropped interval covered must become unreadable
+    // (minAsOf moves past it), or as-of reads would silently omit that
+    // bucket instead of failing closed
+    val (healedHistory, droppedHistory) = prior.map(_.history).getOrElse(Seq.empty)
+      .partition(r => fs.exists(new Path(base, r.dir)))
+    val healedMinAsOf = (prior.map(_.minAsOf).getOrElse(0L) +:
+      droppedHistory.map(_.until + 1)).max
     val withB = changes.withColumn("__bucket", bucketOf(keyCols, buckets))
     val affected = withB.select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -424,16 +442,25 @@ object Merge {
       // still commit the healed manifest (it may have been stale/absent)
       if (prior.map(p => (p.buckets, p.history)) != Some((healed, healedHistory)))
         writeManifest(fs, base, applySeq, healed, healedHistory,
-          prior.forall(_.retainOk), prior.map(_.minAsOf).getOrElse(0L))
+          prior.forall(_.retainOk), healedMinAsOf,
+          prior.exists(_.evolved), prior.map(_.columns).getOrElse(Seq.empty))
       return
     }
     val snap = if (healed.isEmpty) {
-      // a fully-deleted snapshot has no parquet to infer a schema from;
-      // the feed carries every base column by contract, so IT defines
-      // the base schema and the apply re-seeds the snapshot
-      val dataCols = withB.columns.filterNot(c => c == opCol || c == seqCol)
-      withB.select(dataCols.map(col).toSeq: _*).filter(lit(false))
-    } else spark.read.option("mergeSchema", "true").parquet(path)
+      // a fully-deleted snapshot has no parquet to infer a schema from:
+      // the manifest's recorded columns define the base schema (so a
+      // non-evolving reseed still drops extra feed columns); a legacy
+      // manifest without them falls back to the feed's data columns
+      val priorCols = prior.map(_.columns).getOrElse(Seq.empty)
+      val dataCols =
+        if (priorCols.nonEmpty) {
+          require(priorCols.forall(withB.columns.contains),
+            s"reseed feed must carry every snapshot column; missing ${priorCols.filterNot(withB.columns.contains)}")
+          priorCols
+        } else withB.columns.toSeq.filterNot(c => c == opCol || c == seqCol)
+      withB.select(dataCols.map(col): _*).filter(lit(false))
+    } else spark.read
+      .option("mergeSchema", prior.exists(_.evolved).toString).parquet(path)
       .filter(col("__bucket").isin(affected.map(Integer.valueOf).toSeq: _*))
     val merged = applyChanges(snap, withB, keyCols, opCol, seqCol, evolveSchema)
     val tmp = base + ".merge_tmp"
@@ -508,8 +535,17 @@ object Merge {
       case None    => true
       case Some(p) => p.retainOk && (retainHistory || !replacedAny)
     }
+    // schema tracking: the union of the recorded columns and what this
+    // merge produced; `evolved` latches once heterogeneous bucket
+    // schemas exist on disk (a legacy manifest with live data counts as
+    // evolved — its schema history is unknown, reads must merge footers)
+    val priorCols = prior.map(_.columns).getOrElse(Seq.empty)
+    val mergedCols = merged.columns.toSeq
+    val committedCols = priorCols ++ mergedCols.filterNot(priorCols.contains)
+    val nowEvolved = prior.map(_.evolved).getOrElse(healed.nonEmpty) ||
+      (priorCols.nonEmpty && mergedCols.exists(!priorCols.contains(_)))
     writeManifest(fs, base, applySeq, committed, healedHistory ++ retained,
-      stillRetainOk, prior.map(_.minAsOf).getOrElse(0L))
+      stillRetainOk, healedMinAsOf, nowEvolved, committedCols)
     fs.delete(new Path(tmp), true)
   }
 
@@ -553,12 +589,15 @@ object Merge {
     val dirs = (liveDirs ++ histDirs).sorted
     val roots = if (dirs.nonEmpty) dirs else
       // a version where every bucket was deleted is a valid EMPTY
-      // snapshot — serve it with the right schema from any version's dir
-      (m.buckets.keys.map(b => s"$base/__bucket=$b") ++
-        m.history.map(r => s"$base/${r.dir}")).take(1).toSeq
+      // snapshot — serve it under the merged schema of EVERY version's
+      // dir (a single arbitrary dir would make the empty frame's schema
+      // depend on Map iteration order once schemas diverge)
+      (m.buckets.keys.map(b => s"$base/__bucket=$b").toSeq ++
+        m.history.map(r => s"$base/${r.dir}")).sorted
     if (roots.isEmpty)
       throw new IllegalStateException(s"$base has no data in any version")
-    val df = spark.read.option("mergeSchema", "true").parquet(roots: _*)
+    val mergeFooters = (m.evolved || dirs.isEmpty).toString
+    val df = spark.read.option("mergeSchema", mergeFooters).parquet(roots: _*)
       .withColumn("__bucket",
         regexp_extract(input_file_name(), "__bucket=(\\d+)", 1).cast("int"))
     if (dirs.nonEmpty) df else df.filter(lit(false))
@@ -583,8 +622,17 @@ object Merge {
     val kept = keep.map(_.dir).toSet
     fs.listStatus(new Path(base)).foreach { f =>
       val n = f.getPath.getName
-      if (n.startsWith(".__bucket=") && n.contains(".v") && !kept.contains(n))
-        fs.delete(f.getPath, true)
+      if (n.startsWith(".__bucket=") && n.contains(".v") && !kept.contains(n)) {
+        // an unreferenced dir at version >= the committed applySeq is
+        // the remnant of an IN-FLIGHT apply that crashed before its
+        // manifest commit — its checkpoint replay needs that dir to
+        // preserve the true older version (deleting it would make the
+        // retry mislabel merged output as history). Only strictly older
+        // unreferenced dirs are committed-then-orphaned garbage
+        val v = n.substring(n.lastIndexOf(".v") + 2)
+        val inFlight = v.forall(_.isDigit) && v.nonEmpty && v.toLong >= m.applySeq
+        if (!inFlight) fs.delete(f.getPath, true)
+      }
     }
   }
 }

@@ -29,6 +29,15 @@ object Mixing {
   private[graft] def slotOf(id: org.apache.spark.sql.Column, buckets: Int) =
     pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(buckets.toLong))
 
+  /** A SECOND independent draw (different multiplier — 2246822519, an
+    * xxHash prime; the product still fits a signed long): decisions
+    * that compose with [[slotOf]]-based ones (split assignment,
+    * stratified admission) must not reuse the same slot, or the two
+    * "independent" Bernoullis are deterministically coupled — e.g.
+    * every fractional upsample copy landing in the train split. */
+  private[graft] def slotOf2(id: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(pmod(id, lit(2147483648L)) * lit(2246822519L), lit(buckets.toLong))
+
   /** Downsample each domain to an EXPECTED `targetPerDomain` rows
     * (domains already at or below the target keep ~everything; the draw
     * is per-row, so kept counts concentrate around `rate · n_s`).
@@ -104,7 +113,11 @@ object Mixing {
     * corpus + arithmetic on |domains| rows — nothing corpus-sized moves.
     */
   def temperatureRates(df: DataFrame, domainCol: String, tau: Double,
-      targetTotal: Long): DataFrame = {
+      targetTotal: Long): DataFrame =
+    tempRates(df, domainCol, tau, targetTotal, cap = true)
+
+  private def tempRates(df: DataFrame, domainCol: String, tau: Double,
+      targetTotal: Long, cap: Boolean): DataFrame = {
     require(tau > 0, s"tau must be positive: $tau")
     require(targetTotal > 0, s"targetTotal must be positive: $targetTotal")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
@@ -113,11 +126,10 @@ object Mixing {
     // an empty partitioning (which would single-partition the frame —
     // harmless at |domains| rows but a bad habit to codify)
     val total = counts.agg(sum(col("__w")).as("__tw"))
+    val raw = lit(targetTotal.toDouble) * col("__w") / col("__tw") / col("n")
     counts.crossJoin(broadcast(total))
       .select(col(domainCol), col("n"),
-        round(least(lit(1.0),
-          lit(targetTotal.toDouble) * col("__w") / col("__tw") / col("n")), 6)
-          .as("rate"))
+        round(if (cap) least(lit(1.0), raw) else raw, 6).as("rate"))
   }
 
   /** The temperature-sampled mixture itself: every row admitted by the
@@ -146,17 +158,8 @@ object Mixing {
     * epoch over the large one) instead of capping its contribution.
     * Returns (domainCol, n, rate) with the same 6-place rounding. */
   def temperatureRatesUncapped(df: DataFrame, domainCol: String, tau: Double,
-      targetTotal: Long): DataFrame = {
-    require(tau > 0, s"tau must be positive: $tau")
-    require(targetTotal > 0, s"targetTotal must be positive: $targetTotal")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
-      .withColumn("__w", pow(col("n").cast("double"), lit(tau)))
-    val total = counts.agg(sum(col("__w")).as("__tw"))
-    counts.crossJoin(broadcast(total))
-      .select(col(domainCol), col("n"),
-        round(lit(targetTotal.toDouble) * col("__w") / col("__tw") / col("n"), 6)
-          .as("rate"))
-  }
+      targetTotal: Long): DataFrame =
+    tempRates(df, domainCol, tau, targetTotal, cap = false)
 
   /** Repetition-based domain up/down-sampling — the full data-mixing
     * recipe: every row is emitted `floor(rate)` times plus one more when
@@ -181,7 +184,7 @@ object Mixing {
         floor(lit(buckets.toDouble) * (col("rate") - floor(col("rate"))))
           .as("__fracAdmit"))
     val copies = (col("__whole") +
-      when(slotOf(col(idCol), buckets) < col("__fracAdmit"), 1).otherwise(0))
+      when(slotOf2(col(idCol), buckets) < col("__fracAdmit"), 1).otherwise(0))
       .cast("int")
     // Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty — the
     // zero-copy case must short-circuit to an empty array explicitly

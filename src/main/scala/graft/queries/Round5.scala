@@ -66,7 +66,7 @@ object Round5 {
             FROM w),
       cp AS (SELECT d.doc_id, d.source,
                     CAST(floor(r.rate) AS INT) +
-                    CASE WHEN ((d.doc_id % 2147483648) * 2654435761) % 1000 <
+                    CASE WHEN ((d.doc_id % 2147483648) * 2246822519) % 1000 <
                               floor(1000.0 * (r.rate - floor(r.rate)))
                          THEN 1 ELSE 0 END AS copies
              FROM documents d JOIN r USING (source))
