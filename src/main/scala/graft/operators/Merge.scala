@@ -190,7 +190,7 @@ object Merge {
   private[graft] case class ManifestData(applySeq: Long,
       buckets: Map[Int, BucketStat], history: Seq[Retained],
       retainOk: Boolean, minAsOf: Long, evolved: Boolean,
-      columns: Seq[String])
+      columns: Seq[String], commitTimes: Map[Long, Long])
 
   private[graft] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       base: String): Option[(Long, Map[Int, BucketStat])] =
@@ -239,8 +239,16 @@ object Merge {
       val evolved = !root.has("evolved") || root.get("evolved").asBoolean()
       val columns = if (!root.has("columns")) Seq.empty else
         (0 until root.get("columns").size()).map(root.get("columns").get(_).asText())
+      val commitTimes = scala.collection.mutable.Map[Long, Long]()
+      if (root.has("commit_times_ms")) {
+        val ct = root.get("commit_times_ms").fields()
+        while (ct.hasNext) {
+          val e = ct.next()
+          commitTimes(e.getKey.toLong) = e.getValue.asLong()
+        }
+      }
       Some(ManifestData(root.get("apply_seq").asLong(), buckets.toMap, history,
-        retainOk, minAsOf, evolved, columns))
+        retainOk, minAsOf, evolved, columns, commitTimes.toMap))
     } catch {
       case _: java.io.FileNotFoundException => None
     }
@@ -250,7 +258,8 @@ object Merge {
       applySeq: Long, buckets: Map[Int, BucketStat],
       history: Seq[Retained] = Seq.empty, retainOk: Boolean = true,
       minAsOf: Long = 0L, evolved: Boolean = false,
-      columns: Seq[String] = Seq.empty): Unit = {
+      columns: Seq[String] = Seq.empty,
+      commitTimes: Map[Long, Long] = Map.empty): Unit = {
     import org.apache.hadoop.fs.Path
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createObjectNode()
@@ -260,6 +269,12 @@ object Merge {
     root.put("evolved", evolved)
     val ca = root.putArray("columns")
     columns.foreach(ca.add)
+    // per-seq wall-clock commit times back timestamp-based time travel.
+    // A NEW seq is stamped here at commit; a manifest rewrite at the
+    // same seq (vacuum, heal) keeps the original stamp
+    val ct = root.putObject("commit_times_ms")
+    (Map(applySeq -> System.currentTimeMillis()) ++ commitTimes)
+      .toSeq.sortBy(_._1).foreach { case (k, v) => ct.put(k.toString, v) }
     val bn = root.putObject("buckets")
     buckets.toSeq.sortBy(_._1).foreach { case (b, s) =>
       val o = bn.putObject(b.toString)
@@ -443,7 +458,8 @@ object Merge {
       if (prior.map(p => (p.buckets, p.history)) != Some((healed, healedHistory)))
         writeManifest(fs, base, applySeq, healed, healedHistory,
           prior.forall(_.retainOk), healedMinAsOf,
-          prior.exists(_.evolved), prior.map(_.columns).getOrElse(Seq.empty))
+          prior.exists(_.evolved), prior.map(_.columns).getOrElse(Seq.empty),
+          prior.map(_.commitTimes).getOrElse(Map.empty))
       return
     }
     val snap = if (healed.isEmpty) {
@@ -545,7 +561,8 @@ object Merge {
     val nowEvolved = prior.map(_.evolved).getOrElse(healed.nonEmpty) ||
       (priorCols.nonEmpty && mergedCols.exists(!priorCols.contains(_)))
     writeManifest(fs, base, applySeq, committed, healedHistory ++ retained,
-      stillRetainOk, healedMinAsOf, nowEvolved, committedCols)
+      stillRetainOk, healedMinAsOf, nowEvolved, committedCols,
+      prior.map(_.commitTimes).getOrElse(Map.empty))
     fs.delete(new Path(tmp), true)
   }
 
@@ -603,6 +620,25 @@ object Merge {
     if (dirs.nonEmpty) df else df.filter(lit(false))
   }
 
+  /** Timestamp-based time travel (AS OF TIMESTAMP): resolve the newest
+    * apply seq whose manifest commit happened at or before `tsMillis`
+    * (wall-clock times recorded per seq in the manifest) and read that
+    * version via [[readSnapshotAsOf]] — same fail-closed guarantees. */
+  def readSnapshotAsOfTime(spark: org.apache.spark.sql.SparkSession,
+      path: String, tsMillis: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = path.stripSuffix("/")
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val m = readManifestFull(fs, base).getOrElse(
+      throw new IllegalStateException(s"$base has no manifest — time travel " +
+        "needs a snapshot written by writeBucketedSnapshot"))
+    val eligible = m.commitTimes.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no commit at or before $tsMillis: earliest is " +
+        s"${if (m.commitTimes.isEmpty) "unknown (legacy manifest)" else m.commitTimes.values.min.toString}")
+    readSnapshotAsOf(spark, path, eligible.keys.max)
+  }
+
   /** Drop retained history older than `minSeqToKeep`: as-of reads for
     * seqs >= the cutoff keep working, older ones fail closed. The
     * manifest commits BEFORE the directories are removed, so a racing
@@ -618,7 +654,8 @@ object Merge {
     val m = readManifestFull(fs, base).getOrElse(return)
     val keep = m.history.filter(_.until >= minSeqToKeep)
     writeManifest(fs, base, m.applySeq, m.buckets, keep, m.retainOk,
-      math.max(m.minAsOf, math.min(minSeqToKeep, m.applySeq)))
+      math.max(m.minAsOf, math.min(minSeqToKeep, m.applySeq)),
+      m.evolved, m.columns, m.commitTimes)
     val kept = keep.map(_.dir).toSet
     fs.listStatus(new Path(base)).foreach { f =>
       val n = f.getPath.getName

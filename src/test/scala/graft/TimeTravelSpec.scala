@@ -265,6 +265,38 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally cleanup(path)
   }
 
+  test("timestamp-based travel resolves the newest commit at or before the ask") {
+    import spark.implicits._
+    val path = freshPath()
+    try {
+      val base = (1L to 20L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 2)
+      Thread.sleep(5)
+      val feed = base.filter($"k" % 2 === 0)
+        .withColumn("v", $"v" + 100L)
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 2,
+        retainHistory = true)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val times = Merge.readManifestFull(fs, path).get.commitTimes
+      assert(times.keySet == Set(0L, 1L) && times(0L) < times(1L),
+        s"commit times: $times")
+      // exactly at seq 0's stamp -> v0; at seq 1's stamp (and later) -> v1
+      assert(rows(Merge.readSnapshotAsOfTime(spark, path, times(0L))) == rows(base))
+      assert(rows(Merge.readSnapshotAsOfTime(spark, path, times(1L) + 1000)) ==
+        rows(spark.read.parquet(path)))
+      // before the first commit: nothing existed
+      intercept[IllegalArgumentException](
+        Merge.readSnapshotAsOfTime(spark, path, times(0L) - 1))
+      // a vacuum rewrite must NOT re-stamp existing seqs
+      Merge.vacuumSnapshot(spark, path, minSeqToKeep = 0)
+      assert(Merge.readManifestFull(fs, path).get.commitTimes == times,
+        "vacuum re-stamped commit times")
+    } finally cleanup(path)
+  }
+
   test("a fresh snapshot reads as-of 0 and rejects the future") {
     import spark.implicits._
     val path = freshPath()
