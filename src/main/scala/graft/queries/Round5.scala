@@ -392,6 +392,36 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // Spark 4 transformWithState (State API v2): per-user running
+    // count+sum as typed ValueState cells on the RocksDB store, update-
+    // mode changelog drained with AvailableNow; the final per-key rows
+    // must equal the batch aggregate
+    Q("q126_transform_with_state", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      graft.streaming.StatefulOps.withRocksDb(s) {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val qn = s"graft_tws_${System.nanoTime()}"
+        val src = s.readStream.schema(schema).parquet(s"$d/events.*")
+          .select($"user_id".cast("long"), $"value".cast("double"))
+          .as[(Long, Double)]
+        val query = graft.streaming.StatefulOps.runningTotals(src)
+          .toDF("user_id", "n_events", "sum_value")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination()
+        // update mode emits a changelog row per key per batch: the final
+        // state is each key's max running count (counts are monotone)
+        s.table(qn)
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"),
+            round(max_by($"sum_value", $"n_events"), 2).as("sum_value"))
+          .orderBy($"user_id")
+      }
+    }, Some("""
+      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus
     // bigram statistics with add-0.5 smoothing (0.5 is exact in binary,
     // so the only float ops are the shared ln/avg, handled like q109)

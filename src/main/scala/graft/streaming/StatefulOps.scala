@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Spark 4 `transformWithState` operators — the successor API to
+  * `flatMapGroupsWithState` (SPIP: State API v2): typed per-key state
+  * cells with independent lifetimes, TTL, and timers, backed by the
+  * RocksDB state store. This is the custom-stateful-op ladder's current
+  * top rung; [[Grouper]] covers the classic mapGroupsWithState shape.
+  */
+object StatefulOps {
+
+  /** Per-key running (count, sum) over a `(key, value)` stream — the
+    * minimal live-aggregate shape: each input row updates two ValueState
+    * cells and emits the key's running totals, so downstream sees a
+    * changelog of per-key aggregates (update-mode semantics). State is
+    * O(keys) regardless of stream length. */
+  class RunningTotals extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var count: ValueState[Long] = _
+    @transient private var total: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Double]("total", Encoders.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var c = if (count.exists()) count.get() else 0L
+      var s = if (total.exists()) total.get() else 0.0
+      rows.foreach { r => c += 1; s += r._2 }
+      count.update(c)
+      total.update(s)
+      Iterator.single((key, c, s))
+    }
+  }
+
+  /** Wire [[RunningTotals]] onto a keyed stream. The caller must run the
+    * query with the RocksDB state store provider (transformWithState
+    * requires it — see [[withRocksDb]]). */
+  def runningTotals(ds: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Run `body` with the RocksDB state store provider set, restoring the
+    * previous provider after — transformWithState refuses the default
+    * HDFS-backed provider. */
+  def withRocksDb[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.StatefulOps
+
+/** Spark 4 transformWithState: per-key ValueState survives across
+  * micro-batches and the update-mode changelog converges to the batch
+  * aggregate. */
+class StatefulOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("running totals accumulate across micro-batches") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_tws_spec_${System.nanoTime()}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      // three files -> three micro-batches with maxFilesPerTrigger=1;
+      // key 1 appears in every batch, key 2 in the last only
+      Seq(Seq((1L, 1.0), (1L, 2.0)), Seq((1L, 3.0)), Seq((1L, 4.0), (2L, 10.0)))
+        .foreach { batch =>
+          batch.toDF("k", "v").coalesce(1).write.mode("append").parquet(dir)
+        }
+      val schema = spark.read.parquet(dir).schema
+      StatefulOps.withRocksDb(spark) {
+        val qn = s"tws_${System.nanoTime()}"
+        val q = StatefulOps.runningTotals(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(dir).as[(Long, Double)])
+          .toDF("k", "n", "s")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val changelog = spark.table(qn).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        // key 1 must have emitted a strictly-growing count once per batch
+        // it appeared in, ending at the full total
+        val k1 = changelog.filter(_._1 == 1L).map(c => (c._2, c._3)).sorted
+        assert(k1.length == 3 && k1.map(_._1).distinct.length == 3,
+          s"one strictly-growing emission per batch: ${k1.toSeq}")
+        assert(k1.last == ((4L, 10.0)), s"final state: ${k1.last}")
+        assert(changelog.filter(_._1 == 2L).toSeq == Seq((2L, 1L, 10.0)))
+      }
+      // the provider conf was restored
+      assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        .forall(!_.contains("RocksDB")))
+    } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+}
