@@ -407,28 +407,39 @@ object Merge {
     val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(new Path(base)),
       s"snapshot $base does not exist — write it first with writeBucketedSnapshot")
+    val prior = readManifestFull(fs, base)
+    val applySeq = prior.map(_.applySeq + 1).getOrElse(0L)
     // recover any interrupted swap BEFORE reading: a crash between the
     // rename-aside and the rename-in leaves a bucket's only copy at its
     // hidden `.old` name, where the reader would silently see an empty
     // bucket (and the blind delete below would then destroy the data).
     // Recovery: live dir missing -> restore the old copy (that batch's
-    // merge was lost and must be replayed); live present -> the swap
-    // completed, the old copy is stale
+    // merge was lost and must be replayed). Live PRESENT -> the swap
+    // completed and the .old is the replaced version: under retention it
+    // is the only copy of the pre-crash data (the crash hit between the
+    // rename-in and the retained rename), so finish the crashed
+    // attempt's rename — .v{prior seq} — instead of deleting it; the
+    // manifest must have KNOWN the bucket, else the .old is a crashed
+    // CREATE's aside-copy of merged output, not a historical version
     fs.listStatus(new Path(base)).foreach { f =>
       val n = f.getPath.getName
       if (n.startsWith(".__bucket=") && n.endsWith(".old")) {
+        val b = n.stripPrefix(".__bucket=").stripSuffix(".old").toInt
         val live = new Path(base, n.stripPrefix(".").stripSuffix(".old"))
         if (!fs.exists(live))
           require(fs.rename(f.getPath, live), s"recovery rename ${f.getPath} -> $live failed")
-        else fs.delete(f.getPath, true)
+        else if (retainHistory && prior.exists(_.buckets.contains(b))) {
+          val ret = new Path(base, s".__bucket=$b.v${prior.get.applySeq}")
+          if (!fs.exists(ret))
+            require(fs.rename(f.getPath, ret), s"recovery rename ${f.getPath} -> $ret failed")
+          else fs.delete(f.getPath, true)
+        } else fs.delete(f.getPath, true)
       }
     }
     // load + heal the manifest: entries whose file list disagrees with
     // the live layout (crash between swap and manifest commit, or a
     // legacy layout with no manifest) are re-derived from the live data
     // — a listStatus per bucket, plus one bucket scan only when stale
-    val prior = readManifestFull(fs, base)
-    val applySeq = prior.map(_.applySeq + 1).getOrElse(0L)
     val healed: Map[Int, BucketStat] = liveBucketIds(fs, base).map { b =>
       val files = bucketFiles(fs, base, b)
       prior.flatMap(_.buckets.get(b)).filter(_.files == files) match {
@@ -458,7 +469,8 @@ object Merge {
       if (prior.map(p => (p.buckets, p.history)) != Some((healed, healedHistory)))
         writeManifest(fs, base, applySeq, healed, healedHistory,
           prior.forall(_.retainOk), healedMinAsOf,
-          prior.exists(_.evolved), prior.map(_.columns).getOrElse(Seq.empty),
+          prior.map(_.evolved).getOrElse(healed.nonEmpty),
+          prior.map(_.columns).getOrElse(Seq.empty),
           prior.map(_.commitTimes).getOrElse(Map.empty))
       return
     }
@@ -512,7 +524,8 @@ object Merge {
         // A crash between the rename-in and this rename loses only the
         // historical copy, never live data (the recovery pass deletes a
         // stale .old when live exists)
-        if (retainHistory && applySeq > 0) {
+        if (retainHistory && applySeq > 0 &&
+            prior.exists(_.buckets.contains(b))) {
           val ret = new Path(s"$base/.__bucket=$b.v${applySeq - 1}")
           if (fs.exists(ret)) {
             // a pre-existing target is the remnant of a crashed attempt
@@ -538,9 +551,30 @@ object Merge {
         } else fs.delete(old, true)
       }
     }
+    // fold in recovery-renamed versions of buckets this feed did NOT
+    // touch: the replay contract sends the same batch back, but if a
+    // different feed arrives after a crash, the recovered .v dir still
+    // holds the true prior version and must enter the manifest (and the
+    // bucket's live data — the crashed merge output — became live at
+    // this seq, not at its pre-crash since)
+    val liveSinceOverride = scala.collection.mutable.Map[Int, Long]()
+    if (retainHistory && applySeq > 0)
+      fs.listStatus(new Path(base)).foreach { f =>
+        val n = f.getPath.getName
+        if (n.startsWith(".__bucket=") && n.endsWith(s".v${applySeq - 1}")) {
+          val b = n.stripPrefix(".__bucket=").takeWhile(_ != '.').toInt
+          if (!affected.contains(b) && !retained.exists(_.bucket == b) &&
+              !healedHistory.exists(_.dir == n)) {
+            prior.flatMap(_.buckets.get(b)).foreach { pe =>
+              retained += Retained(b, pe.since, applySeq - 1, n, pe.rows, pe.checksum)
+              if (healed.contains(b)) liveSinceOverride(b) = applySeq
+            }
+          }
+        }
+      }
     val committed = healed -- affected ++ nextStats.map { case (b, (n, c)) =>
       b -> BucketStat(n, c, nextFiles.getOrElse(b, Seq.empty), applySeq)
-    }
+    } ++ liveSinceOverride.map { case (b, sq) => b -> healed(b).copy(since = sq) }
     // history completeness survives only if nothing replaced was dropped:
     // one non-retaining apply that discarded a live version makes every
     // earlier seq unreconstructable, and the flag records that forever.
@@ -653,9 +687,13 @@ object Merge {
     val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
     val m = readManifestFull(fs, base).getOrElse(return)
     val keep = m.history.filter(_.until >= minSeqToKeep)
+    val newMinAsOf = math.max(m.minAsOf, math.min(minSeqToKeep, m.applySeq))
+    // commit stamps for vacuumed seqs can never resolve again (the read
+    // fails closed below minAsOf) — prune them so the manifest does not
+    // grow one entry per apply forever
     writeManifest(fs, base, m.applySeq, m.buckets, keep, m.retainOk,
-      math.max(m.minAsOf, math.min(minSeqToKeep, m.applySeq)),
-      m.evolved, m.columns, m.commitTimes)
+      newMinAsOf, m.evolved, m.columns,
+      m.commitTimes.filter(_._1 >= newMinAsOf))
     val kept = keep.map(_.dir).toSet
     fs.listStatus(new Path(base)).foreach { f =>
       val n = f.getPath.getName

@@ -29,12 +29,14 @@ object Mixing {
   private[graft] def slotOf(id: org.apache.spark.sql.Column, buckets: Int) =
     pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(buckets.toLong))
 
-  /** A SECOND independent draw (different multiplier — 2246822519, an
-    * xxHash prime; the product still fits a signed long): decisions
-    * that compose with [[slotOf]]-based ones (split assignment,
-    * stratified admission) must not reuse the same slot, or the two
-    * "independent" Bernoullis are deterministically coupled — e.g.
-    * every fractional upsample copy landing in the train split. */
+  /** The ADMISSION-family draw (different multiplier — 2246822519, an
+    * xxHash prime; the product still fits a signed long). Sampling
+    * decisions (rebalance, stratified, temperature, upsample) compose
+    * with SPLIT decisions ([[slotOf]]): if both families shared one
+    * slot, the "independent" Bernoullis would be deterministically
+    * coupled — e.g. a half-rate sample whose survivors are exactly the
+    * train split, leaving val/test empty. One multiplier per decision
+    * family keeps sample→split chains unbiased. */
   private[graft] def slotOf2(id: org.apache.spark.sql.Column, buckets: Int) =
     pmod(pmod(id, lit(2147483648L)) * lit(2246822519L), lit(buckets.toLong))
 
@@ -53,7 +55,7 @@ object Mixing {
     val admit = least(lit(buckets.toLong),
       floor(lit(buckets.toDouble) * lit(targetPerDomain.toDouble) / col("__n")))
     df.join(broadcast(counts), domainCol)
-      .filter(slotOf(col(idCol), buckets) < admit)
+      .filter(slotOf2(col(idCol), buckets) < admit)
       .drop("__n")
   }
 
@@ -90,7 +92,7 @@ object Mixing {
       buckets: Int = 1000): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       s"fractions must be in [0,1]: $fractions / $defaultFraction")
-    val slot = slotOf(col(idCol), buckets)
+    val slot = slotOf2(col(idCol), buckets)
     def bound(f: Double) = lit(math.floor(buckets * f).toLong)
     val admit = fractions.foldRight(bound(defaultFraction): org.apache.spark.sql.Column) {
       case ((name, f), rest) => when(col(strataCol) === name, bound(f)).otherwise(rest)
@@ -148,7 +150,7 @@ object Mixing {
       .select(col(domainCol),
         floor(lit(buckets.toDouble) * col("rate")).as("__admit"))
     df.join(broadcast(admits), domainCol)
-      .filter(slotOf(col(idCol), buckets) < col("__admit"))
+      .filter(slotOf2(col(idCol), buckets) < col("__admit"))
       .drop("__admit")
   }
 

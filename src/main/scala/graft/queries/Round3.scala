@@ -151,7 +151,7 @@ object Round3 {
       WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
       SELECT d.source, count(*) AS n_kept
       FROM documents d JOIN c USING (source)
-      WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000 <
+      WHERE ((d.doc_id % 2147483648) * 2246822519) % 1000 <
             least(1000, floor(1000.0 * 10.0 / c.n))
       GROUP BY d.source ORDER BY d.source""")),
 

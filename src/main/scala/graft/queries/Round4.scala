@@ -135,7 +135,7 @@ object Round4 {
         .orderBy($"doc_id")
     }, Some("""
       SELECT doc_id, lang, source FROM documents
-      WHERE ((doc_id % 2147483648) * 2654435761) % 1000 <
+      WHERE ((doc_id % 2147483648) * 2246822519) % 1000 <
             CASE WHEN lang = 'en' THEN 500
                  WHEN lang = 'de' THEN 200 ELSE 100 END
       ORDER BY doc_id""")),

@@ -41,7 +41,7 @@ object Round5 {
             FROM w),
       k AS (SELECT d.source, count(*) AS n_kept
             FROM documents d JOIN r USING (source)
-            WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000 <
+            WHERE ((d.doc_id % 2147483648) * 2246822519) % 1000 <
                   floor(1000.0 * r.rate)
             GROUP BY d.source)
       SELECT source, n, rate, coalesce(n_kept, 0) AS n_kept
@@ -362,11 +362,8 @@ object Round5 {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val qn = s"graft_sess_${System.nanoTime()}"
-      val raw = s.readStream.schema(schema).parquet(s"$d/events.*")
-      val ev = if (schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      val ev = T.withEventTs(
+        s.readStream.schema(schema).parquet(s"$d/events.*"))
       val query = ev
         .groupBy($"user_id", session_window($"ts", "30 minutes"))
         .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))

@@ -28,15 +28,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * long (spark.sql.legacy.parquet.nanosAsLong=true — set by Session /
-    * Verify / Bench). Convert to µs TimestampType here, flooring like
-    * DuckDB's ns→µs conversion, so downstream operators see a real
-    * timestamp. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+    * Verify / Bench). Convert to µs TimestampType, flooring like DuckDB's
+    * ns→µs conversion — shared by the batch catalog and any streaming
+    * reader of the same parquet (q125's shape). */
+  def withEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+
+  def events(s: SparkSession, d: String): DataFrame =
+    withEventTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
