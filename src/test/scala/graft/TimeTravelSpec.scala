@@ -265,6 +265,40 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally cleanup(path)
   }
 
+  test("a crash between rename-in and the retained rename still preserves the old version") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = freshPath()
+    try {
+      val base = (1L to 20L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 1)
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      val mPath = new Path(path, "_manifest.json")
+      val m0 = new Array[Byte](fs.getFileStatus(mPath).getLen.toInt)
+      val in = fs.open(mPath); try in.readFully(m0) finally in.close()
+      val feed = base.filter($"k" % 2 === 0)
+        .withColumn("v", $"v" + 100L)
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 1,
+        retainHistory = true)
+      // reconstruct the crash state AFTER the rename-in but BEFORE the
+      // retained rename: live = merged output, .old = true v0 (the only
+      // copy), no .v0, manifest still at seq 0
+      require(fs.rename(new Path(path, ".__bucket=0.v0"),
+        new Path(path, ".__bucket=0.old")))
+      val out = fs.create(mPath, true); try out.write(m0) finally out.close()
+      // the checkpoint replay: recovery must finish the crashed rename
+      // (old -> .v0) instead of deleting the old version
+      Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 1,
+        retainHistory = true)
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 0)) == rows(base),
+        "the pre-crash version was lost or mislabeled")
+      val want1 = (1L to 20L).map(k => (k, if (k % 2 == 0) k + 100 else k)).toSet
+      assert(rows(Merge.readSnapshotAsOf(spark, path, 1)) == want1)
+    } finally cleanup(path)
+  }
+
   test("timestamp-based travel resolves the newest commit at or before the ask") {
     import spark.implicits._
     val path = freshPath()
