@@ -419,6 +419,30 @@ object Round5 {
       SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    // holds each key only while a duplicate could still arrive (the
+    // watermark horizon), vs q73's grow-forever exact dedup — the state
+    // shape an unbounded 100 TB stream actually needs. Key columns only,
+    // so the surviving-row choice cannot affect the result
+    Q("q127_dedup_watermark", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = s"graft_ddw_${System.nanoTime()}"
+      val query = T.withEventTs(
+          s.readStream.schema(schema).parquet(s"$d/events.*"))
+        .withWatermark("ts", "1 hour")
+        .select($"user_id", $"event_type", $"ts")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select($"user_id", $"event_type")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      s.table(qn).orderBy($"user_id", $"event_type")
+    }, Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""")),
+
     // bigram LM quality: per-doc mean ln P(w_i | w_{i-1}) under corpus
     // bigram statistics with add-0.5 smoothing (0.5 is exact in binary,
     // so the only float ops are the shared ln/avg, handled like q109)

@@ -36,6 +36,64 @@ object StatefulOps {
     }
   }
 
+  /** Event-time sessionization with TIMERS — the other half of State
+    * API v2 (the replacement for `GroupStateTimeout`): each key holds
+    * its open session (count, first/last event time) in ValueState and
+    * re-registers an event-time timer at `last + gap`; when the
+    * WATERMARK passes that point the timer fires, the CLOSED session is
+    * emitted and the state cleared. Output rows are complete sessions
+    * only — an open session emits nothing until the stream proves it
+    * over, and state stays O(open keys). */
+  class SessionCloser(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Long)](),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      // a session also closes INLINE when a later event proves the gap
+      // passed — the timer only covers "no more events ever arrived"
+      val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var (c, first, last) = if (sess.exists()) sess.get() else (0L, 0L, 0L)
+      rows.toSeq.sortBy(_._2).foreach { r =>
+        if (c > 0 && r._2 > last + gapMs) {
+          closed += ((key, c, first, last))
+          c = 0
+        }
+        if (c == 0) { c = 1; first = r._2; last = r._2 }
+        else { c += 1; last = math.max(last, r._2) }
+      }
+      sess.update((c, first, last))
+      // one live timer per key: drop the stale deadline, arm the new one
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last + gapMs)
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val out = if (sess.exists()) {
+        val (c, first, last) = sess.get()
+        Iterator.single((key, c, first, last))
+      } else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  /** Wire [[SessionCloser]] onto a keyed `(key, eventTimeMs)` stream
+    * that already carries a watermark. */
+  def closedSessions(ds: Dataset[(Long, Long)], gapMs: Long): Dataset[(Long, Long, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new SessionCloser(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Wire [[RunningTotals]] onto a keyed stream. The caller must run the
     * query with the RocksDB state store provider (transformWithState
     * requires it — see [[withRocksDb]]). */

@@ -53,4 +53,48 @@ class StatefulOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .forall(!_.contains("RocksDB")))
     } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
   }
+
+  test("event-time timers close sessions; open sessions stay silent") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_timer_spec_${System.nanoTime()}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val H = 3600L * 1000 // one hour in ms
+    try {
+      // batch 1: key 1 has two events, key 2 one; batch 2: key 1 again
+      // 3h later (inline-closes its first session); batch 3 only
+      // advances the watermark so key 2's TIMER fires
+      Seq(
+        Seq((1L, 10 * H), (1L, 10 * H + 30000), (2L, 10 * H + 10000)),
+        Seq((1L, 13 * H)),
+        Seq((3L, 14 * H))
+      ).foreach(b => b.toDF("k", "t").coalesce(1).write.mode("append").parquet(dir))
+      val schema = spark.read.parquet(dir).schema
+      StatefulOps.withRocksDb(spark) {
+        val qn = s"timers_${System.nanoTime()}"
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+          .withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_millis($"t"))
+          .withWatermark("ts", "10 minutes")
+          .select($"k", $"t").as[(Long, Long)]
+        val q = StatefulOps.closedSessions(src, gapMs = 30 * 60 * 1000)
+          .toDF("k", "n", "first_t", "last_t")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val out = spark.table(qn).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        // key 1's first session closed INLINE by the 13:00 event; key 2's
+        // closed by TIMER once the watermark passed 10:40; key 1's second
+        // session closed at drain (AvailableNow fires timers eligible
+        // under the FINAL watermark, 13:50 >= 13:30); key 3's deadline
+        // (14:30) is beyond the final watermark — still open, silent
+        assert(out == Set(
+          (1L, 2L, 10 * H, 10 * H + 30000),
+          (2L, 1L, 10 * H + 10000, 10 * H + 10000),
+          (1L, 1L, 13 * H, 13 * H)), s"got $out")
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
 }
