@@ -94,6 +94,41 @@ object StatefulOps {
         OutputMode.Append())
   }
 
+  /** Last-N recent values per key via ListState — the third State API
+    * v2 state type (ValueState: [[RunningTotals]]; timers:
+    * [[SessionCloser]]): every input emits the key's rolling window of
+    * the most recent `n` values in arrival order, the per-key context a
+    * streaming feature-enrichment stage feeds downstream. State is
+    * O(keys · n) — the list is truncated on every update, never
+    * unbounded. */
+  class RecentValues(n: Int) extends StatefulProcessor[Long, (Long, Double), (Long, Seq[Double])] {
+    require(n >= 1, s"window size must be >= 1: $n")
+    @transient private var recent: org.apache.spark.sql.streaming.ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Double]("recent", Encoders.scalaDouble,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Seq[Double])] = {
+      var window = recent.get().toSeq
+      val out = rows.map { r =>
+        window = (window :+ r._2).takeRight(n)
+        (key, window)
+      }.toSeq
+      recent.clear()
+      window.foreach(recent.appendValue)
+      out.iterator
+    }
+  }
+
+  /** Wire [[RecentValues]] onto a keyed `(key, value)` stream. */
+  def recentValues(ds: Dataset[(Long, Double)], n: Int): Dataset[(Long, Seq[Double])] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new RecentValues(n), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Wire [[RunningTotals]] onto a keyed stream. The caller must run the
     * query with the RocksDB state store provider (transformWithState
     * requires it — see [[withRocksDb]]). */

@@ -54,6 +54,37 @@ class StatefulOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
   }
 
+  test("ListState rolling window truncates to n and survives batches") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_list_spec_${System.nanoTime()}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      Seq(Seq((1L, 1.0), (1L, 2.0)), Seq((1L, 3.0), (1L, 4.0), (2L, 9.0)))
+        .foreach(b => b.toDF("k", "v").coalesce(1).write.mode("append").parquet(dir))
+      val schema = spark.read.parquet(dir).schema
+      StatefulOps.withRocksDb(spark) {
+        val qn = s"recent_${System.nanoTime()}"
+        val q = StatefulOps.recentValues(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(dir).as[(Long, Double)], n = 3)
+          .toDF("k", "w")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val wins = spark.table(qn).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+        // key 1 emits one window per event; the window crosses the batch
+        // boundary (state carried) and truncates to the last 3
+        val k1 = wins.filter(_._1 == 1L).map(_._2).sortBy(_.sum)
+        assert(k1.contains(List(1.0)) && k1.contains(List(1.0, 2.0)), s"got $k1")
+        assert(k1.contains(List(1.0, 2.0, 3.0)), s"batch-crossing window: $k1")
+        assert(k1.contains(List(2.0, 3.0, 4.0)), s"truncation to n=3: $k1")
+        assert(wins.filter(_._1 == 2L).map(_._2) sameElements Array(List(9.0)))
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
   test("event-time timers close sessions; open sessions stay silent") {
     import spark.implicits._
     val dir = s"/tmp/graft_timer_spec_${System.nanoTime()}"
