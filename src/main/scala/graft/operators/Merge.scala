@@ -344,7 +344,8 @@ object Merge {
         case None =>
           // no manifest at all: either a legacy layout (valid, read it)
           // or the instant of a manifest commit (retry a few times first)
-          if (attempt >= math.min(3, maxRetries)) return spark.read.parquet(path)
+          if (attempt >= math.min(3, maxRetries))
+            return spark.read.option("mergeSchema", "true").parquet(path)
         case Some(m) =>
           val torn = m.buckets.find { case (b, s) => bucketFiles(fs, base, b) != s.files }
           // mergeSchema only when an evolveSchema apply actually widened
@@ -360,7 +361,7 @@ object Merge {
       attempt += 1
       Thread.sleep(retryMs)
     }
-    spark.read.parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
   }
 
   /** Apply a change feed to a bucketed snapshot IN PLACE, touching only
@@ -440,12 +441,21 @@ object Merge {
     // the live layout (crash between swap and manifest commit, or a
     // legacy layout with no manifest) are re-derived from the live data
     // — a listStatus per bucket, plus one bucket scan only when stale
+    // columns beyond the manifest's record found on a healed bucket mean
+    // a crashed evolveSchema apply reached disk without committing: the
+    // evolved flag and column list must latch HERE or later reads would
+    // drop the widened column (mergeSchema=false infers one footer)
+    val healExtraCols = scala.collection.mutable.LinkedHashSet[String]()
     val healed: Map[Int, BucketStat] = liveBucketIds(fs, base).map { b =>
       val files = bucketFiles(fs, base, b)
       prior.flatMap(_.buckets.get(b)).filter(_.files == files) match {
         case Some(ok) => b -> ok
         case None =>
-          val (n, c) = statsOf(spark.read.parquet(s"$base/__bucket=$b"))
+          val df = spark.read.parquet(s"$base/__bucket=$b")
+          prior.map(_.columns).filter(_.nonEmpty).foreach { pc =>
+            healExtraCols ++= df.columns.filterNot(c => pc.contains(c) || c == "__bucket")
+          }
+          val (n, c) = statsOf(df)
           // an unknown bucket's validity start is unknowable: 0 keeps
           // every as-of read serving it (fail-open to the live data)
           b -> BucketStat(n, c, files,
@@ -466,11 +476,12 @@ object Merge {
       .collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) {
       // still commit the healed manifest (it may have been stale/absent)
-      if (prior.map(p => (p.buckets, p.history)) != Some((healed, healedHistory)))
+      if (prior.map(p => (p.buckets, p.history)) != Some((healed, healedHistory))
+          || healExtraCols.nonEmpty)
         writeManifest(fs, base, applySeq, healed, healedHistory,
           prior.forall(_.retainOk), healedMinAsOf,
-          prior.map(_.evolved).getOrElse(healed.nonEmpty),
-          prior.map(_.columns).getOrElse(Seq.empty),
+          prior.map(_.evolved).getOrElse(healed.nonEmpty) || healExtraCols.nonEmpty,
+          prior.map(_.columns).getOrElse(Seq.empty) ++ healExtraCols,
           prior.map(_.commitTimes).getOrElse(Map.empty))
       return
     }
@@ -558,7 +569,7 @@ object Merge {
     // bucket's live data — the crashed merge output — became live at
     // this seq, not at its pre-crash since)
     val liveSinceOverride = scala.collection.mutable.Map[Int, Long]()
-    if (retainHistory && applySeq > 0)
+    if (applySeq > 0)
       fs.listStatus(new Path(base)).foreach { f =>
         val n = f.getPath.getName
         if (n.startsWith(".__bucket=") && n.endsWith(s".v${applySeq - 1}")) {
@@ -591,8 +602,10 @@ object Merge {
     // evolved — its schema history is unknown, reads must merge footers)
     val priorCols = prior.map(_.columns).getOrElse(Seq.empty)
     val mergedCols = merged.columns.toSeq
-    val committedCols = priorCols ++ mergedCols.filterNot(priorCols.contains)
+    val committedCols = (priorCols ++ mergedCols.filterNot(priorCols.contains)
+      ++ healExtraCols).distinct
     val nowEvolved = prior.map(_.evolved).getOrElse(healed.nonEmpty) ||
+      healExtraCols.nonEmpty ||
       (priorCols.nonEmpty && mergedCols.exists(!priorCols.contains(_)))
     writeManifest(fs, base, applySeq, committed, healedHistory ++ retained,
       stillRetainOk, healedMinAsOf, nowEvolved, committedCols,
@@ -638,13 +651,17 @@ object Merge {
     val histDirs = m.history.filter(r => r.since <= asOfSeq && asOfSeq <= r.until)
       .map(r => s"$base/${r.dir}")
     val dirs = (liveDirs ++ histDirs).sorted
-    val roots = if (dirs.nonEmpty) dirs else
+    val roots = if (dirs.nonEmpty) dirs else {
       // a version where every bucket was deleted is a valid EMPTY
-      // snapshot — serve it under the merged schema of EVERY version's
-      // dir (a single arbitrary dir would make the empty frame's schema
-      // depend on Map iteration order once schemas diverge)
-      (m.buckets.keys.map(b => s"$base/__bucket=$b").toSeq ++
-        m.history.map(r => s"$base/${r.dir}")).sorted
+      // snapshot — serve it under the merged schema of the dirs that
+      // existed AT OR BEFORE the ask (never a future version's: a later
+      // evolveSchema apply must not leak its column into the past), and
+      // deterministically (sorted union, not a Map-ordered pick)
+      val past = m.history.filter(_.until < asOfSeq).map(r => s"$base/${r.dir}")
+      (if (past.nonEmpty) past
+       else (m.buckets.keys.map(b => s"$base/__bucket=$b").toSeq ++
+         m.history.map(r => s"$base/${r.dir}"))).sorted
+    }
     if (roots.isEmpty)
       throw new IllegalStateException(s"$base has no data in any version")
     val mergeFooters = (m.evolved || dirs.isEmpty).toString

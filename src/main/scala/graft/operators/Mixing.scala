@@ -37,8 +37,20 @@ object Mixing {
     * coupled — e.g. a half-rate sample whose survivors are exactly the
     * train split, leaving val/test empty. One multiplier per decision
     * family keeps sample→split chains unbiased. */
-  private[graft] def slotOf2(id: org.apache.spark.sql.Column, buckets: Int) =
-    pmod(pmod(id, lit(2147483648L)) * lit(2246822519L), lit(buckets.toLong))
+  private[graft] def slotOf2(id: org.apache.spark.sql.Column, buckets: Int,
+      salt: Int = 0) = {
+    require(salt >= 0 && salt < 1000000, s"salt must be in [0, 1e6): $salt")
+    // the salt scrambles MULTIPLICATIVELY before the draw multiplier (an
+    // additive constant would only shift every slot by the same amount —
+    // zero decorrelation). salt=0 is the identity round, so unsalted
+    // behavior and its SQL oracles are unchanged. Decorrelation is
+    // approximate (multiplicative permutations are not pairwise
+    // independent): chained joint rates land within a few points of
+    // r1·r2 — prefer salts >= 7
+    val scrambled = pmod(pmod(id, lit(2147483648L)) * lit(2L * salt + 1L),
+      lit(2147483648L))
+    pmod(scrambled * lit(2246822519L), lit(buckets.toLong))
+  }
 
   /** Downsample each domain to an EXPECTED `targetPerDomain` rows
     * (domains already at or below the target keep ~everything; the draw
@@ -48,14 +60,14 @@ object Mixing {
     *                1/buckets steps, floor-rounded)
     */
   def rebalanceDomains(df: DataFrame, domainCol: String, idCol: String,
-      targetPerDomain: Long, buckets: Int = 1000): DataFrame = {
+      targetPerDomain: Long, buckets: Int = 1000, salt: Int = 0): DataFrame = {
     require(targetPerDomain > 0, s"targetPerDomain must be positive: $targetPerDomain")
     require(buckets > 0, s"buckets must be positive: $buckets")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
     val admit = least(lit(buckets.toLong),
       floor(lit(buckets.toDouble) * lit(targetPerDomain.toDouble) / col("__n")))
     df.join(broadcast(counts), domainCol)
-      .filter(slotOf2(col(idCol), buckets) < admit)
+      .filter(slotOf2(col(idCol), buckets, salt) < admit)
       .drop("__n")
   }
 
@@ -89,10 +101,10 @@ object Mixing {
     * shuffle, no per-stratum pass — one scan at any scale. */
   def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 0.0,
-      buckets: Int = 1000): DataFrame = {
+      buckets: Int = 1000, salt: Int = 0): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       s"fractions must be in [0,1]: $fractions / $defaultFraction")
-    val slot = slotOf2(col(idCol), buckets)
+    val slot = slotOf2(col(idCol), buckets, salt)
     def bound(f: Double) = lit(math.floor(buckets * f).toLong)
     val admit = fractions.foldRight(bound(defaultFraction): org.apache.spark.sql.Column) {
       case ((name, f), rest) => when(col(strataCol) === name, bound(f)).otherwise(rest)
@@ -144,13 +156,14 @@ object Mixing {
     * match them) — bucket them under a sentinel domain first if they
     * should participate. */
   def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
-      tau: Double, targetTotal: Long, buckets: Int = 1000): DataFrame = {
+      tau: Double, targetTotal: Long, buckets: Int = 1000,
+      salt: Int = 0): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val admits = temperatureRates(df, domainCol, tau, targetTotal)
       .select(col(domainCol),
         floor(lit(buckets.toDouble) * col("rate")).as("__admit"))
     df.join(broadcast(admits), domainCol)
-      .filter(slotOf2(col(idCol), buckets) < col("__admit"))
+      .filter(slotOf2(col(idCol), buckets, salt) < col("__admit"))
       .drop("__admit")
   }
 
@@ -179,14 +192,15 @@ object Mixing {
     * like every sampler here: the same copies are emitted on every run,
     * engine, and partitioning. */
   def upsampleDomains(df: DataFrame, domainCol: String, idCol: String,
-      tau: Double, targetTotal: Long, buckets: Int = 1000): DataFrame = {
+      tau: Double, targetTotal: Long, buckets: Int = 1000,
+      salt: Int = 0): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val rates = temperatureRatesUncapped(df, domainCol, tau, targetTotal)
       .select(col(domainCol), floor(col("rate")).cast("int").as("__whole"),
         floor(lit(buckets.toDouble) * (col("rate") - floor(col("rate"))))
           .as("__fracAdmit"))
     val copies = (col("__whole") +
-      when(slotOf2(col(idCol), buckets) < col("__fracAdmit"), 1).otherwise(0))
+      when(slotOf2(col(idCol), buckets, salt) < col("__fracAdmit"), 1).otherwise(0))
       .cast("int")
     // Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty — the
     // zero-copy case must short-circuit to an empty array explicitly

@@ -423,7 +423,11 @@ object Round5 {
     // holds each key only while a duplicate could still arrive (the
     // watermark horizon), vs q73's grow-forever exact dedup — the state
     // shape an unbounded 100 TB stream actually needs. Key columns only,
-    // so the surviving-row choice cannot affect the result
+    // so the surviving-row choice cannot affect the result. The DISTINCT
+    // oracle is exact for this fixture's single-file single-batch drain;
+    // across batches the operator legitimately re-emits a key whose
+    // duplicates arrive > 1h apart (that bounded-memory tradeoff is the
+    // operator's point)
     Q("q127_dedup_watermark", (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger

@@ -43,7 +43,14 @@ object StatefulOps {
     * WATERMARK passes that point the timer fires, the CLOSED session is
     * emitted and the state cleared. Output rows are complete sessions
     * only — an open session emits nothing until the stream proves it
-    * over, and state stays O(open keys). */
+    * over, and state stays O(open keys). In-watermark late events merge
+    * by classic interval sessionization within each batch (they can
+    * extend the open session leftward or form earlier sessions); only
+    * the NEWEST session stays open across batches, so an event arriving
+    * after an earlier session was already emitted starts a new session
+    * rather than reopening it — bounded state traded against extreme
+    * cross-batch disorder (use q125's session_window for full late-data
+    * merging at the cost of engine-managed state). */
   class SessionCloser(gapMs: Long)
       extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
     @transient private var sess: ValueState[(Long, Long, Long)] = _
@@ -55,18 +62,23 @@ object StatefulOps {
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
-      // a session also closes INLINE when a later event proves the gap
-      // passed — the timer only covers "no more events ever arrived"
-      val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
-      var (c, first, last) = if (sess.exists()) sess.get() else (0L, 0L, 0L)
-      rows.toSeq.sortBy(_._2).foreach { r =>
-        if (c > 0 && r._2 > last + gapMs) {
-          closed += ((key, c, first, last))
-          c = 0
-        }
-        if (c == 0) { c = 1; first = r._2; last = r._2 }
-        else { c += 1; last = math.max(last, r._2) }
-      }
+      // classic interval-merge sessionization over (open state ∪ batch):
+      // in-watermark LATE events may sort before the open session — they
+      // must extend it leftward or form their own EARLIER session, not
+      // inflate its count. Everything but the newest session is proven
+      // closed by the gap to its successor; the timer covers "no more
+      // events ever arrived" for the one left open
+      val intervals = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      if (sess.exists()) intervals += sess.get()
+      rows.foreach(r => intervals += ((1L, r._2, r._2)))
+      val merged = intervals.sortBy(_._2)
+        .foldLeft(List.empty[(Long, Long, Long)]) {
+          case (acc @ ((c, f, l) :: rest), (c2, f2, l2)) if f2 <= l + gapMs =>
+            (c + c2, f, math.max(l, l2)) :: rest
+          case (acc, iv) => iv :: acc
+        }.reverse
+      val closed = merged.init.map { case (c, f, l) => (key, c, f, l) }
+      val (c, first, last) = merged.last
       sess.update((c, first, last))
       // one live timer per key: drop the stale deadline, arm the new one
       getHandle.listTimers().foreach(getHandle.deleteTimer)

@@ -90,6 +90,20 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(df) == run(df.repartition(7)))
   }
 
+  test("chained samplers decorrelate through distinct salts") {
+    import spark.implicits._
+    val df = (1L to 4000L).map(i => (i, "d")).toDF("id", "dom")
+    val half = Map("d" -> 0.5)
+    val once = Mixing.stratifiedSample(df, "dom", "id", half)
+    // same salt: the second filter admits exactly the first's survivors
+    val coupled = Mixing.stratifiedSample(once, "dom", "id", half)
+    assert(coupled.count() == once.count(), "same-salt chain must be idempotent")
+    // distinct salt: joint rate approaches r1*r2 = 0.25
+    val indep = Mixing.stratifiedSample(once, "dom", "id", half, salt = 7)
+    val joint = indep.count().toDouble / 4000
+    assert(math.abs(joint - 0.25) < 0.08, s"joint rate $joint, want ~0.25")
+  }
+
   // ---- Gopher rule gate ------------------------------------------------------
 
   test("gopher gate computes exact signals and the composite keep bit") {
