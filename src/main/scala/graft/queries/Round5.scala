@@ -389,6 +389,35 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // MapState (State API v2's wide-state cell): per-user per-event-type
+    // running counts as a category->count map on the RocksDB store, each
+    // batch emitting only the categories it touched. The drained
+    // changelog's per-(user, type) max equals the batch aggregate
+    // (counts are monotone)
+    Q("q128_map_state", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      graft.streaming.StatefulOps.withRocksDb(s) {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val qn = s"graft_maps_${System.nanoTime()}"
+        val src = s.readStream.schema(schema).parquet(s"$d/events.*")
+          .select($"user_id".cast("long"), $"event_type".cast("string"))
+          .as[(Long, String)]
+        val query = graft.streaming.StatefulOps.categoryCounts(src)
+          .toDF("user_id", "event_type", "n")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        query.awaitTermination()
+        s.table(qn)
+          .groupBy($"user_id", $"event_type")
+          .agg(max($"n").as("n_events"))
+          .orderBy($"user_id", $"event_type")
+      }
+    }, Some("""
+      SELECT user_id, event_type, count(*) AS n_events
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""")),
+
     // Spark 4 transformWithState (State API v2): per-user running
     // count+sum as typed ValueState cells on the RocksDB store, update-
     // mode changelog drained with AvailableNow; the final per-key rows

@@ -150,6 +150,43 @@ object StatefulOps {
       .transformWithState(new RunningTotals, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Per-key per-category running counts via MapState — the fourth and
+    * last State API v2 state type (ValueState: [[RunningTotals]];
+    * ListState: [[RecentValues]]; timers: [[SessionCloser]]): each key
+    * holds a `category -> count` map and every batch emits ONLY the
+    * categories that batch touched (a sparse changelog), not the whole
+    * map — the shape a streaming per-user behavior profile needs when
+    * the category space is wide but each batch touches a few. State is
+    * O(keys · categories-seen); a batch's update cost is O(categories
+    * touched), never O(map size). */
+  class CategoryCounts extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts", Encoders.STRING,
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashMap[String, Long]()
+      rows.foreach { r =>
+        val cat = r._2
+        val base = touched.getOrElse(cat,
+          if (counts.containsKey(cat)) counts.getValue(cat) else 0L)
+        touched.update(cat, base + 1L)
+      }
+      touched.foreach { case (cat, n) => counts.updateValue(cat, n) }
+      touched.iterator.map { case (cat, n) => (key, cat, n) }
+    }
+  }
+
+  /** Wire [[CategoryCounts]] onto a keyed `(key, category)` stream. */
+  def categoryCounts(ds: Dataset[(Long, String)]): Dataset[(Long, String, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new CategoryCounts, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Run `body` with the RocksDB state store provider set, restoring the
     * previous provider after — transformWithState refuses the default
     * HDFS-backed provider. */

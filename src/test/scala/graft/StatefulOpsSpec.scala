@@ -85,6 +85,39 @@ class StatefulOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
   }
 
+  test("MapState category counts emit a sparse changelog and accumulate") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_map_spec_${System.nanoTime()}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      // key 1 touches {a,b} then {a}; key 2 touches {b} in batch 2 only
+      Seq(Seq((1L, "a"), (1L, "b"), (1L, "a")), Seq((1L, "a"), (2L, "b")))
+        .foreach(b => b.toDF("k", "c").coalesce(1).write.mode("append").parquet(dir))
+      val schema = spark.read.parquet(dir).schema
+      StatefulOps.withRocksDb(spark) {
+        val qn = s"cats_${System.nanoTime()}"
+        val q = StatefulOps.categoryCounts(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(dir).as[(Long, String)])
+          .toDF("k", "c", "n")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val changelog = spark.table(qn).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        // sparse: batch 2 touched only (1,a) — no (1,b) re-emission, so
+        // (1,b) appears exactly once across the run
+        assert(changelog.count(c => c._1 == 1L && c._2 == "b") == 1,
+          s"untouched categories must not re-emit: ${changelog.toSeq}")
+        // accumulation across batches: (1,a) went 2 then 3
+        assert(changelog.filter(c => c._1 == 1L && c._2 == "a").map(_._3).sorted
+          .sameElements(Array(2L, 3L)), s"got ${changelog.toSeq}")
+        assert(changelog.filter(_._1 == 2L).toSeq == Seq((2L, "b", 1L)))
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
   test("event-time timers close sessions; open sessions stay silent") {
     import spark.implicits._
     val dir = s"/tmp/graft_timer_spec_${System.nanoTime()}"
