@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Decontaminate, Dedup, Merge, Mixing, Pca, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Dedup, Fuzzy, Merge, Mixing, Pca, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** Round-5 surface additions: temperature-scaled domain mixing (the
@@ -388,6 +388,23 @@ object Round5 {
       SELECT user_id, min(ts) AS session_start,
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // fuzzy self-join: all customer-name pairs within edit distance 1
+    // via Ed-Join q-gram prefix filtering + exact levenshtein verify —
+    // the oracle is the brute-force cross join, so a hash match proves
+    // the prefix filter dropped no true pair on this corpus
+    Q("q129_fuzzy_join", (s, d) => {
+      import s.implicits._
+      Fuzzy.editDistancePairs(
+          s.read.parquet(s"$d/customer.parquet"), "c_custkey", "c_name",
+          maxDist = 1)
+        .orderBy($"id_a", $"id_b")
+    }, Some("""
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             levenshtein(a.c_name, b.c_name) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b""")),
 
     // MapState (State API v2's wide-state cell): per-user per-event-type
     // running counts as a category->count map on the RocksDB store, each

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{Decontaminate, Mixing}
+import graft.operators.{Decontaminate, Fuzzy, Mixing}
 
 /** Round-5 operators: temperature-scaled domain mixing and document
   * contamination scoring. */
@@ -102,6 +102,74 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val indep = Mixing.stratifiedSample(once, "dom", "id", half, salt = 7)
     val joint = indep.count().toDouble / 4000
     assert(math.abs(joint - 0.25) < 0.08, s"joint rate $joint, want ~0.25")
+  }
+
+  // ---- fuzzy edit-distance join ---------------------------------------------
+
+  test("fuzzy join equals brute force, including shorts and repeated grams") {
+    import spark.implicits._
+    // adversarial mix: empty + 1-char strings (no q-grams), a string of
+    // one repeated gram ("aaaa"), transposition-ish pairs, and ties
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sittin"), (4L, "kitchen"),
+      (5L, "aaaa"), (6L, "aaab"), (7L, "aaba"), (8L, ""), (9L, "a"),
+      (10L, "b"), (11L, "ab"), (12L, "xyxyxy"), (13L, "yxyxyx")
+    ).toDF("id", "t")
+    def brute(k: Int): Set[(Long, Long, Int)] = {
+      val all = rows.collect().map(r => (r.getLong(0), r.getString(1)))
+      def ed(s: String, t: String): Int = {
+        val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to s.length; j <- 1 to t.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+            d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+        d(s.length)(t.length)
+      }
+      (for (a <- all; b <- all if a._1 < b._1; dist = ed(a._2, b._2)
+            if dist <= k) yield (a._1, b._1, dist)).toSet
+    }
+    // k <= 2 exercises the deletion-signature path, k >= 3 the q-gram
+    // prefix path — both must equal brute force
+    for (k <- Seq(0, 1, 2, 3, 4)) {
+      val got = Fuzzy.editDistancePairs(rows, "id", "t", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(k), s"k=$k")
+    }
+  }
+
+  test("fuzzy prefix path (k>=3) equals brute force on long strings") {
+    import spark.implicits._
+    // 20-char strings past the q(k+1)=12 vacuous-bound threshold, with
+    // planted 1/2/3-edit neighbors and shared low-entropy structure
+    val base = "Document-00000000-AA"
+    val rows = Seq(
+      (1L, base), (2L, "Document-00000001-AA"), (3L, "Document-00010001-AA"),
+      (4L, "Document-10010001-AA"), (5L, "Document-99999999-ZZ"),
+      (6L, "Dossier-000000000-AA"), (7L, "Document-00000000-AAX")
+    ).toDF("id", "t")
+    val all = rows.collect().map(r => (r.getLong(0), r.getString(1)))
+    def ed(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val brute = (for (a <- all; b <- all if a._1 < b._1; dist = ed(a._2, b._2)
+      if dist <= 3) yield (a._1, b._1, dist)).toSet
+    val got = Fuzzy.editDistancePairs(rows, "id", "t", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute && brute.nonEmpty, s"got $got want $brute")
+  }
+
+  test("fuzzy join is partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, f"Item#${i % 97}%03d")).toDF("id", "t")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Fuzzy.editDistancePairs(df, "id", "t", maxDist = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run(rows) == run(rows.repartition(7)) && run(rows).nonEmpty)
   }
 
   // ---- Gopher rule gate ------------------------------------------------------
