@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Decontaminate, Dedup, Fuzzy, Merge, Mixing, Pca, TextAnalysis}
+import graft.operators.{Bpe, Decontaminate, Dedup, Fuzzy, Graph, Merge, Mixing, Pca, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** Round-5 surface additions: temperature-scaled domain mixing (the
@@ -388,6 +388,54 @@ object Round5 {
       SELECT user_id, min(ts) AS session_start,
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // PageRank over the symmetrized customer<->supplier trade graph
+    // (3 unrolled iterations, matching the operator's loop exactly —
+    // the oracle replays every double op in the same order-free shape;
+    // per-node in-sums round at 9 places). The symmetric graph has no
+    // dangling nodes, so the operator's dangling term is exactly 0.0
+    // and the oracle can omit it
+    Q("q130_pagerank", (s, d) => {
+      import s.implicits._
+      val ol = s.read.parquet(s"$d/orders.parquet")
+        .join(s.read.parquet(s"$d/lineitem.parquet"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(concat(lit("c"), $"o_custkey").as("src"),
+          concat(lit("s"), $"l_suppkey").as("dst"))
+      val edges = ol.union(ol.select($"dst".as("src"), $"src".as("dst")))
+      Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select($"node", round($"rank", 9).as("rank"))
+        .orderBy($"node")
+    }, Some("""
+      WITH ol AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst FROM ol UNION SELECT dst, src FROM ol),
+      nodes AS (SELECT DISTINCT src AS node FROM e),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),
+      c1 AS (SELECT e.dst AS node, sum(r0.r / deg.deg) AS s
+             FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+             GROUP BY e.dst),
+      r1 AS (SELECT nodes.node,
+                    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+                    CAST(0.85 AS DOUBLE) * (coalesce(c1.s, 0) + CAST(0.0 AS DOUBLE) / nn.n) AS r
+             FROM nodes CROSS JOIN nn LEFT JOIN c1 USING (node)),
+      c2 AS (SELECT e.dst AS node, sum(r1.r / deg.deg) AS s
+             FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+             GROUP BY e.dst),
+      r2 AS (SELECT nodes.node,
+                    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+                    CAST(0.85 AS DOUBLE) * (coalesce(c2.s, 0) + CAST(0.0 AS DOUBLE) / nn.n) AS r
+             FROM nodes CROSS JOIN nn LEFT JOIN c2 USING (node)),
+      c3 AS (SELECT e.dst AS node, sum(r2.r / deg.deg) AS s
+             FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+             GROUP BY e.dst),
+      r3 AS (SELECT nodes.node,
+                    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+                    CAST(0.85 AS DOUBLE) * (coalesce(c3.s, 0) + CAST(0.0 AS DOUBLE) / nn.n) AS r
+             FROM nodes CROSS JOIN nn LEFT JOIN c3 USING (node))
+      SELECT node, round(r, 9) AS rank FROM r3 ORDER BY node""")),
 
     // fuzzy self-join: all customer-name pairs within edit distance 1
     // via Ed-Join q-gram prefix filtering + exact levenshtein verify —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{Decontaminate, Fuzzy, Mixing}
+import graft.operators.{Decontaminate, Fuzzy, Graph, Mixing}
 
 /** Round-5 operators: temperature-scaled domain mixing and document
   * contamination scoring. */
@@ -102,6 +102,36 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val indep = Mixing.stratifiedSample(once, "dom", "id", half, salt = 7)
     val joint = indep.count().toDouble / 4000
     assert(math.abs(joint - 0.25) < 0.08, s"joint rate $joint, want ~0.25")
+  }
+
+  // ---- PageRank --------------------------------------------------------------
+
+  test("pageRank matches hand-computed values with a dangling node") {
+    import spark.implicits._
+    // A -> B -> C, C dangling: after one iteration from uniform 1/3,
+    // dm = 1/3 so every node gets 0.85·(in + 1/9) + 0.05
+    val edges = Seq(("A", "B"), ("B", "C")).toDF("s", "t")
+    val r1 = Graph.pageRank(edges, "s", "t", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val third = 1.0 / 3
+    assert(math.abs(r1("A") - (0.05 + 0.85 * (third / 3))) < 1e-12)
+    assert(math.abs(r1("B") - (0.05 + 0.85 * (third + third / 3))) < 1e-12)
+    assert(r1("B") == r1("C"), "B and C receive identical mass")
+  }
+
+  test("pageRank conserves total mass and is partitioning-invariant") {
+    import spark.implicits._
+    val edges = (1L to 400L).map(i => (i % 40, (i * 7) % 40)).filter(e => e._1 != e._2)
+      .toDF("s", "t")
+    val out = Graph.pageRank(edges, "s", "t", iterations = 3)
+    val total = out.agg(org.apache.spark.sql.functions.sum($"rank"))
+      .head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"mass $total")
+    val a = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = Graph.pageRank(edges.repartition(7), "s", "t", iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a.keySet == b.keySet &&
+      a.forall { case (k, v) => math.abs(v - b(k)) < 1e-12 })
   }
 
   // ---- fuzzy edit-distance join ---------------------------------------------
