@@ -427,4 +427,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Collapse near-dup clusters to one CANONICAL document each — the
+    * selection step between pair-finding and corpus rewrite: group ids
+    * come from [[connectedComponents]] over `pairs`, singletons form
+    * their own group, and each group's representative maximizes
+    * `scoreCol` (ties broken by smallest id, so the choice is
+    * deterministic on any engine and partitioning). Returns every doc
+    * with `(group_id, canonical_id, is_canonical)` — filter on
+    * `is_canonical = 1` for the deduplicated corpus, or join the full
+    * map back to re-point references at survivors.
+    *
+    * At scale: components run over the PAIR set (answer-sized, not
+    * corpus-sized), the group map joins back to the corpus once, and
+    * the argmax is a window over groups whose width is the duplicate
+    * cluster size — no corpus-wide sort, no driver state. */
+  def canonicalize(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val grouped = docs.join(comp, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
+    grouped
+      .withColumn("__best",
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id"))).over(w))
+      .select(col(idCol), col("group_id"),
+        col("__best.id").as("canonical_id"),
+        (col(idCol) === col("__best.id")).cast("int").as("is_canonical"))
+  }
 }

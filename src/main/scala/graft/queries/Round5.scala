@@ -389,6 +389,47 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // canonical-doc selection: near-dup clusters (q66's pair + component
+    // machinery) collapse to the longest member, ties to the smallest
+    // id; singletons are their own canonical. The full (doc -> group,
+    // canonical, keep-bit) map is the output — what a corpus rewrite
+    // joins against
+    Q("q131_canonicalize", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", 0.5)
+      Dedup.canonicalize(docs.select($"doc_id", $"n_chars"), "doc_id",
+          "n_chars", pairs, "a_id", "b_id")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      prs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                    len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+                UNION SELECT b_id, a_id FROM prs),
+      reach AS (SELECT src AS id, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+      g AS (SELECT d.doc_id, d.n_chars,
+                   coalesce(c.component, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+      best AS (SELECT group_id, doc_id AS canonical_id FROM (
+                 SELECT group_id, doc_id, row_number() OVER (
+                   PARTITION BY group_id ORDER BY n_chars DESC, doc_id) AS rn
+                 FROM g) WHERE rn = 1)
+      SELECT g.doc_id, g.group_id, b.canonical_id,
+             CAST(g.doc_id = b.canonical_id AS INT) AS is_canonical
+      FROM g JOIN best b USING (group_id) ORDER BY g.doc_id""")),
+
     // PageRank over the symmetrized customer<->supplier trade graph
     // (3 unrolled iterations, matching the operator's loop exactly —
     // the oracle replays every double op in the same order-free shape;

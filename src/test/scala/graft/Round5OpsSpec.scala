@@ -104,6 +104,25 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(joint - 0.25) < 0.08, s"joint rate $joint, want ~0.25")
   }
 
+  // ---- canonical selection ---------------------------------------------------
+
+  test("canonicalize keeps best-score reps, ties to min id, singletons self") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // cluster {1,2,3} (3 longest), cluster {4,5} tied score -> min id 4,
+    // 6 is a singleton
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 7L), (5L, 7L), (6L, 1L))
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = Dedup.canonicalize(docs, "id", "score", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(out(1L) == ((1L, 3L, 0)) && out(2L) == ((1L, 3L, 0))
+      && out(3L) == ((1L, 3L, 1)), s"got $out")
+    assert(out(4L) == ((4L, 4L, 1)) && out(5L) == ((4L, 4L, 0)), s"tie: $out")
+    assert(out(6L) == ((6L, 6L, 1)), s"singleton: $out")
+  }
+
   // ---- PageRank --------------------------------------------------------------
 
   test("pageRank matches hand-computed values with a dangling node") {
