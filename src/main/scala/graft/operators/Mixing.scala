@@ -226,6 +226,30 @@ object Mixing {
     * single-partition exchange; the corpus is scanned, never collected.
     * `orderCol` must be unique (prefix-sum requirement).
     */
+  /** EXACTLY-k-per-group uniform sample (or the whole group when it is
+    * smaller) — the fixed-budget companion to [[stratifiedSample]]'s
+    * fixed-RATE draw: rank each group's rows by `md5(salt ":" id)` and
+    * keep the first k. The hash order is a deterministic uniform
+    * permutation, so the same rows survive on every run, engine, and
+    * partitioning; distinct salts draw decorrelated samples. The
+    * single-key row_number shape is what [[graft.plans.TopKRewriteRule]]
+    * fires on, so each scan partition reduces to ≤ k rows per group in
+    * a bounded HEAP before the exchange — the shuffle moves
+    * ~groups·k·partitions rows, never the corpus. (md5 collisions would
+    * make the boundary tie arbitrary; on distinct ids they are
+    * vanishingly improbable.) */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    // nulls-last so TopKRewriteRule's exactness precondition holds (the
+    // hash is never null, but the rule can't know that); plain ASC
+    // would fall through to the built-in sort-based WindowGroupLimit
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+        .orderBy(md5(concat_ws(":", lit(salt), col(idCol))).asc_nulls_last))
+    df.withColumn("__rn", rn).filter(col("__rn") <= k).drop("__rn")
+  }
+
   def packSequences(df: DataFrame, orderCol: String, nTokensCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")

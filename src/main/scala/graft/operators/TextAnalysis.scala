@@ -254,4 +254,27 @@ object TextAnalysis {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("__tid")))),
         s => s.getField("__tid")).as("token_ids"))
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` vocabulary (count desc, word asc — the same
+    * engine-stable order as [[encodeVocabIds]]) — the coverage signal
+    * that sizes a tokenizer's vocab and flags documents a fixed vocab
+    * would shred into UNKs. Scale shape: corpus term counts reduced by
+    * a bounded TakeOrdered, then one broadcast join on the exploded
+    * tokens and a per-doc aggregate — the vocabulary never shuffles the
+    * corpus. Returns (id, n_tokens, n_oov, oov_rate). */
+  def oovRate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("__w"))
+    val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(vocabSize)
+      .select(col("__w"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
+  }
 }

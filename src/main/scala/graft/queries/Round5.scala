@@ -389,6 +389,42 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // fixed-budget per-domain sample: exactly 20 docs per source by
+    // deterministic md5 rank — the oracle replays the same hash order,
+    // so the SAME 20 docs survive in both engines; the plan runs the
+    // bounded-heap TopKPerGroup rewrite (pinned in TopKRewriteSpec)
+    Q("q133_group_sample", (s, d) => {
+      import s.implicits._
+      Mixing.sampleKPerGroup(T.documents(s, d), "source", "doc_id", k = 20)
+        .select($"doc_id", $"source")
+        .orderBy($"source", $"doc_id")
+    }, Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source, row_number() OVER (
+          PARTITION BY source ORDER BY md5(concat_ws(':', 0, doc_id))) AS rn
+        FROM documents) WHERE rn <= 20
+      ORDER BY source, doc_id""")),
+
+    // vocabulary coverage: per-doc OOV rate against the corpus's own
+    // top-150 vocabulary (count desc, word asc — q111's stable order);
+    // the fraction a 150-word tokenizer would shred into UNKs
+    Q("q132_oov_rate", (s, d) => {
+      import s.implicits._
+      TextAnalysis.oovRate(T.documents(s, d), "doc_id", "text", vocabSize = 150)
+        .select($"id".as("doc_id"), $"n_tokens", $"n_oov", $"oov_rate")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      toks AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+      f AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      v AS (SELECT tok FROM f ORDER BY c DESC, tok LIMIT 150)
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+      FROM toks t LEFT JOIN v USING (tok)
+      GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
     // canonical-doc selection: near-dup clusters (q66's pair + component
     // machinery) collapse to the longest member, ties to the smallest
     // id; singletons are their own canonical. The full (doc -> group,

@@ -104,6 +104,32 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(joint - 0.25) < 0.08, s"joint rate $joint, want ~0.25")
   }
 
+  // ---- fixed-budget group sample ---------------------------------------------
+
+  test("sampleKPerGroup: exact k, stability, salt decorrelation, heap plan") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, if (i <= 450) "big" else "small"))
+      .toDF("id", "dom")
+    val out = Mixing.sampleKPerGroup(df, "dom", "id", k = 30)
+    val sizes = out.groupBy($"dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("big" -> 30L, "small" -> 30L), s"got $sizes")
+    // a group under k keeps everything
+    val tiny = Mixing.sampleKPerGroup(df.filter($"id" > 480), "dom", "id", 30)
+    assert(tiny.count() == 20)
+    // deterministic across partitionings
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Mixing.sampleKPerGroup(d, "dom", "id", 30).select("id")
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(df) == ids(df.repartition(7)))
+    // distinct salts draw different (decorrelated) samples
+    val s7 = Mixing.sampleKPerGroup(df, "dom", "id", 30, salt = 7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(df) != s7)
+    // (the bounded-heap plan shape is pinned in TopKRewriteSpec, whose
+    // session owns the GraftExtensions registration)
+  }
+
   // ---- canonical selection ---------------------------------------------------
 
   test("canonicalize keeps best-score reps, ties to min id, singletons self") {

@@ -36,6 +36,16 @@ class TopKRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TopKPerGroup"), plan)
   }
 
+  test("rewrite fires on sampleKPerGroup's md5-ordered shape") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, if (i <= 450) "big" else "small"))
+      .toDF("id", "dom")
+    val out = graft.operators.Mixing.sampleKPerGroup(df, "dom", "id", 30)
+    assert(out.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"),
+      out.queryExecution.optimizedPlan.toString)
+    assert(out.count() == 60)
+  }
+
   test("rewritten plan returns exactly the window-formulation rows") {
     import spark.implicits._
     val got = topkDf.select($"g", $"v", $"id", $"rn").collect()
