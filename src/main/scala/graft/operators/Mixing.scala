@@ -226,6 +226,30 @@ object Mixing {
     * single-partition exchange; the corpus is scanned, never collected.
     * `orderCol` must be unique (prefix-sum requirement).
     */
+  /** Weighted sample WITHOUT replacement, k rows, exact Efraimidis–
+    * Spirtakis (2006) semantics: each row draws a uniform u from the
+    * deterministic multiplicative hash (the house draw — replayable in
+    * plain SQL) and the k smallest `-ln(u)/weight` keys win, so a row's
+    * inclusion probability is proportional to its weight at every step.
+    * RNG-free: the same k rows survive on every run, engine, and
+    * partitioning; distinct salts draw decorrelated samples. Rows with
+    * non-positive weight are excluded. The global top-k is a bounded
+    * TakeOrdered — no full sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(salt >= 0 && salt < 1000000, s"salt must be in [0, 1e6): $salt")
+    // 20-bit uniform in (0, 1]: u = 1 exactly is legal (-ln(1) = 0 wins)
+    val u = (pmod(pmod(pmod(col(idCol), lit(2147483648L)) * lit(2L * salt + 1L),
+      lit(2147483648L)) * lit(2246822519L), lit(1048576L)) + lit(1L))
+      .cast("double") / lit(1048576.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey", -log(u) / col(weightCol))
+      .orderBy(col("__wkey"), col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** EXACTLY-k-per-group uniform sample (or the whole group when it is
     * smaller) — the fixed-budget companion to [[stratifiedSample]]'s
     * fixed-RATE draw: rank each group's rows by `md5(salt ":" id)` and

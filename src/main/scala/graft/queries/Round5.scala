@@ -389,6 +389,46 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // weighted sampling (Efraimidis–Spirtakis): 50 docs drawn with
+    // probability proportional to length via the k smallest -ln(u)/w
+    // keys; the oracle replays the exact hash draw and ln arithmetic,
+    // so the SAME 50 docs win in both engines
+    Q("q134_weighted_sample", (s, d) => {
+      import s.implicits._
+      Mixing.weightedSample(T.documents(s, d), "doc_id", "n_chars", k = 50)
+        .select($"doc_id", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, source, n_chars,
+                        ((((doc_id % 2147483648) * 1) % 2147483648)
+                          * 2246822519) % 1048576 + 1 AS hx
+                 FROM documents WHERE n_chars > 0),
+      keyed AS (SELECT doc_id, source, n_chars,
+                       -ln(hx / 1048576.0) / n_chars AS wkey
+                FROM t ORDER BY wkey, doc_id LIMIT 50)
+      SELECT doc_id, source, n_chars FROM keyed ORDER BY doc_id""")),
+
+    // per-user EWMA of event values in (ts, event_id) order — the
+    // sequential recurrence runs as an aggregate-HOF fold over each
+    // key's time-sorted array; the oracle replays the identical fold
+    // (same op order, same doubles) via list_reduce with a prepended
+    // 0.0 init
+    Q("q135_ewma", (s, d) => {
+      import s.implicits._
+      graft.operators.TimeSeries.ewmaPerKey(
+          T.withEventTs(s.read.parquet(s"$d/events.parquet")),
+          "user_id", Seq("ts", "event_id"), "value", alpha = 0.3)
+        .select($"user_id", $"n_events", $"ewma")
+        .orderBy($"user_id")
+    }, Some("""
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             round(list_reduce(
+               list_concat([CAST(0.0 AS DOUBLE)],
+                 list(CAST(value AS DOUBLE) ORDER BY ts, event_id)),
+               (acc, x) -> acc * (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                           + x * CAST(0.3 AS DOUBLE)), 6) AS ewma
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // fixed-budget per-domain sample: exactly 20 docs per source by
     // deterministic md5 rank — the oracle replays the same hash order,
     // so the SAME 20 docs survive in both engines; the plan runs the

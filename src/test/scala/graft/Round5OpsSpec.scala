@@ -104,6 +104,45 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(joint - 0.25) < 0.08, s"joint rate $joint, want ~0.25")
   }
 
+  // ---- weighted sampling -----------------------------------------------------
+
+  test("weightedSample: determinism, weight exclusion, weight bias") {
+    import spark.implicits._
+    // half the rows carry 50x the weight: they must dominate the sample
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) 50L else 1L))
+      .toDF("id", "w")
+    def run(d: org.apache.spark.sql.DataFrame, salt: Int = 0) =
+      Mixing.weightedSample(d, "id", "w", k = 200, salt = salt)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val a = run(df)
+    assert(a.size == 200 && a == run(df.repartition(7)), "deterministic")
+    val heavy = a.count(_ % 2 == 0)
+    assert(heavy > 170, s"heavy rows should dominate: $heavy/200")
+    assert(run(df, salt = 7) != a, "distinct salts draw distinct samples")
+    // zero/negative weights never survive
+    val z = Mixing.weightedSample(
+      Seq((1L, 0L), (2L, -5L), (3L, 1L)).toDF("id", "w"), "id", "w", 3)
+    assert(z.select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  // ---- EWMA ------------------------------------------------------------------
+
+  test("ewmaPerKey folds the recurrence in event order") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    // key 1: values 10, 20, 30 at t=1,2,3 with alpha 0.5:
+    // 0 -> 5 -> 12.5 -> 21.25; rows arrive shuffled
+    val df = Seq((1L, 3L, 30.0), (1L, 1L, 10.0), (1L, 2L, 20.0),
+      (2L, 1L, 7.0)).toDF("k", "t", "v")
+    val out = TimeSeries.ewmaPerKey(df, "k", Seq("t"), "v", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 21.25)), s"got $out")
+    assert(out(2L) == ((1L, 3.5)), s"got $out")
+    val rep = TimeSeries.ewmaPerKey(df.repartition(5), "k", Seq("t"), "v", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rep == out.map { case (k, v) => k -> v._2 })
+  }
+
   // ---- fixed-budget group sample ---------------------------------------------
 
   test("sampleKPerGroup: exact k, stability, salt decorrelation, heap plan") {
