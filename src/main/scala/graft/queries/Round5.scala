@@ -389,6 +389,59 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // stream-stream LEFT OUTER join: q77's purchase<-signup attribution
+    // plus the null rows for provably-unattributable purchases. Outer
+    // emission is watermark-driven — a purchase emits (p, NULL) only
+    // once the global watermark W = min(max s_ts, max p_ts) - 1h passes
+    // its state's horizon, so the oracle gates its NOT EXISTS branch on
+    // p_ts < W exactly as the engine's eviction does; purchases inside
+    // the final watermark hour stay withheld (state that survives the
+    // drain). noDataMicroBatches stays ENABLED here — the trailing
+    // no-data batch IS what advances W and flushes the outer state
+    Q("q136_stream_outer_join", (s, d) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def stream = s.readStream.schema(schema).parquet(s"$d/events.*")
+        .withColumn("ts", timestamp_micros(($"ts" / 1000).cast("long")))
+      val signups = stream.filter($"event_type" === "signup")
+        .select($"user_id".as("s_user"), $"ts".as("s_ts"), $"event_id".as("s_event"))
+        .withWatermark("s_ts", "1 hour")
+      val purchases = stream.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_event"))
+        .withWatermark("p_ts", "1 hour")
+      val qn = s"graft_ssoj_${System.nanoTime()}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = purchases.join(signups,
+            $"p_user" === $"s_user" &&
+              $"s_ts" <= $"p_ts" && $"s_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"),
+            "leftOuter")
+          .select($"p_user".as("user_id"), $"p_event",
+            coalesce($"s_event", lit(-1L)).as("s_event"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn).orderBy($"user_id", $"p_event", $"s_event")
+    }, Some("""
+      WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+      wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM s))
+                    - INTERVAL 1 HOUR AS w),
+      m AS (SELECT p.user_id, p.event_id AS p_event, s.event_id AS s_event
+            FROM p JOIN s ON p.user_id = s.user_id
+             AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR),
+      unm AS (SELECT p.user_id, p.event_id AS p_event, -1 AS s_event
+              FROM p CROSS JOIN wm
+              WHERE p.ts < wm.w AND NOT EXISTS (
+                SELECT 1 FROM s WHERE s.user_id = p.user_id
+                 AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR))
+      SELECT user_id, p_event, s_event FROM m
+      UNION ALL SELECT user_id, p_event, s_event FROM unm
+      ORDER BY user_id, p_event, s_event""")),
+
     // weighted sampling (Efraimidis–Spirtakis): 50 docs drawn with
     // probability proportional to length via the k smallest -ln(u)/w
     // keys; the oracle replays the exact hash draw and ln arithmetic,
