@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on DataFrames (connected components live
@@ -28,31 +28,61 @@ object Graph {
       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    // the graph structure is loop-invariant: ONE materialized artifact —
+    // the degree-weighted distinct edge list — feeds every iteration;
+    // nodes and the dangling set are small derivations of it. The
+    // upstream edge expression is evaluated once (dedup → degree agg →
+    // self-join on the agg's output), not re-run per consumer
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct().cache()
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst"))).distinct().cache()
+      .distinct()
+    val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val ewd = e.join(outDeg, "__src")
+      .select(col("__src"), col("__dst"), col("__deg")).cache()
+    val nodes = ewd.select(col("__src").as("node"))
+      .union(ewd.select(col("__dst"))).distinct().cache()
     val n = nodes.count() // bounded: one scalar, once, not per iteration
     require(n > 0, "empty graph")
-    val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")).cache()
+    val danglingNodes = nodes
+      .join(ewd.select(col("__src").as("node")).distinct(), Seq("node"), "left_anti")
+      .cache()
+    // a graph with no dangling nodes (every symmetrized graph) skips
+    // the per-iteration mass aggregate entirely: sum over the empty
+    // set IS the literal 0.0, so the short-circuit is bit-exact
+    val hasDangling = danglingNodes.limit(1).count() > 0
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (_ <- 1 to iterations) {
-      val contrib = e.join(outDeg, "__src")
+      val contrib = ewd
         .join(ranks.withColumnRenamed("node", "__src"), "__src")
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("rank") / col("__deg")).as("__in"))
       // nodes with no out-edges donate their rank to the uniform pool;
       // the 1-row aggregate rides the plan as a broadcast cross join
-      val dangling = ranks
-        .join(outDeg.withColumnRenamed("__src", "node"), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
+      val dm: Column = if (!hasDangling) lit(0.0) else {
+        kept += ranks.join(danglingNodes, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+        col("__dm")
+      }
+      val base = nodes.join(contrib, Seq("node"), "left")
+      val withDm = if (!hasDangling) base
+        else base.crossJoin(broadcast(kept.last))
+      // each iteration reads the previous ranks up to three times
+      // (contrib, dangling, node join): the persist is the lineage cut
+      // that stops 3^i recompute blowup; materialization happens once,
+      // through the final count below, each layer caching as the chain
+      // evaluates
+      ranks = withDm.select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("__in"), lit(0.0)) + col("__dm") / n)).as("rank"))
+            (coalesce(col("__in"), lit(0.0)) + dm / n)).as("rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept += ranks
     }
+    ranks.count()
+    kept.dropRight(1).foreach(_.unpersist(blocking = false))
+    ewd.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    danglingNodes.unpersist(blocking = false)
     ranks
   }
 }

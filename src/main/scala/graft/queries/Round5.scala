@@ -567,14 +567,23 @@ object Round5 {
     // and the oracle can omit it
     Q("q130_pagerank", (s, d) => {
       import s.implicits._
+      // LONG node ids (customer 2k, supplier 2k+1) through the whole
+      // iteration — string keys in every shuffle cost ~2x; the display
+      // form is a projection over the final |nodes| rows only
       val ol = s.read.parquet(s"$d/orders.parquet")
         .join(s.read.parquet(s"$d/lineitem.parquet"),
           $"o_orderkey" === $"l_orderkey")
-        .select(concat(lit("c"), $"o_custkey").as("src"),
-          concat(lit("s"), $"l_suppkey").as("dst"))
-      val edges = ol.union(ol.select($"dst".as("src"), $"src".as("dst")))
+        .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      // symmetrize by exploding both directions out of ONE join pass —
+      // a self-union would evaluate the orders×lineitem join twice
+      val edges = ol.select(explode(array(
+          struct($"c".as("src"), $"s".as("dst")),
+          struct($"s".as("src"), $"c".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
       Graph.pageRank(edges, "src", "dst", iterations = 3)
-        .select($"node", round($"rank", 9).as("rank"))
+        .select(when($"node" % 2 === 0, concat(lit("c"), ($"node" / 2).cast("long")))
+          .otherwise(concat(lit("s"), (($"node" - 1) / 2).cast("long"))).as("node"),
+          round($"rank", 9).as("rank"))
         .orderBy($"node")
     }, Some("""
       WITH ol AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
