@@ -65,4 +65,46 @@ object AsOf {
       .filter(col("__isR") === 0)
       .select(leftCols.map(col) ++ carried.map(col): _*)
   }
+
+  /** Forward as-of join: for every left row, the right row's values
+    * with the SMALLEST `rightTime >= leftTime` within the key — the
+    * next-scheduled-event lookup ([[asofJoin]] mirrored in time). Same
+    * one-shuffle union-and-window shape, with the frame flipped to
+    * `currentRow..unboundedFollowing` and a `first(ignoreNulls)` carry:
+    * at equal timestamps the LEFT row sorts first, so `rt >= lt` is
+    * inclusive; ties among right rows sharing (key, time) resolve to
+    * the smallest carried tuple, deterministically. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      carryCols: Seq[String]): DataFrame = {
+    val carried = carryCols.map(c => s"asof_$c")
+    val leftCols = left.columns.toSeq
+    val reserved = Set("__k", "__t", "__isR") ++ carried
+    val clashes = leftCols.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"left columns collide with asof-join internals/aliases: ${clashes.mkString(", ")}")
+
+    val taggedRight = right.select(
+      Seq(col(key).as("__k"), col(rightTime).as("__t"), lit(1).as("__isR")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carryCols.zip(carried).map { case (c, a) => col(c).as(a) }: _*)
+
+    val taggedLeft = left.select(
+      Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(0).as("__isR")) ++
+        leftCols.map(col) ++
+        carryCols.zip(carried).map { case (c, a) =>
+          lit(null).cast(right.schema(c).dataType).as(a)
+        }: _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t") +: col("__isR").asc +: carried.map(col): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    taggedRight.unionByName(taggedLeft)
+      .select(
+        Seq(col("__isR")) ++ leftCols.map(col) ++
+          carried.map(a => first(col(a), ignoreNulls = true).over(w).as(a)): _*)
+      .filter(col("__isR") === 0)
+      .select(leftCols.map(col) ++ carried.map(col): _*)
+  }
 }

@@ -389,6 +389,33 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // forward as-of join: each signup picks up the user's NEXT purchase
+    // at or after it — q48's operator mirrored in time (union + running-
+    // first window, one shuffle); the oracle is DuckDB's native forward
+    // ASOF
+    Q("q137_asof_forward", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts")
+      val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
+      graft.operators.AsOf.asofJoinForward(
+          signups, purchases, "user_id", "ts", "ts", Seq("ts"))
+        .select($"event_id", $"user_id", $"ts",
+          coalesce($"asof_ts", epoch).as("next_purchase_ts"))
+        .orderBy($"event_id")
+    }, Some("""
+      SELECT p.event_id, p.user_id, p.ts,
+             coalesce(s.ts, TIMESTAMP '1970-01-01 00:00:00') AS next_purchase_ts
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'signup') p
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                      WHERE event_type = 'purchase') s
+        ON p.user_id = s.user_id AND s.ts >= p.ts
+      ORDER BY p.event_id""")),
+
     // stream-stream LEFT OUTER join: q77's purchase<-signup attribution
     // plus the null rows for provably-unattributable purchases. Outer
     // emission is watermark-driven — a purchase emits (p, NULL) only
