@@ -30,4 +30,37 @@ object TimeSeries {
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"), round(fold, 6).as("ewma"))
   }
+
+  /** Per-key least-squares trend line `y ≈ intercept + slope·x` — the
+    * feature-engineering "is this user's metric rising" signal. The
+    * CENTERED two-pass formula (per-key means first, then
+    * Σ(x−x̄)(y−ȳ) / Σ(x−x̄)²) rather than the one-pass
+    * n·Σxy−Σx·Σy closed form: with epoch-scale x the one-pass
+    * numerator is a catastrophic cancellation of ~1e24 terms and loses
+    * every significant digit. Two shuffles on the key (means, then the
+    * centered aggregate via a broadcast-joinable means table). Keys
+    * need >= 2 points and non-degenerate x spread; others are dropped.
+    * Returns (key, n, slope, intercept) rounded to 6. */
+  def trendPerKey(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val means = df.groupBy(col(keyCol))
+      .agg(avg(col(xCol)).as("__ax"), avg(col(yCol)).as("__ay"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val dx = col(xCol) - col("__ax")
+    val dy = col(yCol) - col("__ay")
+    // no forced broadcast: the means table is |keys|-sized and a
+    // billion-key corpus must not be driver-collected — AQE broadcasts
+    // it when it is actually small
+    df.join(means, keyCol)
+      .groupBy(col(keyCol))
+      .agg(first(col("n")).as("n"), first(col("__ax")).as("__ax2"),
+        first(col("__ay")).as("__ay2"),
+        sum(dx * dy).as("__sxy"), sum(dx * dx).as("__sxx"))
+      .filter(col("__sxx") > 0)
+      .select(col(keyCol), col("n"),
+        round(col("__sxy") / col("__sxx"), 6).as("slope"),
+        round(col("__ay2") - col("__sxy") / col("__sxx") * col("__ax2"), 6)
+          .as("intercept"))
+  }
 }

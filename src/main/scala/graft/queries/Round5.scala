@@ -389,6 +389,37 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // per-user OLS trend of event value over hours-since-2024-01-01 —
+    // the centered two-pass formula on both sides (the one-pass closed
+    // form catastrophically cancels at epoch-scale x); micros-exact x
+    // so the only fp divergence is sum order, absorbed by round 6
+    Q("q138_trend", (s, d) => {
+      import s.implicits._
+      val pts = T.events(s, d)
+        .select($"user_id",
+          ((unix_micros($"ts") - lit(1704067200000000L)) / lit(3.6e9)).as("x"),
+          $"value".as("y"))
+      graft.operators.TimeSeries.trendPerKey(pts, "user_id", "x", "y")
+        .orderBy($"user_id")
+    }, Some("""
+      WITH pts AS (SELECT user_id,
+                          (epoch_us(ts) - 1704067200000000)
+                            / CAST(3600000000 AS DOUBLE) AS x,
+                          value AS y
+                   FROM events),
+      m AS (SELECT user_id, avg(x) AS ax, avg(y) AS ay, count(*) AS n
+            FROM pts GROUP BY user_id HAVING count(*) >= 2),
+      agg AS (SELECT p.user_id, any_value(m.n) AS n,
+                     any_value(m.ax) AS ax, any_value(m.ay) AS ay,
+                     sum((x - ax) * (y - ay)) AS sxy,
+                     sum((x - ax) * (x - ax)) AS sxx
+              FROM pts p JOIN m USING (user_id) GROUP BY p.user_id
+              HAVING sum((x - ax) * (x - ax)) > 0)
+      SELECT user_id, CAST(n AS BIGINT) AS n,
+             round(sxy / sxx, 6) AS slope,
+             round(ay - sxy / sxx * ax, 6) AS intercept
+      FROM agg ORDER BY user_id""")),
+
     // forward as-of join: each signup picks up the user's NEXT purchase
     // at or after it — q48's operator mirrored in time (union + running-
     // first window, one shuffle); the oracle is DuckDB's native forward

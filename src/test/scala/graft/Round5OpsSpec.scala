@@ -143,6 +143,22 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep == out.map { case (k, v) => k -> v._2 })
   }
 
+  // ---- per-key trend ---------------------------------------------------------
+
+  test("trendPerKey recovers exact lines; drops degenerate keys") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    val df = Seq(
+      (1L, 0.0, 1.0), (1L, 1.0, 3.0), (1L, 2.0, 5.0),   // y = 2x + 1
+      (2L, 5.0, 7.0), (2L, 5.0, 9.0),                   // zero x-spread
+      (3L, 4.0, 4.0)                                    // single point
+    ).toDF("k", "x", "y")
+    val out = TimeSeries.trendPerKey(df, "k", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out == Map(1L -> ((3L, 2.0, 1.0))), s"got $out")
+  }
+
   // ---- fixed-budget group sample ---------------------------------------------
 
   test("sampleKPerGroup: exact k, stability, salt decorrelation, heap plan") {
