@@ -727,4 +727,33 @@ object Merge {
       }
     }
   }
+
+  /** Incremental aggregate maintenance: fold partial aggregate tables
+    * (yesterday's materialized rollup + today's delta rollup) into the
+    * aggregate of the union of their inputs — the reason a 100 TB
+    * pipeline never recomputes a rollup from scratch. Only MERGEABLE
+    * aggregates qualify: per-key counts and sums re-merge by `sum`,
+    * min/max by themselves; averages must ship as (sum, count) pairs
+    * and divide after the fold. `merges` maps each value column to its
+    * re-merge function ("sum" | "min" | "max"); all parts must carry
+    * the key and value columns. One keyed shuffle over data that is
+    * already aggregate-sized. */
+  def mergeAggregates(parts: Seq[DataFrame], keys: Seq[String],
+      merges: Map[String, String]): DataFrame = {
+    require(parts.nonEmpty, "need at least one partial aggregate")
+    require(merges.nonEmpty, "need at least one value column")
+    val fns = merges.map { case (c, f) =>
+      f match {
+        case "sum" => sum(col(c)).as(c)
+        case "min" => min(col(c)).as(c)
+        case "max" => max(col(c)).as(c)
+        case other => throw new IllegalArgumentException(
+          s"column $c: '$other' is not a mergeable re-combine (sum|min|max)")
+      }
+    }.toSeq
+    val cols = keys ++ merges.keys.toSeq
+    parts.map(_.select(cols.map(col): _*)).reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(fns.head, fns.tail: _*)
+  }
 }

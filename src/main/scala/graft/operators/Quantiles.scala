@@ -234,4 +234,29 @@ object Quantiles {
       renamed
     } else wide
   }
+
+  /** Winsorization — clamp `valueCol` into each group's exact
+    * `[lo, hi]` quantile band, the standard outlier-robust
+    * normalization before statistics or model features. Composes
+    * [[exactQuantiles]] (one sort-rank pass for both bounds) with a
+    * per-row clamp joined back on the group key; the bounds table is
+    * group-cardinality-sized and AQE-broadcastable. Adds
+    * `<valueCol>_winsorized`; rows whose group is absent from the
+    * bounds (all-null groups) keep their value un-clamped. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"need 0 <= lo <= hi <= 1: $lo, $hi")
+    val loName = pName(lo); val hiName = pName(hi)
+    require(loName != hiName, s"lo and hi round to the same band: $loName")
+    val bounds = exactQuantiles(df, groupCols, valueCol, Seq(lo, hi))
+      .withColumnRenamed(loName, "__lo").withColumnRenamed(hiName, "__hi")
+    val joined = if (groupCols.isEmpty) df.crossJoin(bounds.drop("__g"))
+      else df.join(bounds, groupCols, "left")
+    joined
+      .withColumn(s"${valueCol}_winsorized",
+        when(col("__lo").isNull, col(valueCol).cast("double"))
+          .otherwise(least(greatest(col(valueCol).cast("double"),
+            col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
 }

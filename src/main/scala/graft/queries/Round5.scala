@@ -389,6 +389,85 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // incremental aggregate maintenance: per-customer rollups computed
+    // on two disjoint halves of orders, then FOLDED — counts re-merge
+    // by sum, maxes by max; the oracle is the from-scratch aggregate,
+    // so a hash match proves fold(partials) == full recompute (decimal
+    // sums are exact, no fp tolerance needed)
+    Q("q141_merge_aggregates", (s, d) => {
+      import s.implicits._
+      val orders = T.orders(s, d)
+      val halves = Seq(0, 1).map { r =>
+        orders.filter($"o_orderkey" % 2 === r)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("sum_total"),
+            max($"o_orderdate").as("last_order"))
+      }
+      Merge.mergeAggregates(halves, Seq("o_custkey"),
+          Map("n" -> "sum", "sum_total" -> "sum", "last_order" -> "max"))
+        .select($"o_custkey", $"n",
+          $"sum_total".cast("decimal(18,2)").as("sum_total"), $"last_order")
+        .orderBy($"o_custkey")
+    }, Some("""
+      SELECT o_custkey, count(*) AS n,
+             CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS sum_total,
+             max(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // winsorization: clamp extendedprice into each returnflag's exact
+    // [p5, p95] band — one sort-rank pass for both bounds, AQE-
+    // broadcast bounds join, per-row clamp; q64's quantile parity
+    // makes the clamped values engine-exact
+    Q("q140_winsorize", (s, d) => {
+      import s.implicits._
+      graft.operators.Quantiles.winsorize(
+          T.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+          lo = 0.05, hi = 0.95)
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+          round($"l_extendedprice_winsorized", 6).as("price_w"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }, Some("""
+      WITH b AS (SELECT l_returnflag,
+                        quantile_cont(l_extendedprice, 0.05) AS lo,
+                        quantile_cont(l_extendedprice, 0.95) AS hi
+                 FROM lineitem GROUP BY l_returnflag)
+      SELECT l_orderkey, l_linenumber, l.l_returnflag,
+             round(least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi), 6)
+               AS price_w
+      FROM lineitem l JOIN b USING (l_returnflag)
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // retention cohorts: users grouped by first-signup week, counted
+    // distinct-active per whole-week offset — the standard product
+    // retention triangle, composed from min-agg + join + date diff
+    Q("q139_retention", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val cohorts = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id")
+        .agg(min(date_trunc("week", $"ts")).as("cohort_week"))
+      ev.select($"user_id", $"ts")
+        .join(cohorts, "user_id")
+        .select($"cohort_week",
+          floor(($"ts".cast("long") - $"cohort_week".cast("long")) /
+            lit(604800L)).as("week_offset"), $"user_id")
+        .filter($"week_offset" >= 0)
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("active_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    }, Some("""
+      WITH cohorts AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+                       FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      act AS (SELECT c.cohort_week,
+                     floor((epoch(e.ts) - epoch(c.cohort_week)) / 604800) AS week_offset,
+                     e.user_id
+              FROM events e JOIN cohorts c USING (user_id))
+      SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+             count(DISTINCT user_id) AS active_users
+      FROM act WHERE week_offset >= 0
+      GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset""")),
+
     // per-user OLS trend of event value over hours-since-2024-01-01 —
     // the centered two-pass formula on both sides (the one-pass closed
     // form catastrophically cancels at epoch-scale x); micros-exact x

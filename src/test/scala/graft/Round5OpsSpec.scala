@@ -143,6 +143,35 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep == out.map { case (k, v) => k -> v._2 })
   }
 
+  // ---- incremental aggregate maintenance -------------------------------------
+
+  test("mergeAggregates folds partials to the full-recompute result") {
+    import spark.implicits._
+    import graft.operators.Merge
+    val rows = (1L to 900L).map(i => (i % 37, i, i * 3 % 101))
+      .toDF("k", "v", "w")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"v").as("sv"),
+        org.apache.spark.sql.functions.min($"w").as("mw"))
+    // three arbitrary disjoint slices
+    val parts = Seq(rows.filter($"v" % 3 === 0), rows.filter($"v" % 3 === 1),
+      rows.filter($"v" % 3 === 2)).map(partial)
+    val folded = Merge.mergeAggregates(parts, Seq("k"),
+        Map("n" -> "sum", "sv" -> "sum", "mw" -> "min"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val full = partial(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(folded == full)
+    intercept[IllegalArgumentException] {
+      Merge.mergeAggregates(parts, Seq("k"), Map("n" -> "avg"))
+    }
+  }
+
   // ---- per-key trend ---------------------------------------------------------
 
   test("trendPerKey recovers exact lines; drops degenerate keys") {
