@@ -389,6 +389,30 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // heavy hitters, production shape: a Misra-Gries sketch pass finds
+    // candidate words (guaranteed superset of everything above
+    // N/(k+1) ≈ 7 occurrences here), then an exact recount of ONLY the
+    // candidates filters at 150 — so the output is deterministic and
+    // equals the full GROUP BY oracle even though sketch estimates are
+    // partition-order-dependent. k=4000 keeps the guarantee valid
+    // through sf0.1's ~270k tokens
+    Q("q142_heavy_hitters", (s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select(explode(TextAnalysis.tokens($"text")).as("w"))
+      val cands = toks.agg(
+        graft.functions.MisraGriesAgg.candidates($"w", 4000).as("cs"))
+        .select(explode($"cs").as("w"))
+      toks.join(broadcast(cands), Seq("w"), "left_semi")
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+        .filter($"n" >= 150)
+        .orderBy($"w")
+    }, Some("""
+      WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                 FROM documents)
+      SELECT w, count(*) AS n FROM w GROUP BY w HAVING count(*) >= 150
+      ORDER BY w""")),
+
     // incremental aggregate maintenance: per-customer rollups computed
     // on two disjoint halves of orders, then FOLDED — counts re-merge
     // by sum, maxes by max; the oracle is the from-scratch aggregate,

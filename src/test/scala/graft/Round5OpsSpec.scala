@@ -143,6 +143,28 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep == out.map { case (k, v) => k -> v._2 })
   }
 
+  // ---- heavy hitters ---------------------------------------------------------
+
+  test("Misra-Gries never drops an item above N/(k+1), any partitioning") {
+    import spark.implicits._
+    import graft.functions.MisraGriesAgg
+    // adversarial: 3 planted heavies drowned in 5000 near-distinct fillers
+    val heavies = Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(250)("gamma")
+    val noise = (1 to 5000).map(i => s"noise${i % 2500}")
+    val n = heavies.size + noise.size
+    val k = 30 // N/(k+1) ~ 192 < 250: all three heavies guaranteed
+    for (parts <- Seq(1, 7, 32)) {
+      val df = scala.util.Random.shuffle(heavies ++ noise).toDF("w")
+        .repartition(parts)
+      val cands = df.agg(MisraGriesAgg.candidates($"w", k).as("cs"))
+        .head().getSeq[String](0).toSet
+      assert(Set("alpha", "beta", "gamma").subsetOf(cands),
+        s"parts=$parts lost a guaranteed heavy: $cands")
+      assert(cands.size <= k, s"summary exceeded k: ${cands.size}")
+    }
+  }
+
   // ---- incremental aggregate maintenance -------------------------------------
 
   test("mergeAggregates folds partials to the full-recompute result") {
