@@ -389,6 +389,41 @@ object Round5 {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // entity-resolution capstone: fuzzy pairs (edit distance <= 1 on
+    // customer names) -> connected components -> canonical record per
+    // cluster by max account balance, min-key ties — the q129 + q131
+    // machinery composed end-to-end; the oracle rebuilds the same
+    // pipeline from brute-force levenshtein + recursive closure
+    Q("q143_entity_resolution", (s, d) => {
+      import s.implicits._
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      val pairs = Fuzzy.editDistancePairs(cust, "c_custkey", "c_name", maxDist = 1)
+      Dedup.canonicalize(
+          cust.select($"c_custkey", ($"c_acctbal" * 100).cast("long").as("bal")),
+          "c_custkey", "bal", pairs, "id_a", "id_b")
+        .orderBy($"c_custkey")
+    }, Some("""
+      WITH RECURSIVE
+      prs AS (SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+              FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+                UNION SELECT b_id, a_id FROM prs),
+      reach AS (SELECT src AS id, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id AS c_custkey, min(lbl) AS component FROM reach GROUP BY id),
+      g AS (SELECT c.c_custkey, CAST(c.c_acctbal * 100 AS BIGINT) AS bal,
+                   coalesce(m.component, c.c_custkey) AS group_id
+            FROM customer c LEFT JOIN comp m USING (c_custkey)),
+      best AS (SELECT group_id, c_custkey AS canonical_id FROM (
+                 SELECT group_id, c_custkey, row_number() OVER (
+                   PARTITION BY group_id ORDER BY bal DESC, c_custkey) AS rn
+                 FROM g) WHERE rn = 1)
+      SELECT g.c_custkey, g.group_id, b.canonical_id,
+             CAST(g.c_custkey = b.canonical_id AS INT) AS is_canonical
+      FROM g JOIN best b USING (group_id) ORDER BY g.c_custkey""")),
+
     // heavy hitters, production shape: a Misra-Gries sketch pass finds
     // candidate words (guaranteed superset of everything above
     // N/(k+1) ≈ 7 occurrences here), then an exact recount of ONLY the
