@@ -259,4 +259,43 @@ object Quantiles {
             col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
+
+  /** Per-group z-score outliers: rows where
+    * `|value − mean| / stddev > threshold`, with the score appended as
+    * a `z` column. Groups with fewer than `minCount` rows (sample
+    * stddev undefined or meaningless) are dropped entirely.
+    *
+    * The variance uses the CENTERED two-pass formula (per-group mean
+    * first, then Σ(x−x̄)² — same rationale as `TimeSeries.trendPerKey`:
+    * the one-pass Σx²−(Σx)²/n closed form catastrophically cancels for
+    * large-mean/small-spread measures, exactly the regime anomaly
+    * detection runs in). Three key-partitioned shuffles: mean
+    * aggregate, centered second-moment aggregate, stats join back —
+    * the stats tables are group-cardinality-sized and AQE-broadcastable,
+    * nothing collects, so a billion groups distribute freely.
+    * Zero-variance groups have no defined z — the guard nulls them out
+    * BEFORE the division (ANSI mode turns 1/0 into a task failure, not
+    * an Infinity to filter after the fact), and the threshold filter
+    * drops the nulls.
+    */
+  def zscoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      threshold: Double, minCount: Long = 2): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    require(minCount >= 2, s"sample stddev needs minCount >= 2: $minCount")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val x = col(valueCol).cast("double")
+    val means = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), (sum(x) / count(lit(1))).as("__mean"))
+      .filter(col("__n") >= minCount)
+    val stats = df.join(means, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum((x - col("__mean")) * (x - col("__mean"))).as("__ss"),
+        max(col("__n")).as("__n"), max(col("__mean")).as("__mean"))
+    val z = when(col("__ss") > 0,
+      (x - col("__mean")) / sqrt(col("__ss") / (col("__n") - 1)))
+    df.join(stats, groupCols)
+      .withColumn("z", z)
+      .filter(abs(col("z")) > threshold)
+      .drop("__n", "__mean", "__ss")
+  }
 }

@@ -32,6 +32,32 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    * pre-ranked candidate lists — the standard hybrid-retrieval
+    * combiner for rankings whose raw scores are incomparable (keyword
+    * hit counts vs embedding cosine). Each list contributes
+    * `1 / (rrfK + rank)` per id; output is `(idCol, rrf, n_lists)`
+    * where `n_lists` counts how many rankers surfaced the id.
+    *
+    * Ranking (and its engine-stable tie-breaking) is the CALLER's job —
+    * each input must already be a bounded top-k candidate list with a
+    * 1-based `rankCol`, the shape retrieval systems actually fuse.
+    * Fusion itself is then a union + one hash aggregate over
+    * Σ|candidates| rows total, independent of corpus size.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK >= 0, s"rrfK must be >= 0: $rrfK")
+    rankings
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(rrfK.toDouble) + col(rankCol).cast("double")))
+          .as("__c")))
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf"), count(lit(1)).as("n_lists"))
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold, restricted to ids below
     * `maxId` to bound the quadratic pair space. */
   def nearPairs(vectors: DataFrame, threshold: Double, maxId: Long): DataFrame = {

@@ -1,10 +1,65 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-key time-series features over event streams. */
 object TimeSeries {
+
+  /** Regularize an event stream to one row per key per DAY with gaps
+    * filled by the last observation carried forward (LOCF) — the
+    * resample step every downstream daily-feature join assumes.
+    * Returns `(keyCol, day, valueCol)` over each key's [first, last]
+    * observed-day span.
+    *
+    * Per day the SURVIVING observation is the latest by
+    * `(tsCol, tieCol)` — `tieCol` must make that pair unique per key
+    * (an event id) so the choice is deterministic under any partition
+    * order. The per-key calendar comes from an in-plan
+    * `sequence(min_day, max_day)` explode — span-bounded, nothing
+    * collects, keys never interact — and the fill is one
+    * `last(ignoreNulls)` running window per key. Two shuffles (daily
+    * reduce, key window); per-key cost ∝ span days, so a billion keys
+    * distribute freely.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tb"), col(valueCol).as("__v"))
+      .withColumn("__day", to_date(col("__ts")))
+    val daily = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__k"), col("__day"))
+          .orderBy(col("__ts").desc, col("__tb").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("__k"), col("__day"), col("__v"))
+    val cal = daily.groupBy(col("__k"))
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+      .select(col("__k"), explode(sequence(col("__lo"), col("__hi"),
+        expr("interval 1 day"))).as("__day"))
+    cal.join(daily, Seq("__k", "__day"), "left")
+      .select(col("__k").as(keyCol), col("__day").as("day"),
+        last(col("__v"), ignoreNulls = true).over(
+          Window.partitionBy(col("__k")).orderBy(col("__day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as(valueCol))
+  }
+
+  /** Explode each `[startCol, endCol]` date interval into the calendar
+    * months it overlaps (one output row per interval × month, month as
+    * its first day in a `bin` column) — the bin-expansion rewrite of an
+    * interval-overlap join for aggregation. Instead of an inequality
+    * join against a calendar table (a nested-loop at scale), every
+    * interval emits its own ≤ span/month bins map-side and the overlap
+    * aggregate becomes a plain hash `groupBy(bin)` — no join at all.
+    * Cost is rows × avg months spanned; intervals must satisfy
+    * start ≤ end (`sequence` throws on a negative range).
+    */
+  def explodeMonthBins(df: DataFrame, startCol: String, endCol: String): DataFrame =
+    df.withColumn("bin", explode(sequence(
+      trunc(col(startCol), "month"), trunc(col(endCol), "month"),
+      expr("interval 1 month"))))
 
   /** Final exponentially-weighted moving average per key:
     * `ewma_i = (1-α)·ewma_{i-1} + α·v_i` folded over each key's events

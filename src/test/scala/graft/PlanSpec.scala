@@ -221,6 +221,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Union"), p)
   }
 
+  test("q144/q145: pair mining and the triangle join stay hash joins") {
+    // the per-basket self-join and the degree-oriented wedge join are
+    // both equi-joins; a nested loop here is quadratic in baskets/edges
+    for (q <- Seq("q144_triangle_stats", "q145_basket_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // q144's 1-row stat combines are broadcast nested loops by design;
+      // the data-sized joins must not be
+      if (q == "q145_basket_pairs")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q146: bin expansion joins nothing — explode + hash aggregate only") {
+    val p = plan("q146_interval_months")
+    assert(!p.contains("Join"), s"no join of any kind expected:\n$p")
+    assert(p.contains("Generate explode"), s"expected in-task explode:\n$p")
+  }
+
+  test("q149: gap fill has no exchange after the per-key window partitioning") {
+    // daily reduce, calendar explode, LOCF window — all keyed on user:
+    // one exchange tree on user-prefixed keys, no single-partition stage
+    val p = plan("q149_gap_fill")
+    assert(!p.contains("SinglePartition"), s"gap fill must distribute:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q119: an as-of read is a single multi-root file scan") {
     // plan the as-of reconstruction itself (the query's checksum side):
     // one FileScan whatever the bucket count, no union of per-bucket reads
