@@ -274,6 +274,40 @@ object Mixing {
     df.withColumn("__rn", rn).filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * for every anchor id, `k` pseudo-random other ids as
+    * `(anchor, j, neg_id)`, j = 0..k-1. The draw is the repo's
+    * replayable multiplicative hash (no RNG, same negatives every
+    * run/engine/partitioning — the property that makes a training set
+    * reproducible); self-collisions are dropped (standard slight
+    * undersample), repeated negatives per anchor are kept
+    * (with-replacement semantics).
+    *
+    * Requires DENSE ids 0..N−1 (`neg_id` must name an existing row —
+    * doc_id/vec_id here are dense by construction; reindex through a
+    * rank first otherwise). Shape: one 1-row count broadcast + a
+    * map-side explode — no shuffle at all; the payload fetch is the
+    * caller's join against the corpus on `neg_id`, one keyed shuffle
+    * whose skew is bounded by the hash's uniformity.
+    */
+  def negativeSample(ids: DataFrame, idCol: String, k: Int,
+      salt: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(salt >= 0 && salt < (1L << 32), s"salt must fit 32 bits: $salt")
+    val n = ids.agg(count(lit(1)).as("__N"))
+    ids.select(col(idCol).as("anchor"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"), col("__N"))
+      // (anchor mod 2^31)·2246822519 ≤ 4.9e18 — no long overflow; all
+      // terms non-negative so % is already the positive residue
+      .withColumn("neg_id",
+        ((col("anchor") % lit(2147483648L)) * lit(2246822519L) +
+          (col("j") + 1) * lit(40503L) + lit(salt)) % col("__N"))
+      .filter(col("neg_id") =!= col("anchor"))
+      .drop("__N")
+  }
+
   def packSequences(df: DataFrame, orderCol: String, nTokensCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")

@@ -278,6 +278,45 @@ object Quantiles {
     * an Infinity to filter after the fact), and the threshold filter
     * drops the nulls.
     */
+  /** Exact equi-depth histogram: `buckets` bins holding (up to ties)
+    * equal row counts, as `(bucket, lo, hi, n)` with 1-based bucket
+    * ids and interpolated quantile boundaries (`lo`/`hi` rounded to 6;
+    * the optimizer-statistics histogram, and the binning equi-width
+    * q63 can't give skewed data). One [[exactQuantiles]] sort-rank
+    * pass computes all `buckets+1` boundaries; assignment is then a
+    * map-side comparison sum against the broadcast 1-row bounds table
+    * (`bucket = 1 + Σ (v > boundᵢ)` — branch-free, replayable), and
+    * the histogram is one hash aggregate. Buckets emptied by heavy
+    * ties (several boundaries equal) are absent from the output, which
+    * is the honest answer. Comparisons use the UNROUNDED boundaries:
+    * an interior boundary is either exactly a data value (integral or
+    * tied rank — bit-equal in any engine) or ≥ fracmin·gap away from
+    * the adjacent data values, so last-ulp interpolation differences
+    * can never flip a bin assignment. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 100,
+      s"buckets must be in [2, 100]: $buckets")
+    val ps = (0 to buckets).map(_.toDouble / buckets)
+    val names = ps.map(pName)
+    require(names.distinct.size == names.size,
+      s"bucket fractions collide after name rounding: $names")
+    val bounds = exactQuantiles(df, Seq(), valueCol, ps).drop("__g")
+    val v = col(valueCol).cast("double")
+    val bucket = names.slice(1, buckets)
+      .foldLeft(lit(1))((acc, b) => acc + (v > col(b)).cast("int"))
+    val boundsArr = array(names.map(col): _*)
+    df.filter(v.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(bounds))
+      .select(col("bucket"),
+        round(element_at(boundsArr, col("bucket")), 6).as("lo"),
+        round(element_at(boundsArr, col("bucket") + 1), 6).as("hi"),
+        col("n"))
+  }
+
   def zscoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
       threshold: Double, minCount: Long = 2): DataFrame = {
     require(threshold > 0, s"threshold must be > 0: $threshold")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Baskets, Graph, Quantiles, Similarity, TimeSeries}
+import graft.operators.{Baskets, Graph, Mixing, Profile, Quantiles, Similarity, TimeSeries}
 import graft.sources.{Tables => T}
 
 /** Round-5 second-wave additions: graph structure metrics (triangles /
@@ -199,6 +199,136 @@ object Round6 {
              last_value(value IGNORE NULLS) OVER (
                PARTITION BY user_id ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
-      FROM j ORDER BY user_id, day"""))
+      FROM j ORDER BY user_id, day""")),
+
+    // contrastive negative sampling: 4 replayable pseudo-random
+    // negatives per anchor vector (dense vec_id space), payload fetched
+    // by one keyed join; the oracle replays the multiplicative-hash
+    // draw exactly, so the sampled training pairs are engine-portable
+    Q("q150_negative_sample", (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      Mixing.negativeSample(emb, "vec_id", k = 4, salt = 7L)
+        .join(emb.select($"vec_id".as("neg_id"), $"label".as("neg_label")),
+          "neg_id")
+        .select($"anchor", $"j", $"neg_id", $"neg_label")
+        .orderBy($"anchor", $"j")
+    }, Some("""
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      js AS (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS j),
+      cand AS (SELECT e.vec_id AS anchor, js.j,
+                      ((e.vec_id % 2147483648) * 2246822519
+                        + (js.j + 1) * 40503 + 7) % nn.n AS neg_id
+               FROM embeddings e CROSS JOIN js CROSS JOIN nn)
+      SELECT c.anchor, c.j, c.neg_id, b.label AS neg_label
+      FROM cand c JOIN embeddings b ON c.neg_id = b.vec_id
+      WHERE c.neg_id <> c.anchor
+      ORDER BY anchor, j""")),
+
+    // dataset drift report: the numeric-column profiles of the
+    // pre-1998 and 1998+ shipment slices joined per column with the
+    // monitoring signals (null-fraction delta, distinct-cardinality
+    // ratio, range shift) — the snapshot-acceptance check between
+    // dataset versions, two single-scan profiles at any scale
+    Q("q151_profile_drift", (s, d) => {
+      import s.implicits._
+      val li = T.lineitem(s, d)
+      Profile.profileDrift(
+          li.filter(year($"l_shipdate") <= 1997),
+          li.filter(year($"l_shipdate") >= 1998),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy($"column")
+    }, Some("""
+      WITH pa AS (
+        SELECT 'l_quantity' AS "column", count(*) AS n_rows_a,
+               count(*) FILTER (l_quantity IS NULL) AS n_nulls_a,
+               count(DISTINCT l_quantity) AS n_distinct_a,
+               round(min(l_quantity), 6) AS min_v_a,
+               round(max(l_quantity), 6) AS max_v_a
+        FROM lineitem WHERE year(l_shipdate) <= 1997
+        UNION ALL
+        SELECT 'l_extendedprice', count(*),
+               count(*) FILTER (l_extendedprice IS NULL),
+               count(DISTINCT l_extendedprice),
+               round(min(l_extendedprice), 6), round(max(l_extendedprice), 6)
+        FROM lineitem WHERE year(l_shipdate) <= 1997
+        UNION ALL
+        SELECT 'l_discount', count(*),
+               count(*) FILTER (l_discount IS NULL),
+               count(DISTINCT l_discount),
+               round(min(l_discount), 6), round(max(l_discount), 6)
+        FROM lineitem WHERE year(l_shipdate) <= 1997
+        UNION ALL
+        SELECT 'l_tax', count(*),
+               count(*) FILTER (l_tax IS NULL),
+               count(DISTINCT l_tax),
+               round(min(l_tax), 6), round(max(l_tax), 6)
+        FROM lineitem WHERE year(l_shipdate) <= 1997),
+      pb AS (
+        SELECT 'l_quantity' AS "column", count(*) AS n_rows_b,
+               count(*) FILTER (l_quantity IS NULL) AS n_nulls_b,
+               count(DISTINCT l_quantity) AS n_distinct_b,
+               round(min(l_quantity), 6) AS min_v_b,
+               round(max(l_quantity), 6) AS max_v_b
+        FROM lineitem WHERE year(l_shipdate) >= 1998
+        UNION ALL
+        SELECT 'l_extendedprice', count(*),
+               count(*) FILTER (l_extendedprice IS NULL),
+               count(DISTINCT l_extendedprice),
+               round(min(l_extendedprice), 6), round(max(l_extendedprice), 6)
+        FROM lineitem WHERE year(l_shipdate) >= 1998
+        UNION ALL
+        SELECT 'l_discount', count(*),
+               count(*) FILTER (l_discount IS NULL),
+               count(DISTINCT l_discount),
+               round(min(l_discount), 6), round(max(l_discount), 6)
+        FROM lineitem WHERE year(l_shipdate) >= 1998
+        UNION ALL
+        SELECT 'l_tax', count(*),
+               count(*) FILTER (l_tax IS NULL),
+               count(DISTINCT l_tax),
+               round(min(l_tax), 6), round(max(l_tax), 6)
+        FROM lineitem WHERE year(l_shipdate) >= 1998)
+      SELECT pa."column", n_rows_a, n_nulls_a, n_distinct_a, min_v_a, max_v_a,
+             n_rows_b, n_nulls_b, n_distinct_b, min_v_b, max_v_b,
+             round(n_nulls_b / n_rows_b - n_nulls_a / n_rows_a, 6) AS null_frac_delta,
+             CASE WHEN n_distinct_a > 0
+                  THEN round(n_distinct_b / CAST(n_distinct_a AS DOUBLE), 6)
+             END AS distinct_ratio,
+             round((max_v_b - min_v_b) - (max_v_a - min_v_a), 6) AS range_delta
+      FROM pa JOIN pb ON pa."column" = pb."column"
+      ORDER BY pa."column" """)),
+
+    // exact equi-depth histogram of extended price: 8 equal-count bins
+    // with interpolated quantile boundaries — one sort-rank pass for
+    // all 9 boundaries, then a branch-free map-side comparison sum
+    // assigns bins; the oracle replays the identical arithmetic
+    Q("q152_equidepth_hist", (s, d) => {
+      import s.implicits._
+      Quantiles.equiDepthHistogram(T.lineitem(s, d), "l_extendedprice", 8)
+        .orderBy($"bucket")
+    }, Some("""
+      WITH b AS (SELECT quantile_cont(l_extendedprice, 0.000) AS q0,
+                        quantile_cont(l_extendedprice, 0.125) AS q1,
+                        quantile_cont(l_extendedprice, 0.250) AS q2,
+                        quantile_cont(l_extendedprice, 0.375) AS q3,
+                        quantile_cont(l_extendedprice, 0.500) AS q4,
+                        quantile_cont(l_extendedprice, 0.625) AS q5,
+                        quantile_cont(l_extendedprice, 0.750) AS q6,
+                        quantile_cont(l_extendedprice, 0.875) AS q7,
+                        quantile_cont(l_extendedprice, 1.000) AS q8
+                 FROM lineitem),
+      x AS (SELECT 1 + (l_extendedprice > q1)::INT + (l_extendedprice > q2)::INT
+                     + (l_extendedprice > q3)::INT + (l_extendedprice > q4)::INT
+                     + (l_extendedprice > q5)::INT + (l_extendedprice > q6)::INT
+                     + (l_extendedprice > q7)::INT AS bucket
+            FROM lineitem CROSS JOIN b
+            WHERE l_extendedprice IS NOT NULL)
+      SELECT bucket,
+             round(list_value(q0, q1, q2, q3, q4, q5, q6, q7, q8)[bucket], 6) AS lo,
+             round(list_value(q0, q1, q2, q3, q4, q5, q6, q7, q8)[bucket + 1], 6) AS hi,
+             count(*) AS n
+      FROM x CROSS JOIN b
+      GROUP BY 1, 2, 3 ORDER BY bucket"""))
   )
 }

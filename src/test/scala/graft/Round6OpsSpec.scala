@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{Baskets, Graph, Quantiles, Similarity, TimeSeries}
+import graft.operators.{Baskets, Graph, Mixing, Profile, Quantiles, Similarity, TimeSeries}
 
 /** Round-5 second-wave operators: triangle stats, basket pair mining,
   * date-bin expansion, z-score outliers, RRF fusion, gap filling. */
@@ -160,6 +160,71 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(
       (1L, "2024-01-01", 2.0), (1L, "2024-01-02", 2.0),
       (1L, "2024-01-03", 4.0), (2L, "2024-01-05", 9.0)), s"got $got")
+  }
+
+  // ---- negative sampling ---------------------------------------------------
+
+  test("negativeSample draws k replayable negatives per anchor, never self") {
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("id")
+    val neg = Mixing.negativeSample(ids, "id", k = 5, salt = 3L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(neg.forall { case (a, _, n) => n != a && n >= 0 && n < 200 })
+    // every anchor keeps k draws minus self-collisions (>= k-1 of them)
+    val perAnchor = neg.groupBy(_._1).view.mapValues(_.length)
+    assert(perAnchor.values.forall(c => c == 5 || c == 4))
+    assert(perAnchor.size == 200)
+    val again = Mixing.negativeSample(ids.repartition(7), "id", 5, 3L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(neg.toSet == again.toSet, "draws must be partitioning-invariant")
+    val salted = Mixing.negativeSample(ids, "id", 5, 4L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(salted.toSet != neg.toSet, "salt must decorrelate draws")
+  }
+
+  // ---- profile drift ---------------------------------------------------------
+
+  test("profileDrift reports planted null/distinct/range changes exactly") {
+    import spark.implicits._
+    val a = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("k", "v")
+    val b = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.0), (2L, 1.0), (3L, 9.0), (4L, null)).toDF("k", "v")
+    val r = Profile.profileDrift(a, b, Seq("v")).collect()(0)
+    val m = r.getValuesMap[Any](r.schema.fieldNames)
+    assert(m("n_rows_a") == 4L && m("n_rows_b") == 4L)
+    assert(m("n_nulls_a") == 0L && m("n_nulls_b") == 1L)
+    assert(m("n_distinct_a") == 4L && m("n_distinct_b") == 2L)
+    assert(m("null_frac_delta") == 0.25)
+    assert(m("distinct_ratio") == 0.5)
+    // range a = 4-1 = 3; range b = 9-1 = 8 -> +5
+    assert(m("range_delta") == 5.0, s"got $m")
+  }
+
+  // ---- equi-depth histogram --------------------------------------------------
+
+  test("equiDepthHistogram splits evenly and reports exact boundaries") {
+    import spark.implicits._
+    // 1..16 into 4 buckets of 4; boundaries q0..q4 = 1, 4.75, 8.5, 12.25, 16
+    val df = (1 to 16).map(_.toDouble).toDF("v")
+    val got = Quantiles.equiDepthHistogram(df, "v", 4)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._4).toSeq == Seq(4L, 4L, 4L, 4L), s"got ${got.toSeq}")
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(got(0) == ((1, 1.0, 4.75, 4L)), s"got ${got.toSeq}")
+    assert(got(3) == ((4, 12.25, 16.0, 4L)), s"got ${got.toSeq}")
+  }
+
+  test("equiDepthHistogram: heavy ties collapse boundaries, empty bins absent") {
+    import spark.implicits._
+    // 12 copies of 5.0 and the values 1,9: quartile boundaries mostly 5
+    val df = (Seq.fill(12)(5.0) ++ Seq(1.0, 9.0)).toDF("v")
+    val got = Quantiles.equiDepthHistogram(df, "v", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(3))).toMap
+    assert(got.values.sum == 14L, s"got $got")
+    // all mass where the 5s fall; no bucket row for empty spans
+    assert(got.keySet.subsetOf(Set(1, 2, 3, 4)) && got.size < 4, s"got $got")
   }
 
   test("gapFillDaily is partitioning-invariant") {
