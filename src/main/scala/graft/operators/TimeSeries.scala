@@ -61,6 +61,46 @@ object TimeSeries {
       trunc(col(startCol), "month"), trunc(col(endCol), "month"),
       expr("interval 1 month"))))
 
+  /** First-order Markov transition matrix over each key's event
+    * sequence: `(from_type, to_type, n, p)` where `n` counts adjacent
+    * (by `tsCol` within `keyCol`) event-type pairs across the corpus
+    * and `p` row-normalizes to the empirical transition probability —
+    * the "what do users do next" estimate product analytics and
+    * next-event models both start from. One key-partitioned window
+    * (lead) + one hash aggregate over |types|² rows + a types-sized
+    * normalization window. `tsCol` must be unique per key for a
+    * deterministic successor. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    df.select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+  }
+
+  /** Per-session ordered event-type paths ("signup>browse>purchase"),
+    * sessionized by the native `session_window` (same ≥`gap` close rule
+    * as q23): `(keyCol, session_start, path, n_events)`. The in-session
+    * order is pinned by sorting the collected (ts, type) structs —
+    * `collect_list` alone has NO order guarantee under retries or
+    * partition order, the classic silent nondeterminism of path
+    * mining — so `tsCol` must be unique per key. State is per-session
+    * (bounded by session length), one keyed shuffle. */
+  def sessionPaths(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(concat_ws(">", transform(
+          sort_array(collect_list(struct(col(tsCol).as("__ts"),
+            col(typeCol).cast("string").as("__ty")))),
+          s => s.getField("__ty"))).as("path"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("path"), col("n_events"))
+
   /** Final exponentially-weighted moving average per key:
     * `ewma_i = (1-α)·ewma_{i-1} + α·v_i` folded over each key's events
     * in `(orderCols)` order from a 0.0 start — the classic recency-

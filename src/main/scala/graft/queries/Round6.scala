@@ -329,6 +329,54 @@ object Round6 {
              round(list_value(q0, q1, q2, q3, q4, q5, q6, q7, q8)[bucket + 1], 6) AS hi,
              count(*) AS n
       FROM x CROSS JOIN b
-      GROUP BY 1, 2, 3 ORDER BY bucket"""))
+      GROUP BY 1, 2, 3 ORDER BY bucket""")),
+
+    // first-order Markov transition matrix over per-user event
+    // sequences — counts of adjacent event-type pairs and the
+    // row-normalized next-event probabilities
+    Q("q153_transitions", (s, d) => {
+      import s.implicits._
+      TimeSeries.transitionMatrix(T.events(s, d), "user_id", "ts",
+          "event_type")
+        .orderBy($"from_type", $"to_type")
+    }, Some("""
+      WITH tr AS (SELECT event_type AS from_type,
+                         lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS to_type
+                  FROM events),
+      c AS (SELECT from_type, to_type, count(*) AS n
+            FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             round(n / (sum(n) OVER (PARTITION BY from_type)), 6) AS p
+      FROM c ORDER BY from_type, to_type""")),
+
+    // session path mining: the 15 most common in-session event-type
+    // journeys under q23's 30-minute session rule; in-session order is
+    // pinned by sorted (ts, type) structs, never bare collect_list
+    Q("q154_top_paths", (s, d) => {
+      import s.implicits._
+      TimeSeries.sessionPaths(T.events(s, d), "user_id", "ts",
+          "event_type")
+        .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy($"n_sessions".desc, $"path")
+        .limit(15)
+    }, Some("""
+      WITH flags AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flags),
+      paths AS (SELECT user_id, sid,
+                       string_agg(event_type, '>' ORDER BY ts) AS path
+                FROM sess GROUP BY user_id, sid)
+      SELECT path, count(*) AS n_sessions
+      FROM paths GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 15"""))
   )
 }

@@ -227,6 +227,45 @@ class Round6OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keySet.subsetOf(Set(1, 2, 3, 4)) && got.size < 4, s"got $got")
   }
 
+  // ---- Markov transitions ----------------------------------------------------
+
+  test("transitionMatrix counts adjacent pairs per key and row-normalizes") {
+    import spark.implicits._
+    // user 1: a->b->a->c ; user 2: b->a. Transitions: a->b, b->a, a->c, b->a
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (1L, Timestamp.valueOf("2024-01-01 10:01:00"), "b"),
+      (1L, Timestamp.valueOf("2024-01-01 10:02:00"), "a"),
+      (1L, Timestamp.valueOf("2024-01-01 10:03:00"), "c"),
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), "b"),
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00"), "a")
+    ).toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.transitionMatrix(ev, "user_id", "ts", "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "a") -> ((2L, 1.0))), s"got $got")
+  }
+
+  // ---- session paths -----------------------------------------------------------
+
+  test("sessionPaths orders events within a session and splits on the gap") {
+    import spark.implicits._
+    // user 1: 3 events inside 30min (one path), then a 31-min gap opens
+    // a second session; out-of-order input must not disturb the path
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00"), "browse"),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "signup"),
+      (1L, Timestamp.valueOf("2024-01-01 10:20:00"), "purchase"),
+      (1L, Timestamp.valueOf("2024-01-01 10:51:00"), "browse")
+    ).toDF("user_id", "ts", "event_type")
+    val got = TimeSeries.sessionPaths(ev, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(("signup>browse>purchase", 3L), ("browse", 1L)),
+      s"got $got")
+  }
+
   test("gapFillDaily is partitioning-invariant") {
     import spark.implicits._
     val ev = (1 to 300).map { i =>
