@@ -9,7 +9,8 @@ object SparkEntry {
   /** Every registered query suite; add new suites here. */
   private def suites: Seq[Q] =
     Relational.all ++ Text.all ++ Events.all ++ Vectors.all ++ Extras.all ++
-      Round2.all ++ Round3.all ++ Round4.all ++ Round5.all ++ Round6.all
+      Round2.all ++ Round3.all ++ Round4.all ++ Round5.all ++ Round6.all ++
+      Round7.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -104,6 +104,47 @@ object Merge {
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
+  /** Slowly-changing-dimension Type 2 history build: collapse an
+    * ordered change feed into validity intervals — one row per run of
+    * consecutive identical `attrCols` values per key, carrying
+    * `valid_from` (first `tsCol` of the run), `valid_to` (start of the
+    * next run, NULL while current) and `is_current`. The dimension
+    * table a warehouse keeps so fact rows can join "the attributes as
+    * of then" (Kimball's SCD2), built here from a raw feed in one pass.
+    *
+    * Classic gaps-and-islands: a null-safe struct compare against the
+    * previous row flags run starts, a running sum numbers the runs, a
+    * per-run aggregate takes the first timestamp, and `lead` closes
+    * each interval. All four steps share one (key, order) sort, so the
+    * whole build is ONE keyed shuffle + one WindowExec pass + one
+    * partial-aggregated reduce; per-key state is a row, keys
+    * distribute freely. `tieCols` must make (tsCol, tieCols) unique
+    * per key — runs and interval bounds are then deterministic under
+    * any partition order. */
+  def scd2(feed: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+      tsCol: String, tieCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(attrCols.nonEmpty, "need at least one tracked attribute")
+    val ord = (col(tsCol) +: tieCols.map(col)).toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val attrs = struct(attrCols.map(col): _*)
+    // <=> is null-safe: the first row per key (lag = NULL struct) and
+    // NULL-valued attributes both compare correctly
+    val runStart = when(attrs <=> lag(attrs, 1).over(w), 0L).otherwise(1L)
+    val runs = feed
+      .withColumn("__run", sum(runStart)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keyCols.map(col) :+ col("__run")) ++ attrCols.map(col): _*)
+      .agg(min(col(tsCol)).as("valid_from"))
+    val wk = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(keyCols.map(col) ++ attrCols.map(col) :+
+        col("valid_from") :+ col("valid_to") :+ col("is_current"): _*)
+  }
+
   private def bucketOf(keyCols: Seq[String], buckets: Int) =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast("int")
 

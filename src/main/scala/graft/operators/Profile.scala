@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling and drift monitoring — the validation pass an
@@ -57,5 +58,44 @@ object Profile {
       .withColumn("range_delta",
         round((col("max_v_b") - col("min_v_b"))
           - (col("max_v_a") - col("min_v_a")), 6))
+  }
+
+  /** Per-stratum Welch two-sample t statistic — the unequal-variance
+    * A/B read-out (Welch 1947): t = (m̄₁−m̄₂)/√(s₁²/n₁+s₂²/n₂) with
+    * Welch–Satterthwaite degrees of freedom. `variantCol` must take
+    * exactly two values per stratum; which is "1" vs "2" is fixed by
+    * variant sort order, so the sign is deterministic. One hash
+    * aggregate on (stratum, variant) — partial aggregation collapses
+    * the corpus map-side, the t math runs on the variant-count-sized
+    * result — then a |strata|-sized self-pair via conditional
+    * re-aggregation (no join). Strata where either arm has n < 2 or
+    * both variances are zero are dropped (t undefined). Returns
+    * (stratum, n_1, n_2, mean_diff, t_stat, welch_df) rounded to 6. */
+  def welchTTest(df: DataFrame, stratumCol: String, variantCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(col(stratumCol), col(variantCol).as("__var"))
+      .agg(count(v).as("__n"), avg(v).as("__m"), var_samp(v).as("__s2"))
+    // rank the two variants by label: rn 1 = lexicographically first
+    val rn = row_number().over(Window.partitionBy(col(stratumCol))
+      .orderBy(col("__var")))
+    val two = stats.withColumn("__rn", rn)
+    def side(i: Int, c: String) = max(when(col("__rn") === i, col(c)))
+    val folded = two.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__variants"),
+        side(1, "__n").as("n_1"), side(2, "__n").as("n_2"),
+        side(1, "__m").as("__m1"), side(2, "__m").as("__m2"),
+        side(1, "__s2").as("__s21"), side(2, "__s2").as("__s22"))
+    val se1 = col("__s21") / col("n_1")
+    val se2 = col("__s22") / col("n_2")
+    val se = se1 + se2
+    folded
+      .filter(col("__variants") === 2 && col("n_1") >= 2 &&
+        col("n_2") >= 2 && (col("__s21") + col("__s22")) > 0)
+      .select(col(stratumCol), col("n_1"), col("n_2"),
+        round(col("__m1") - col("__m2"), 6).as("mean_diff"),
+        round((col("__m1") - col("__m2")) / sqrt(se), 6).as("t_stat"),
+        round(se * se / (se1 * se1 / (col("n_1") - 1)
+          + se2 * se2 / (col("n_2") - 1)), 6).as("welch_df"))
   }
 }

@@ -158,4 +158,54 @@ object TimeSeries {
         round(col("__ay2") - col("__sxy") / col("__sxx") * col("__ax2"), 6)
           .as("intercept"))
   }
+
+  /** Per-key CUSUM changepoint: the point where the running sum of
+    * deviations from the key's mean peaks in magnitude — the standard
+    * offline CUSUM estimate of a single level shift (Page 1954 shape,
+    * batch form). Two keyed shuffles (mean, then one ordered window
+    * doing the running sum); per-key state is one running double, so
+    * keys of any length distribute. Ties on |cusum| break toward the
+    * earliest `orderCol`, so the result is partition-order-free.
+    * `orderCol` must be unique per key (a day/bucket id — aggregate
+    * first if it is not). Returns
+    * (key, n_points, changepoint = orderCol at the peak, peak_cusum). */
+  def cusumChangepoint(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val mean = Window.partitionBy(col(keyCol))
+    val run = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__n", count(lit(1)).over(mean))
+      .withColumn("__cusum", sum(v - avg(v).over(mean)).over(run))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(abs(col("__cusum")).desc, col(orderCol))))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col("__n").as("n_points"),
+        col(orderCol).as("changepoint"),
+        round(col("__cusum"), 6).as("peak_cusum"))
+  }
+
+  /** Per-key supervised-learning feature matrix: for every row, the
+    * previous `lags` values of `valueCol` (lag_1 … lag_n) plus the
+    * rolling mean over the `rollN` PRECEDING rows (current row
+    * excluded — these are features for predicting the current value,
+    * so the frame must not leak it). One keyed shuffle serves every
+    * feature: all windows share the same (key, order) sort, so
+    * Catalyst collapses them into a single WindowExec pass.
+    * `orderCols` must be unique per key for deterministic lags.
+    * Rolling mean is ordered-frame arithmetic — deterministic under
+    * any partitioning. Appends lag_i (raw) and roll_mean (rounded 6);
+    * rows without a full lag window carry nulls, as the downstream
+    * trainer's null-handling expects. */
+  def lagFeatures(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, lags: Int, rollN: Int): DataFrame = {
+    require(lags >= 1, s"lags must be >= 1: $lags")
+    require(rollN >= 1, s"rollN must be >= 1: $rollN")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    val v = col(valueCol).cast("double")
+    val lagCols = (1 to lags).map(i => lag(v, i).over(w).as(s"lag_$i"))
+    val roll = round(
+      avg(v).over(w.rowsBetween(-rollN, -1)), 6).as("roll_mean")
+    df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
+  }
 }
