@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline evaluation metrics — the read-outs a retrieval / ranking /
+  * classification pipeline computes over its own outputs before a model
+  * or index ships. All metrics are exact and per-group, so every window
+  * below is PARTITIONED (never a global ordering): groups distribute
+  * freely across executors and each group's state is its own row set.
+  */
+object Metrics {
+
+  /** Per-query ranking metrics over a retrieval run: NDCG@k (graded,
+    * Järvelin & Kekäläinen 2002), MRR, precision@k and the relevant
+    * count. `runs` holds one row per (query, candidate) with a score
+    * and a graded relevance; ties on score break by `docCol` so ranks
+    * are deterministic under any partitioning.
+    *
+    * DCG uses the classic rel/log2(rank+1) form; IDCG re-ranks the
+    * same candidates by relevance, so NDCG needs two sorts — but both
+    * windows share the one hash partitioning on `queryCol`, so the
+    * whole computation is ONE shuffle followed by two in-partition
+    * sorts and a partial-aggregated reduce. Queries with no relevant
+    * candidate get ndcg = mrr = precision = 0 (not dropped: a
+    * retrieval eval must show the misses). */
+  def rankingMetrics(runs: DataFrame, queryCol: String, docCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = col(queryCol)
+    val rel = col(relCol).cast("double")
+    val byScore = Window.partitionBy(q).orderBy(col(scoreCol).desc, col(docCol))
+    val byRel = Window.partitionBy(q).orderBy(rel.desc, col(docCol))
+    val ranked = runs
+      .withColumn("__r", row_number().over(byScore))
+      .withColumn("__ir", row_number().over(byRel))
+    val dcgAt = (rank: String) =>
+      sum(when(col(rank) <= k, rel / log2(col(rank) + 1)).otherwise(0.0))
+    ranked.groupBy(q)
+      .agg(
+        sum(when(rel > 0, 1L).otherwise(0L)).as("n_rel"),
+        round(coalesce(
+          max(when(rel > 0, lit(1.0) / col("__r"))), lit(0.0)), 6).as("mrr"),
+        round(sum(when(col("__r") <= k && rel > 0, 1L).otherwise(0L))
+          / lit(k.toDouble), 6).as("precision_k"),
+        round(when(dcgAt("__ir") > 0, dcgAt("__r") / dcgAt("__ir"))
+          .otherwise(0.0), 6).as("ndcg_k"))
+  }
+
+  /** Per-group exact ROC AUC via the Mann–Whitney rank-sum identity:
+    * AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺·n⁻), with tied
+    * scores taking the average rank (so a tie between a positive and a
+    * negative counts 1/2, the ROC convention). `labelCol` must be
+    * 0/1.
+    *
+    * The rank window and the tie-count window are both partitioned by
+    * `groupCol`, so AUC over G groups is one shuffle + one in-partition
+    * sort — no global ordering, no driver collect; a group's cost is
+    * |group| log |group| locally. Groups missing a class are dropped
+    * (AUC undefined). */
+  def aucByGroup(df: DataFrame, groupCol: String, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val g = col(groupCol)
+    val y = col(labelCol).cast("int")
+    val sc = col(scoreCol)
+    // rank() gives tied scores the run-start rank; adding (ties-1)/2
+    // turns it into the average rank without a second sort
+    val r = rank().over(Window.partitionBy(g).orderBy(sc))
+    val ties = count(lit(1)).over(Window.partitionBy(g, sc))
+    val ranked = df
+      .withColumn("__ar", r + (ties - 1) / 2.0)
+      .groupBy(g)
+      .agg(sum(when(y === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(y === 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(y === 1, col("__ar"))).as("__rs"))
+    ranked
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(g, col("n_pos"), col("n_neg"),
+        round((col("__rs") - col("n_pos") * (col("n_pos") + 1) / 2.0)
+          / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** One-vs-rest chi-squared association between document tokens and a
+    * document label — the classic feature-selection score (Yang &
+    * Pedersen 1997): for each observed (token, label) cell, the 2×2
+    * contingency chi² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) where a =
+    * docs with token and label, b = token without label, c = label
+    * without token, d = neither. Presence is per-doc (tokens counted
+    * once per document).
+    *
+    * One corpus explode feeds both the (token, label) cells and the
+    * token document frequencies; label totals and the corpus size are
+    * label-cardinality- and one-row aggregates. The only corpus-sized
+    * shuffle is the cell aggregation; the three stat joins are
+    * vocab- or label-sized, so AQE broadcasts them. `minDf` prunes the
+    * long tail before the joins; tokens present in EVERY document and
+    * labels covering every document are dropped — their 2×2 table has
+    * a zero margin, so chi² is undefined (and the feature carries no
+    * signal anyway). */
+  def chiSquareTokens(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, minDf: Long): DataFrame = {
+    val toks = docs.select(col(idCol), col(labelCol).as("label"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("token"))
+    val cells = toks.groupBy(col("token"), col("label"))
+      .agg(count(lit(1)).as("a"))
+    val tokTot = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tok_df"))
+      .filter(col("tok_df") >= minDf)
+    val labTot = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("lab_n"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val bb = col("tok_df") - col("a")
+    val cc = col("lab_n") - col("a")
+    val dd = col("n") - col("tok_df") - cc
+    cells
+      .join(tokTot, "token")
+      .join(labTot, "label")
+      .crossJoin(broadcast(n))
+      .filter(col("tok_df") < col("n") && col("lab_n") < col("n"))
+      .select(col("token"), col("label"), col("a").as("n_with"),
+        col("tok_df"),
+        round(col("n") * pow(col("a") * dd - bb * cc, 2)
+          / (col("tok_df") * (col("n") - col("tok_df"))
+             * col("lab_n") * (col("n") - col("lab_n"))), 6).as("chi2"))
+  }
+}

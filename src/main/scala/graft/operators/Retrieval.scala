@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval scoring over the document corpus. Companion to
+  * the inverted-index build (q161) and the RRF fusion combiner
+  * ([[Similarity.rrfFuse]]): this is the keyword arm of a hybrid
+  * keyword + embedding retrieval stack.
+  */
+object Retrieval {
+
+  /** Okapi BM25 (Robertson & Walker 1994) scores for a bag-of-terms
+    * query set: score(q,d) = Σ_{t∈q∩d} idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)), with the standard "plus one" idf
+    * ln(1 + (N−df+0.5)/(df+0.5)) so scores stay positive. `queries`
+    * holds one row per (query id, term); duplicate terms in a query
+    * are counted once (bag-of-words query, set semantics — dedup'd
+    * here so callers can pass raw tokenized queries).
+    *
+    * Cost shape at corpus scale: ONE explode+aggregate pass builds the
+    * (doc, term) tf table — the only corpus-sized shuffle; document
+    * lengths ride along via a size() on the same scan; df and the
+    * corpus stats are vocab-sized / one-row aggregates; the query join
+    * is |queries|-sized and broadcast. Nothing quadratic, nothing on
+    * the driver. Returns one row per (query, matching doc) — docs
+    * matching no term drop out, as an inverted index would. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("__doc"),
+      explode(TextAnalysis.tokens(col(textCol))).as("__term"))
+    val tf = toks.groupBy(col("__doc"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dl = docs.select(col(idCol).as("__doc"),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("__dl"))
+    val dfT = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+      avg(TextAnalysis.tokenCount(col(textCol))).as("__avgdl"))
+    val q = queries.select(col(queryIdCol).as("__q"),
+      col(termCol).as("__term")).distinct()
+    val idf = log(lit(1.0)
+      + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    val norm = col("__tf") * (k1 + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    tf.join(broadcast(q), "__term")
+      .join(dfT, "__term")
+      .join(dl, "__doc")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("__q"), col("__doc"))
+      .agg(count(lit(1)).as("n_terms"), sum(idf * norm).as("__s"))
+      .select(col("__q").as(queryIdCol), col("__doc").as(idCol),
+        col("n_terms"), round(col("__s"), 6).as("bm25"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Metrics, Retrieval, Similarity}
+import graft.sources.{Tables => T}
+
+/** Round-5 fourth wave: the retrieval/eval read-outs — BM25 keyword
+  * scoring, per-query ranking metrics (NDCG@k / MRR / P@k), per-group
+  * exact ROC AUC, and chi-squared token–label feature selection.
+  */
+object Round8 {
+
+  val all: Seq[Q] = Seq(
+
+    // Okapi BM25 over the corpus for three bag-of-terms queries. One
+    // corpus explode+aggregate builds tf; df/corpus stats are vocab- /
+    // one-row-sized; the query table broadcasts. See Retrieval.bm25
+    Q("q162_bm25", (s, d) => {
+      import s.implicits._
+      val queries = Seq((1L, "hash"), (1L, "join"), (2L, "stream"),
+        (2L, "window"), (2L, "batch"), (3L, "vector"), (3L, "query"))
+        .toDF("qid", "term")
+      Retrieval.bm25(T.documents(s, d), "doc_id", "text",
+          queries, "qid", "term")
+        .orderBy($"qid", $"doc_id")
+    }, Some("""
+      WITH q(qid, term) AS (VALUES (1, 'hash'), (1, 'join'),
+        (2, 'stream'), (2, 'window'), (2, 'batch'),
+        (3, 'vector'), (3, 'query')),
+      tok AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS dl
+             FROM documents),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      st AS (SELECT count(*)::DOUBLE AS n,
+               avg(len(regexp_split_to_array(trim(text), '\s+'))) AS avgdl
+             FROM documents)
+      SELECT CAST(qid AS BIGINT) AS qid, tf.doc_id AS doc_id,
+             count(*) AS n_terms,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+               AS bm25
+      FROM tf JOIN q USING (term) JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id, st
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // retrieval-run eval: brute-force cosine top-50 per probe scored
+    // against same-label relevance, then NDCG@10 / MRR / P@10 per
+    // query — both metric windows share one hash partitioning on the
+    // query id (see Metrics.rankingMetrics)
+    Q("q163_ranking_metrics", (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+      val labels = emb.select($"vec_id", $"label")
+      val run = Similarity
+        .bruteForceTopK(emb, emb.filter($"vec_id" < 20), 50)
+        .join(labels.select($"vec_id".as("probe_id"),
+          $"label".as("__ql")), "probe_id")
+        .join(labels.select($"vec_id", $"label".as("__dl")), "vec_id")
+        .withColumn("rel", when($"__ql" === $"__dl", 1.0).otherwise(0.0))
+      Metrics.rankingMetrics(run, "probe_id", "vec_id", "sim", "rel", 10)
+        .orderBy($"probe_id")
+    }, Some("""
+      WITH scored AS (
+        SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                 b.embedding::DOUBLE[]), 6) AS sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+                   b.embedding::DOUBLE[]), 6) DESC, b.vec_id) AS rnk,
+               CASE WHEN a.label = b.label THEN 1.0 ELSE 0.0 END AS rel
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 20),
+      ranked AS (
+        SELECT probe_id, vec_id, sim, rel,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY sim DESC, vec_id) AS r,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY rel DESC, vec_id) AS ir
+        FROM scored WHERE rnk <= 50)
+      SELECT probe_id,
+             count(CASE WHEN rel > 0 THEN 1 END) AS n_rel,
+             round(coalesce(max(CASE WHEN rel > 0 THEN 1.0 / r END), 0), 6)
+               AS mrr,
+             round(count(CASE WHEN r <= 10 AND rel > 0 THEN 1 END) / 10.0, 6)
+               AS precision_k,
+             round(CASE WHEN sum(CASE WHEN ir <= 10
+                                 THEN rel / log2(ir + 1) ELSE 0 END) > 0
+               THEN sum(CASE WHEN r <= 10 THEN rel / log2(r + 1) ELSE 0 END)
+                    / sum(CASE WHEN ir <= 10
+                          THEN rel / log2(ir + 1) ELSE 0 END)
+               ELSE 0 END, 6) AS ndcg_k
+      FROM ranked GROUP BY 1 ORDER BY probe_id""")),
+
+    // per-label exact ROC AUC of a one-dimension scorer via the
+    // Mann-Whitney rank-sum — every window partitioned by the group, so
+    // the whole eval is one shuffle + one in-partition sort
+    Q("q164_auc_by_group", (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d).select($"label",
+        when(pmod($"vec_id", lit(2)) === 0, 1).otherwise(0).as("y"),
+        element_at($"embedding", 1).cast("double").as("score"))
+      Metrics.aucByGroup(e, "label", "y", "score").orderBy($"label")
+    }, Some("""
+      WITH e AS (
+        SELECT label, CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS y,
+               embedding[1]::DOUBLE AS score
+        FROM embeddings),
+      r AS (
+        SELECT label, y,
+               rank() OVER (PARTITION BY label ORDER BY score)
+                 + (count(*) OVER (PARTITION BY label, score) - 1) / 2.0
+                 AS ar
+        FROM e),
+      a AS (
+        SELECT label,
+               count(CASE WHEN y = 1 THEN 1 END) AS n_pos,
+               count(CASE WHEN y = 0 THEN 1 END) AS n_neg,
+               sum(CASE WHEN y = 1 THEN ar END) AS rs
+        FROM r GROUP BY 1)
+      SELECT label, n_pos, n_neg,
+             round((rs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+               AS auc
+      FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY label""")),
+
+    // chi-squared token-language association (one-vs-rest 2x2 per
+    // observed cell): the feature-selection pass. Corpus shuffles once
+    // for the cells; token/label totals are vocab- and label-sized
+    Q("q165_chi2_tokens", (s, d) => {
+      import s.implicits._
+      Metrics.chiSquareTokens(T.documents(s, d), "doc_id", "text",
+          "lang", minDf = 50L)
+        .orderBy($"token", $"label")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, lang AS label, unnest(list_distinct(
+          regexp_split_to_array(trim(text), '\s+'))) AS token
+        FROM documents),
+      cells AS (SELECT token, label, count(*) AS a FROM toks GROUP BY 1, 2),
+      tt AS (SELECT token, count(*) AS tok_df FROM toks
+             GROUP BY 1 HAVING count(*) >= 50),
+      lt AS (SELECT lang AS label, count(*) AS lab_n FROM documents
+             GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents)
+      SELECT token, label, a AS n_with, tok_df,
+             round(n * pow(a * (n - tok_df - (lab_n - a))
+                           - (tok_df - a) * (lab_n - a), 2)
+               / (tok_df * (n - tok_df) * lab_n * (n - lab_n)), 6) AS chi2
+      FROM cells JOIN tt USING (token) JOIN lt USING (label), n
+      ORDER BY token, label"""))
+  )
+}
