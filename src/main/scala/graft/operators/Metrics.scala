@@ -81,6 +81,89 @@ object Metrics {
           / (col("n_pos") * col("n_neg")), 6).as("auc"))
   }
 
+  /** Per-class classification report from (truth, prediction) pairs:
+    * support, true/false positives, false negatives, precision, recall
+    * and F1 for every class observed in either column (one-vs-rest).
+    *
+    * Two |classes|-sized aggregates (per-truth and per-prediction
+    * marginals) joined full-outer so a class that is only ever
+    * predicted — or never predicted — still gets a row with the zeros
+    * made explicit. The corpus shuffles once for the (truth, pred)
+    * cells; everything downstream is |classes|²-at-worst and
+    * broadcastable. Classes absent from predictions get precision 0,
+    * classes absent from truth get recall 0 (scikit-learn's
+    * zero_division=0 convention). */
+  def classificationReport(df: DataFrame, truthCol: String,
+      predCol: String): DataFrame = {
+    val cells = df.groupBy(col(truthCol).as("__t"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val tp = when(col("__t") === col("__p"), col("__n")).otherwise(0L)
+    val byTruth = cells.groupBy(col("__t").as("klass"))
+      .agg(sum(col("__n")).as("support"), sum(tp).as("__tp_t"))
+    val byPred = cells.groupBy(col("__p").as("klass"))
+      .agg(sum(col("__n")).as("__pred_n"), sum(tp).as("__tp_p"))
+    val j = byTruth.join(byPred, Seq("klass"), "full_outer")
+      .select(col("klass"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("__tp_t"), col("__tp_p"), lit(0L)).as("tp"),
+        (coalesce(col("__pred_n"), lit(0L))
+          - coalesce(col("__tp_p"), lit(0L))).as("fp"),
+        (coalesce(col("support"), lit(0L))
+          - coalesce(col("__tp_t"), lit(0L))).as("fn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      col("tp") / (col("tp") + col("fp"))).otherwise(0.0)
+    val rec = when(col("support") > 0, col("tp") / col("support"))
+      .otherwise(0.0)
+    j.select(col("klass"), col("support"), col("tp"), col("fp"), col("fn"),
+      round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+      round(when(prec + rec > 0, lit(2.0) * prec * rec / (prec + rec))
+        .otherwise(0.0), 6).as("f1"))
+  }
+
+  /** Per-group regression error metrics against a prediction column:
+    * RMSE, MAE and R² (1 − SS_res/SS_tot, the coefficient of
+    * determination — negative when the predictor underperforms the
+    * group mean). One hash aggregate; every term is an algebraic sum,
+    * so partial aggregation collapses the data map-side and the R²
+    * variance term uses the numerically-stable E[y²]−E[y]² form over
+    * already-reduced per-group sums. Groups with zero target variance
+    * are dropped (R² undefined). */
+  def regressionMetrics(df: DataFrame, groupCol: String, yCol: String,
+      predCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val p = col(predCol).cast("double")
+    val e = y - p
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sqrt(avg(e * e)).as("__rmse"), avg(abs(e)).as("__mae"),
+        sum(e * e).as("__ssr"),
+        (sum(y * y) - pow(sum(y), 2) / count(lit(1))).as("__sst"))
+      .filter(col("__sst") > 0)
+      .select(col(groupCol), col("n"),
+        round(col("__rmse"), 6).as("rmse"), round(col("__mae"), 6).as("mae"),
+        round(lit(1.0) - col("__ssr") / col("__sst"), 6).as("r2"))
+  }
+
+  /** Reliability-diagram bins for a probabilistic classifier: scores
+    * in [0,1] cut into `bins` equal-width bins, each reporting its
+    * count, mean predicted probability and observed positive fraction
+    * — the gap between the last two IS the calibration error (ECE's
+    * per-bin term, Naeini et al. 2015). Scores exactly at 1.0 fold
+    * into the top bin. One map-side bin assignment + one hash
+    * aggregate over ≤ `bins` groups; empty bins are absent (their ECE
+    * weight is zero). */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1: $bins")
+    val sc = col(scoreCol).cast("double")
+    val bin = least(floor(sc * bins).cast("int"), lit(bins - 1))
+    df.withColumn("__bin", bin)
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(sc), 6).as("mean_score"),
+        round(avg(col(labelCol).cast("double")), 6).as("frac_pos"))
+  }
+
   /** One-vs-rest chi-squared association between document tokens and a
     * document label — the classic feature-selection score (Yang &
     * Pedersen 1997): for each observed (token, label) cell, the 2×2
