@@ -4,6 +4,45 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Self-diagnosing dump: when a driver-side compare goes red, the log
+    * alone carries what the engine produced — the full sorted cells for
+    * small results (≤100 rows), a per-column checksum for larger ones —
+    * so a red row is diffable against the oracle without a rerun. Reads
+    * the parquet back so the dump reflects the exact on-disk round-trip
+    * the oracle compare sees. */
+  private def dumpDiagnostics(spark: SparkSession, name: String,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.BinaryType
+    try {
+      val back = spark.read.parquet(path)
+      val cols = back.columns.sorted
+      def asStr(c: String) = back.schema(c).dataType match {
+        case BinaryType => hex(col(c))
+        case _          => col(c).cast("string")
+      }
+      val nRows = back.count()
+      if (nRows <= 100) {
+        val rows = back.select(cols.map(c => asStr(c).as(c)): _*)
+          .collect()
+          .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
+            .mkString("|"))
+          .sorted
+        System.err.println(s"[verify:cells] $name rows=$nRows cols=${cols.mkString(",")}")
+        rows.foreach(r => System.err.println(s"[verify:cells] $name $r"))
+      } else {
+        val sums = back
+          .select(cols.map(c => sum(xxhash64(asStr(c))).as(c)): _*)
+          .collect()(0)
+        System.err.println(s"[verify:checksum] $name rows=$nRows " +
+          cols.zipWithIndex.map { case (c, i) => s"$c=${sums.get(i)}" }
+            .mkString(" "))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify:diag] $name diagnostics failed: ${e.getMessage}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -28,6 +67,7 @@ object Verify {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          dumpDiagnostics(spark, name, s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

@@ -58,7 +58,9 @@ object Metrics {
     * `groupCol`, so AUC over G groups is one shuffle + one in-partition
     * sort — no global ordering, no driver collect; a group's cost is
     * |group| log |group| locally. Groups missing a class are dropped
-    * (AUC undefined). */
+    * (AUC undefined). Rows with a NULL score are excluded up front —
+    * rank() would otherwise sort them first, silently treating missing
+    * scores as the most-negative prediction. */
   def aucByGroup(df: DataFrame, groupCol: String, labelCol: String,
       scoreCol: String): DataFrame = {
     val g = col(groupCol)
@@ -69,6 +71,7 @@ object Metrics {
     val r = rank().over(Window.partitionBy(g).orderBy(sc))
     val ties = count(lit(1)).over(Window.partitionBy(g, sc))
     val ranked = df
+      .filter(sc.isNotNull)
       .withColumn("__ar", r + (ties - 1) / 2.0)
       .groupBy(g)
       .agg(sum(when(y === 1, 1L).otherwise(0L)).as("n_pos"),
@@ -125,9 +128,11 @@ object Metrics {
     * determination — negative when the predictor underperforms the
     * group mean). One hash aggregate; every term is an algebraic sum,
     * so partial aggregation collapses the data map-side and the R²
-    * variance term uses the numerically-stable E[y²]−E[y]² form over
-    * already-reduced per-group sums. Groups with zero target variance
-    * are dropped (R² undefined). */
+    * variance term comes from var_pop — Spark's Welford-style merging
+    * aggregate — scaled by n, so a large-mean low-variance target
+    * cannot cancel catastrophically (sum(y²)−sum(y)²/n can go negative
+    * there and silently drop the group). Groups with zero target
+    * variance are dropped (R² undefined). */
   def regressionMetrics(df: DataFrame, groupCol: String, yCol: String,
       predCol: String): DataFrame = {
     val y = col(yCol).cast("double")
@@ -137,7 +142,7 @@ object Metrics {
       .agg(count(lit(1)).as("n"),
         sqrt(avg(e * e)).as("__rmse"), avg(abs(e)).as("__mae"),
         sum(e * e).as("__ssr"),
-        (sum(y * y) - pow(sum(y), 2) / count(lit(1))).as("__sst"))
+        (var_pop(y) * count(lit(1))).as("__sst"))
       .filter(col("__sst") > 0)
       .select(col(groupCol), col("n"),
         round(col("__rmse"), 6).as("rmse"), round(col("__mae"), 6).as("mae"),
@@ -149,14 +154,16 @@ object Metrics {
     * count, mean predicted probability and observed positive fraction
     * — the gap between the last two IS the calibration error (ECE's
     * per-bin term, Naeini et al. 2015). Scores exactly at 1.0 fold
-    * into the top bin. One map-side bin assignment + one hash
-    * aggregate over ≤ `bins` groups; empty bins are absent (their ECE
-    * weight is zero). */
+    * into the top bin; out-of-range scores clamp into the edge bins
+    * (a probability outside [0,1] is an upstream bug, but it must not
+    * mint a nonsense negative bin id). One map-side bin assignment +
+    * one hash aggregate over ≤ `bins` groups; empty bins are absent
+    * (their ECE weight is zero). */
   def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
       bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1: $bins")
     val sc = col(scoreCol).cast("double")
-    val bin = least(floor(sc * bins).cast("int"), lit(bins - 1))
+    val bin = greatest(lit(0), least(floor(sc * bins).cast("int"), lit(bins - 1)))
     df.withColumn("__bin", bin)
       .groupBy(col("__bin").as("bin"))
       .agg(count(lit(1)).as("n"),

@@ -31,19 +31,19 @@ object Events {
       import s.implicits._
       T.events(s, d)
         .groupBy(window($"ts", "1 hour"), $"event_type")
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
         .select($"window.start".as("hour_start"), $"event_type", $"n", $"sum_value")
         .orderBy($"hour_start", $"event_type")
     }, Some("""
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
-             count(*) AS n, round(sum(value), 2) AS sum_value
+             count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 
     Q("q23_sessionize", (s, d) => {
       import s.implicits._
       T.events(s, d)
         .groupBy($"user_id", session_window($"ts", "30 minutes"))
-        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
         .select($"user_id", $"session_window.start".as("session_start"),
           $"n_events", $"sum_value")
         .orderBy($"user_id", $"session_start")
@@ -60,7 +60,7 @@ object Events {
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flags)
       SELECT user_id, min(ts) AS session_start,
-             count(*) AS n_events, round(sum(value), 2) AS sum_value
+             count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
     Q("q37_exact_stats", (s, d) => {
@@ -104,13 +104,13 @@ object Events {
       // file stream source wants a directory/glob, not a bare file path
       val query = s.readStream.schema(schema).parquet(s"$d/events.*")
         .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
         .writeStream.format("memory").queryName(qn)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
       s.table(qn).orderBy($"event_type")
     }, Some("""
-      SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      SELECT event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // as-of join: each purchase picks up the user's most recent signup

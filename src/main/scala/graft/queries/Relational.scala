@@ -33,24 +33,29 @@ object Relational {
         .filter($"l_shipdate" <= ts("1998-09-01"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
+          // money sums go through decimal so the reduction is exact and
+          // order-independent (double partial sums can flip a rounded
+          // cent depending on partitioning); per-row arithmetic stays in
+          // double (IEEE-deterministic), only the SUM is decimal.
+          // l_quantity is integral so its double sum is already exact.
           round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+          round(sum($"l_extendedprice".cast("decimal(18,2)")).cast("double"), 2).as("sum_base_price"),
+          round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(24,8)")).cast("double"), 2).as("sum_disc_price"),
+          round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).cast("decimal(24,8)")).cast("double"), 2).as("sum_charge"),
           round(avg($"l_quantity"), 4).as("avg_qty"),
-          round(avg($"l_extendedprice"), 4).as("avg_price"),
-          round(avg($"l_discount"), 4).as("avg_disc"),
+          round((sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") / count(lit(1))), 4).as("avg_price"),
+          round((sum($"l_discount".cast("decimal(18,6)")).cast("double") / count(lit(1))), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }, Some("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-             round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 2) AS sum_disc_price,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))) AS DOUBLE), 2) AS sum_charge,
              round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_extendedprice), 4) AS avg_price,
-             round(avg(l_discount), 4) AS avg_disc,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -79,12 +84,12 @@ object Relational {
       li.join(ord, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(24,8)")).cast("double"), 2).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(10)
     }, Some("""
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 2) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -103,12 +108,12 @@ object Relational {
         .join(broadcast(T.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
         .agg(
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(24,8)")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy($"r_name", $"n_name")
     }, Some("""
       SELECT r_name, n_name,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 2) AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -124,10 +129,11 @@ object Relational {
         .join(broadcast(T.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name")
         .agg(count(lit(1)).as("n_customers"),
-          round(sum($"c_acctbal"), 2).as("sum_acctbal"))
+          round(sum($"c_acctbal".cast("decimal(18,2)")).cast("double"), 2).as("sum_acctbal"))
         .orderBy($"r_name")
     }, Some("""
-      SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+      SELECT r_name, count(*) AS n_customers,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_acctbal
       FROM customer
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
@@ -182,15 +188,19 @@ object Relational {
       val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T.orders(s, d)
         .select($"o_custkey", $"o_orderkey", $"o_orderdate",
-          round(sum($"o_totalprice").over(frame), 2).as("running_total"),
+          // decimal window sum: DuckDB evaluates window aggregates with a
+          // segment tree, so double additions happen in a different order
+          // than Spark's sequential running accumulation — exact decimal
+          // makes both engines order-independent
+          round(sum($"o_totalprice".cast("decimal(18,2)")).over(frame).cast("double"), 2).as("running_total"),
           lag($"o_totalprice", 1).over(order).as("prev_price"),
           lead($"o_totalprice", 1).over(order).as("next_price"))
         .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
     }, Some("""
       SELECT o_custkey, o_orderkey, o_orderdate,
-             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_total,
              lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey) AS prev_price,
              lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
@@ -205,11 +215,12 @@ object Relational {
       T.orders(s, d)
         .withColumn("quartile", ntile(4).over(w))
         .groupBy($"o_orderstatus", $"quartile")
-        .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 4).as("avg_price"))
+        .agg(count(lit(1)).as("n"),
+          round((sum($"o_totalprice".cast("decimal(18,2)")).cast("double") / count(lit(1))), 4).as("avg_price"))
         .orderBy($"o_orderstatus", $"quartile")
     }, Some("""
       SELECT o_orderstatus, CAST(quartile AS INT) AS quartile, count(*) AS n,
-             round(avg(o_totalprice), 4) AS avg_price
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
       FROM (SELECT o_orderstatus, o_totalprice,
                    ntile(4) OVER (PARTITION BY o_orderstatus
                      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
@@ -299,11 +310,12 @@ object Relational {
       import s.implicits._
       T.orders(s, d)
         .cube($"o_orderstatus", $"o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice".cast("decimal(18,2)")).cast("double"), 2).as("sum_price"))
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     }, Some("""
-      SELECT o_orderstatus, o_orderpriority,
-             count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
@@ -370,12 +382,13 @@ object Relational {
           year($"o_orderdate").cast("int").as("o_year"),
           month($"o_orderdate").cast("int").as("o_month"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum($"o_totalprice"), 2).as("sum_price"))
+          round(sum($"o_totalprice".cast("decimal(18,2)")).cast("double"), 2).as("sum_price"))
         .orderBy($"o_year", $"o_month")
     }, Some("""
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
              CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
-             count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+             count(*) AS n_orders,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
       FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""")),
 
     Q("q19_math_funcs", (s, d) => {

@@ -115,13 +115,13 @@ object Round2 {
       parts.join(broadcast(bandBins), "bin")
         .filter($"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
         .groupBy($"band_id")
-        .agg(count(lit(1)).as("n"), round(avg($"p_retailprice"), 6).as("avg_price"))
+        .agg(count(lit(1)).as("n"), round((sum($"p_retailprice".cast("decimal(18,2)")).cast("double") / count(lit(1))), 6).as("avg_price"))
         .orderBy($"band_id")
     }, Some("""
       WITH bands AS (SELECT CAST(i AS INT) AS band_id,
                             900 + i * 10.0 AS lo, 915 + i * 10.0 AS hi
                      FROM generate_series(0, 9) t(i))
-      SELECT band_id, count(*) AS n, round(avg(p_retailprice), 6) AS avg_price
+      SELECT band_id, count(*) AS n, round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
       FROM bands JOIN part ON p_retailprice >= lo AND p_retailprice < hi
       GROUP BY band_id ORDER BY band_id""")),
 
@@ -180,10 +180,10 @@ object Round2 {
         .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
       Scale.bloomPruneJoin(T.lineitem(s, d), supK, "l_suppkey")
         .groupBy($"s_nationkey")
-        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice".cast("decimal(18,2)")).cast("double"), 2).as("rev"))
         .orderBy($"s_nationkey")
     }, Some("""
-      SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+      SELECT s_nationkey, count(*) AS n, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       WHERE s_nationkey < 5
       GROUP BY s_nationkey ORDER BY s_nationkey""")),
@@ -323,8 +323,8 @@ object Round2 {
     Q("q77_stream_stream_join", (s, d) => {
       import s.implicits._
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      def stream = s.readStream.schema(schema).parquet(s"$d/events.*")
-        .withColumn("ts", timestamp_micros(($"ts" / 1000).cast("long")))
+      def stream = T.withEventTs(
+        s.readStream.schema(schema).parquet(s"$d/events.*"))
       val signups = stream.filter($"event_type" === "signup")
         .select($"user_id".as("s_user"), $"ts".as("s_ts"), $"event_id".as("s_event"))
         .withWatermark("s_ts", "1 hour")
@@ -413,7 +413,7 @@ object Round2 {
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flags)
       SELECT user_id, min(ts) AS session_start,
-             count(*) AS n_events, round(sum(value), 2) AS sum_value
+             count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
     // int8 scalar quantization of embeddings — the storage-compression

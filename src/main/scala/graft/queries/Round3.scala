@@ -170,14 +170,14 @@ object Round3 {
         .select($"user_id", $"event_type", $"value")
         .join(dim, "user_id")
         .groupBy($"c_mktsegment", $"event_type")
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
         .writeStream.format("memory").queryName(qn)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
       s.table(qn).orderBy($"c_mktsegment", $"event_type")
     }, Some("""
       SELECT c_mktsegment, event_type, count(*) AS n,
-             round(sum(value), 2) AS sum_value
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type""")),
 
@@ -450,7 +450,7 @@ object Round3 {
       import s.implicits._
       T.events(s, d)
         .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
-        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
         .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
         .orderBy($"win_start", $"event_type")
     }, Some("""
@@ -459,7 +459,7 @@ object Round3 {
       w AS (SELECT unnest([g, g - INTERVAL '30 minutes']) AS win_start,
                    event_type, value FROM e)
       SELECT win_start, event_type, count(*) AS n,
-             round(sum(value), 2) AS sum_value
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""")),
 
     // VALUE-range window frame (RANGE BETWEEN, not ROWS BETWEEN): each
@@ -475,15 +475,15 @@ object Round3 {
       T.orders(s, d)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice",
           datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("__d"))
-        .withColumn("rev_30d", round(sum($"o_totalprice").over(w), 2))
+        .withColumn("rev_30d", round(sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("double"), 2))
         .select($"o_orderkey", $"o_custkey", $"rev_30d")
         .orderBy($"o_orderkey")
     }, Some("""
       SELECT o_orderkey, o_custkey,
-             round(sum(o_totalprice) OVER (
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey
                ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
-               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS rev_30d
       FROM orders ORDER BY o_orderkey""")),
 
     // Z-order (Morton) clustering key: bit-interleave of two dimensions,

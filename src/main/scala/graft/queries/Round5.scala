@@ -366,7 +366,7 @@ object Round5 {
         s.readStream.schema(schema).parquet(s"$d/events.*"))
       val query = ev
         .groupBy($"user_id", session_window($"ts", "30 minutes"))
-        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), round(sum($"value".cast("decimal(18,2)")).cast("double"), 2).as("sum_value"))
         .select($"user_id", $"session_window.start".as("session_start"),
           $"n_events", $"sum_value")
         .writeStream.format("memory").queryName(qn)
@@ -386,7 +386,7 @@ object Round5 {
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flags)
       SELECT user_id, min(ts) AS session_start,
-             count(*) AS n_events, round(sum(value), 2) AS sum_value
+             count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
     // entity-resolution capstone: fuzzy pairs (edit distance <= 1 on
@@ -459,7 +459,8 @@ object Round5 {
       val halves = Seq(0, 1).map { r =>
         orders.filter($"o_orderkey" % 2 === r)
           .groupBy($"o_custkey")
-          .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("sum_total"),
+          .agg(count(lit(1)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).as("sum_total"),
             max($"o_orderdate").as("last_order"))
       }
       Merge.mergeAggregates(halves, Seq("o_custkey"),
@@ -469,7 +470,7 @@ object Round5 {
         .orderBy($"o_custkey")
     }, Some("""
       SELECT o_custkey, count(*) AS n,
-             CAST(sum(o_totalprice) AS DECIMAL(18,2)) AS sum_total,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
              max(o_orderdate) AS last_order
       FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
 
@@ -597,8 +598,8 @@ object Round5 {
     Q("q136_stream_outer_join", (s, d) => {
       import s.implicits._
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      def stream = s.readStream.schema(schema).parquet(s"$d/events.*")
-        .withColumn("ts", timestamp_micros(($"ts" / 1000).cast("long")))
+      def stream = T.withEventTs(
+        s.readStream.schema(schema).parquet(s"$d/events.*"))
       val signups = stream.filter($"event_type" === "signup")
         .select($"user_id".as("s_user"), $"ts".as("s_ts"), $"event_id".as("s_event"))
         .withWatermark("s_ts", "1 hour")
@@ -885,7 +886,7 @@ object Round5 {
           .orderBy($"user_id")
       }
     }, Some("""
-      SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      SELECT user_id, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark

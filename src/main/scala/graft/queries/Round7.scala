@@ -62,11 +62,12 @@ object Round7 {
       import s.implicits._
       val daily = T.events(s, d)
         .groupBy($"event_type", to_date($"ts").as("day"))
-        .agg(sum($"value").as("daily"))
+        .agg(sum($"value".cast("decimal(18,2)")).cast("double").as("daily"))
       TimeSeries.cusumChangepoint(daily, "event_type", "day", "daily")
     }, Some("""
       WITH daily AS (
-        SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS daily
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily
         FROM events GROUP BY 1, 2),
       m AS (
         SELECT event_type, avg(daily) AS mu, count(*) AS n_points

@@ -151,6 +151,102 @@ object Round8 {
                            - (tok_df - a) * (lab_n - a), 2)
                / (tok_df * (n - tok_df) * lab_n * (n - lab_n)), 6) AS chi2
       FROM cells JOIN tt USING (token) JOIN lt USING (label), n
-      ORDER BY token, label"""))
+      ORDER BY token, label""")),
+
+    // per-class precision/recall/F1 report for a rule-based status
+    // predictor: one corpus-sized (truth, pred) cell aggregate, then
+    // class-sized marginals full-outer-joined so never-predicted and
+    // never-true classes keep explicit zero rows
+    Q("q166_classification_report", (s, d) => {
+      import s.implicits._
+      val preds = T.orders(s, d).select($"o_orderstatus".as("truth"),
+        when($"o_totalprice" > 150000, "F")
+          .when($"o_totalprice" > 50000, "O")
+          .otherwise("P").as("pred"))
+      Metrics.classificationReport(preds, "truth", "pred")
+        .orderBy($"klass")
+    }, Some("""
+      WITH p AS (
+        SELECT o_orderstatus AS truth,
+               CASE WHEN o_totalprice > 150000 THEN 'F'
+                    WHEN o_totalprice > 50000 THEN 'O'
+                    ELSE 'P' END AS pred
+        FROM orders),
+      cells AS (SELECT truth, pred, count(*) AS n FROM p GROUP BY 1, 2),
+      bt AS (SELECT truth AS klass, sum(n) AS support,
+                    sum(CASE WHEN truth = pred THEN n ELSE 0 END) AS tp_t
+             FROM cells GROUP BY 1),
+      bp AS (SELECT pred AS klass, sum(n) AS pred_n,
+                    sum(CASE WHEN truth = pred THEN n ELSE 0 END) AS tp_p
+             FROM cells GROUP BY 1),
+      j AS (SELECT coalesce(bt.klass, bp.klass) AS klass,
+                   coalesce(support, 0) AS support,
+                   coalesce(tp_t, tp_p, 0) AS tp,
+                   coalesce(pred_n, 0) - coalesce(tp_p, 0) AS fp,
+                   coalesce(support, 0) - coalesce(tp_t, 0) AS fn
+            FROM bt FULL OUTER JOIN bp ON bt.klass = bp.klass)
+      SELECT klass, support, tp, fp, fn,
+             round(CASE WHEN tp + fp > 0
+               THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0 END, 6) AS precision,
+             round(CASE WHEN support > 0
+               THEN tp / CAST(support AS DOUBLE) ELSE 0 END, 6) AS recall,
+             round(CASE WHEN (CASE WHEN tp + fp > 0
+                     THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0 END)
+                     + (CASE WHEN support > 0
+                        THEN tp / CAST(support AS DOUBLE) ELSE 0 END) > 0
+               THEN 2.0 * (tp / CAST(tp + fp AS DOUBLE))
+                        * (tp / CAST(support AS DOUBLE))
+                    / (tp / CAST(tp + fp AS DOUBLE)
+                       + tp / CAST(support AS DOUBLE))
+               ELSE 0 END, 6) AS f1
+      FROM j ORDER BY klass""")),
+
+    // per-flag regression error read-out (RMSE / MAE / R2) of a linear
+    // quantity-from-price rule. y and pred are integer-valued, so every
+    // error sum is exact in double under any partitioning; the variance
+    // term is Welford (var_pop) on both engines
+    Q("q167_regression_metrics", (s, d) => {
+      import s.implicits._
+      val df = T.lineitem(s, d).select($"l_returnflag",
+        $"l_quantity".as("y"),
+        floor($"l_extendedprice" / 1500.0).cast("double").as("pred"))
+      Metrics.regressionMetrics(df, "l_returnflag", "y", "pred")
+        .orderBy($"l_returnflag")
+    }, Some("""
+      WITH p AS (
+        SELECT l_returnflag, l_quantity AS y,
+               CAST(floor(l_extendedprice / 1500.0) AS DOUBLE) AS pred
+        FROM lineitem)
+      SELECT l_returnflag, count(*) AS n,
+             round(sqrt(avg((y - pred) * (y - pred))), 6) AS rmse,
+             round(avg(abs(y - pred)), 6) AS mae,
+             round(1.0 - sum((y - pred) * (y - pred))
+                   / (var_pop(y) * count(*)), 6) AS r2
+      FROM p GROUP BY 1 HAVING var_pop(y) * count(*) > 0
+      ORDER BY l_returnflag""")),
+
+    // reliability-diagram bins for a pseudo-probability scored off the
+    // first embedding coordinate: bin assignment is map-side arithmetic
+    // (out-of-range scores clamp into the edge bins), then one hash
+    // aggregate over <= 10 groups
+    Q("q168_calibration_bins", (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d).select(
+        pmod($"vec_id", lit(2)).cast("int").as("y"),
+        ((element_at($"embedding", 1).cast("double") + lit(3.0)) / 6.0)
+          .as("score"))
+      Metrics.calibrationBins(e, "y", "score", 10).orderBy($"bin")
+    }, Some("""
+      WITH e AS (
+        SELECT CAST(vec_id % 2 AS INT) AS y,
+               (embedding[1]::DOUBLE + 3.0) / 6.0 AS score
+        FROM embeddings),
+      b AS (
+        SELECT greatest(0, least(CAST(floor(score * 10) AS INT), 9)) AS bin,
+               score, y
+        FROM e)
+      SELECT bin, count(*) AS n, round(avg(score), 6) AS mean_score,
+             round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos
+      FROM b GROUP BY 1 ORDER BY bin"""))
   )
 }

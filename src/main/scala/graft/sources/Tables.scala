@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Catalog loader for the driver-generated parquet fixtures (TESTDATA.md).
   *
@@ -26,15 +26,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * long (spark.sql.legacy.parquet.nanosAsLong=true — set by Session /
-    * Verify / Bench). Convert to µs TimestampType, flooring like DuckDB's
-    * ns→µs conversion — shared by the batch catalog and any streaming
-    * reader of the same parquet (q125's shape). */
+  /** Normalize `events.ts` to session-timezone TimestampType whatever the
+    * fixture generation wrote: parquet TIMESTAMP(NANOS) arrives as a long
+    * (spark.sql.legacy.parquet.nanosAsLong=true — set by Session / Verify /
+    * Bench) and is floored to µs like DuckDB's ns→µs conversion; a
+    * TIMESTAMP_NTZ column (isAdjustedToUTC=false) is reinterpreted as the
+    * same wall clock in the session's UTC zone — the reading DuckDB's naive
+    * TIMESTAMP gets. Watermarks/event-time ops require TimestampType, so
+    * every reader — batch catalog or streaming over the same parquet
+    * (q125's shape) — goes through here. */
   def withEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   def events(s: SparkSession, d: String): DataFrame =
     withEventTs(table(s, d, "events"))

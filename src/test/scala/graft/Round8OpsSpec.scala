@@ -171,4 +171,89 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mono = Seq((1L, "a b", "L"), (2L, "a c", "L")).toDF("id", "t", "lab")
     assert(Metrics.chiSquareTokens(mono, "id", "t", "lab", 1L).count() == 0L)
   }
+
+  test("aucByGroup excludes NULL scores instead of ranking them lowest") {
+    import spark.implicits._
+    val df = Seq(("g", 1, Some(0.9)), ("g", 0, Some(0.1)), ("g", 1, None))
+      .toDF("g", "y", "score")
+    val out = Metrics.aucByGroup(df, "g", "y", "score").collect()
+    assert(out.length == 1)
+    // the null-scored positive is dropped: 1 pos vs 1 neg, separable
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 1L)
+    assert(out(0).getDouble(3) == 1.0)
+  }
+
+  // ---- classificationReport ------------------------------------------------
+
+  test("classificationReport matches the hand-computed per-class table") {
+    import spark.implicits._
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+      ("c", "b"), ("b", "e")).toDF("truth", "pred")
+    val out = Metrics.classificationReport(df, "truth", "pred")
+      .orderBy("klass").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 1L, 0L, 1L, 1.0, 0.5, 0.666667),
+      ("b", 3L, 2L, 2L, 1L, 0.5, 0.666667, 0.571429),
+      ("c", 1L, 0L, 0L, 1L, 0.0, 0.0, 0.0), // never predicted
+      ("e", 0L, 0L, 1L, 0L, 0.0, 0.0, 0.0))) // never true
+  }
+
+  test("classificationReport is partitioning-invariant") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (s"c${i % 4}", s"c${(i * 7) % 5}"))
+      .toDF("truth", "pred")
+    val a = Metrics.classificationReport(df, "truth", "pred").collect().toSet
+    val b = Metrics.classificationReport(df.repartition(13), "truth", "pred")
+      .collect().toSet
+    assert(a == b && a.size == 5)
+  }
+
+  // ---- regressionMetrics ---------------------------------------------------
+
+  test("regressionMetrics matches hand-computed RMSE/MAE/R2") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 2.0),
+      ("g", 4.0, 5.0)).toDF("g", "y", "pred")
+    val r = Metrics.regressionMetrics(df, "g", "y", "pred").collect()(0)
+    // e = [0,0,1,-1]: rmse = sqrt(.5), mae = .5, ssr = 2, sst = 5
+    assert(r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(2) - 0.707107) < 1e-9)
+    assert(r.getDouble(3) == 0.5)
+    assert(math.abs(r.getDouble(4) - 0.6) < 1e-9)
+  }
+
+  test("regressionMetrics survives large-mean low-variance targets") {
+    import spark.implicits._
+    // sum(y^2) - sum(y)^2/n cancels catastrophically at mean 1e9 and
+    // can go negative, silently dropping the group; var_pop must not
+    val df = Seq(("g", 1e9, 1e9), ("g", 1e9 + 1, 1e9 + 1),
+      ("g", 1e9 + 2, 1e9 + 2)).toDF("g", "y", "pred")
+    val out = Metrics.regressionMetrics(df, "g", "y", "pred").collect()
+    assert(out.length == 1, "group with real variance must be kept")
+    assert(out(0).getDouble(4) == 1.0) // perfect predictor
+  }
+
+  test("regressionMetrics drops zero-variance groups") {
+    import spark.implicits._
+    val df = Seq(("z", 5.0, 4.0), ("z", 5.0, 6.0), ("k", 1.0, 1.0),
+      ("k", 3.0, 3.0)).toDF("g", "y", "pred")
+    val out = Metrics.regressionMetrics(df, "g", "y", "pred").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("k"))
+  }
+
+  // ---- calibrationBins -----------------------------------------------------
+
+  test("calibrationBins matches hand-computed bins and clamps the range") {
+    import spark.implicits._
+    val df = Seq((1, 0.1), (0, 0.3), (1, 0.9), (1, 1.0), (0, -0.2), (1, 1.7))
+      .toDF("y", "score")
+    val out = Metrics.calibrationBins(df, "y", "score", 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // -0.2 clamps into bin 0; 1.0 and 1.7 clamp into bin 3
+    assert(out.toSeq == Seq(
+      (0, 2L, -0.05, 0.5), (1, 1L, 0.3, 0.0), (3, 3L, 1.2, 1.0)))
+  }
 }
