@@ -31,8 +31,10 @@ object Verify {
         System.err.println(s"[verify:cells] $name rows=$nRows cols=${cols.mkString(",")}")
         rows.foreach(r => System.err.println(s"[verify:cells] $name $r"))
       } else {
+        // bit_xor, not sum: order-independent like sum, but closed over
+        // Long — a summed hash overflows under ANSI mode at ~15k rows
         val sums = back
-          .select(cols.map(c => sum(xxhash64(asStr(c))).as(c)): _*)
+          .select(cols.map(c => bit_xor(xxhash64(asStr(c))).as(c)): _*)
           .collect()(0)
         System.err.println(s"[verify:checksum] $name rows=$nRows " +
           cols.zipWithIndex.map { case (c, i) => s"$c=${sums.get(i)}" }

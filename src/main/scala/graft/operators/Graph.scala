@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * Spark shape: the edge list and out-degrees are computed once and
   * cached; each iteration is one join-aggregate (shuffle keyed on dst)
   * plus a 1-row dangling-mass aggregate that stays IN the plan via a
-  * broadcast cross join — no per-iteration driver collect. The plan
-  * deepens linearly with iterations (fine for the single-digit counts
-  * rank propagation needs to stabilize a ranking; checkpoint past
-  * ~20).
+  * broadcast cross join — no per-iteration driver collect. An eager
+  * localCheckpoint every 3rd iteration keeps the planned lineage O(1)
+  * at any iteration depth; the edge artifact is hash-partitioned on
+  * the join key once so iterations only shuffle the rank side.
   */
 object Graph {
 
@@ -36,8 +36,13 @@ object Graph {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct()
     val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    // hash-partition the (big) edge artifact on the per-iteration join key
+    // ONCE: the cached layout's outputPartitioning satisfies every
+    // iteration's join requirement, so only the |nodes|-sized rank side
+    // moves each round — the edge side never re-shuffles
     val ewd = e.join(outDeg, "__src")
-      .select(col("__src"), col("__dst"), col("__deg")).cache()
+      .select(col("__src"), col("__dst"), col("__deg"))
+      .repartition(col("__src")).cache()
     val nodes = ewd.select(col("__src").as("node"))
       .union(ewd.select(col("__dst"))).distinct().cache()
     val n = nodes.count() // bounded: one scalar, once, not per iteration
@@ -52,7 +57,7 @@ object Graph {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = ewd
         .join(ranks.withColumnRenamed("node", "__src"), "__src")
         .groupBy(col("__dst").as("node"))
@@ -69,13 +74,17 @@ object Graph {
         else base.crossJoin(broadcast(kept.last))
       // each iteration reads the previous ranks up to three times
       // (contrib, dangling, node join): the persist is the lineage cut
-      // that stops 3^i recompute blowup; materialization happens once,
-      // through the final count below, each layer caching as the chain
-      // evaluates
-      ranks = withDm.select(col("node"),
+      // that stops 3^i recompute blowup. Persisted plans still NEST —
+      // the logical tree deepens linearly and the scheduler re-walks it
+      // every job — so at depth an eager localCheckpoint every 3rd
+      // iteration severs lineage entirely, keeping the planned tree O(1)
+      // however many iterations run
+      val next = withDm.select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__in"), lit(0.0)) + dm / n)).as("rank"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranks =
+        if (i % 3 == 0 && i < iterations) next.localCheckpoint()
+        else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       kept += ranks
     }
     ranks.count()

@@ -165,6 +165,39 @@ object Merge {
   // A crash between the swaps and the manifest commit leaves the
   // manifest one apply behind — readers fail closed, and the next
   // apply heals stale entries by re-deriving them from the live data.
+  //
+  // ——— determinism audit (round 6, for the q108/q119 driver flake) ————
+  // Every surface that could make two runs of the bucketed-CDC path
+  // disagree, and why each is pinned:
+  //   1. Merge resolution (applyChanges): row_number over
+  //      (key; __seq desc, __op asc) — a TOTAL order for any feed with
+  //      at most one change row per (key, seq): the base row carries the
+  //      MinValue sentinel, so base-vs-change and D-vs-U both order
+  //      deterministically under any partitioning (spec: "as-of reads
+  //      reproduce every version exactly"). Equal-seq same-op duplicate
+  //      payload rows are the one documented arbitrary case; q108/q119
+  //      feeds emit one change row per key by construction.
+  //   2. Bucket iteration / manifest bytes: swap loop walks `affected`
+  //      SORTED; writeManifest sorts buckets, history (bucket, since)
+  //      and commit_times keys — manifest bytes are a function of
+  //      content only. Checksums are bit-XOR of xxhash64 rows, invariant
+  //      to row/file/partition order (spec: "manifest bucket checksums
+  //      are invariant to input partitioning and row order").
+  //   3. Wall-clock commit stamps: used ONLY by readSnapshotAsOfTime
+  //      (q119 travels by seq, not time); same-ms ties resolve to
+  //      max(seq) (spec: "same-millisecond commit stamps..."); heal /
+  //      vacuum rewrites keep original stamps (spec: "timestamp-based
+  //      travel...").
+  //   4. Parquet row-group / file ordering on re-read: both driver
+  //      queries reduce to count + per-value-cast decimal sums —
+  //      order-insensitive aggregates; no window or limit touches the
+  //      re-read data.
+  //   5. Input admission (q108): exact fixture filename, one file → one
+  //      AvailableNow micro-batch; a glob that admitted a stray sidecar
+  //      was the one environment-shape dependency found — removed.
+  //   6. Task retries: every stage between scan and write is a
+  //      deterministic function of its input partition (no sampling, no
+  //      RNG, no time), so a retried task reproduces its output bytes.
 
   private val ManifestName = "_manifest.json"
 

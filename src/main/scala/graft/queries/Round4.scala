@@ -200,7 +200,13 @@ object Round4 {
       Merge.writeBucketedSnapshot(base, path, Seq("o_orderkey"), buckets = 16)
       val k = $"o_orderkey"
       val schema = s.read.parquet(s"$d/orders.parquet").schema
-      val changes = s.readStream.schema(schema).parquet(s"$d/orders.*")
+      // exact filename, not `orders.*`: a wildcard silently admits any
+      // sidecar the driver environment might leave next to the fixture
+      // (crc, tmp), which would duplicate change rows there and nowhere
+      // else — determinism-audit hardening, round 6. The brace glob
+      // matches ONLY this file while keeping the source's basePath a
+      // directory (a bare file path is rejected by the file source)
+      val changes = s.readStream.schema(schema).parquet(s"$d/{orders.parquet}")
         .filter(k % 7 === 0 || k % 11 === 0 || k % 13 === 0)
         .withColumn("__op", when(k % 11 === 0, "D").otherwise("U"))
         .withColumn("o_totalprice",

@@ -285,6 +285,33 @@ class Round5OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       a.forall { case (k, v) => math.abs(v - b(k)) < 1e-12 })
   }
 
+  test("pageRank at depth (iterations=10, localCheckpoint path) matches driver-side power iteration") {
+    import spark.implicits._
+    // small dense-ish digraph with a dangling node (6 has no out-edges)
+    val edgeSeq = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L),
+      (4L, 6L), (5L, 4L), (5L, 6L), (2L, 6L))
+    val out = Graph.pageRank(edgeSeq.toDF("s", "t"), "s", "t", iterations = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // reference: dense power iteration on the driver, same semantics
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val outAdj = edgeSeq.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val dm = nodes.filterNot(outAdj.contains).map(r).sum
+      val in = nodes.map { v =>
+        v -> outAdj.toSeq.collect {
+          case (s, ds) if ds.contains(v) => r(s) / ds.size
+        }.sum
+      }.toMap
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * (in(v) + dm / n))).toMap
+    }
+    assert(out.keySet == r.keySet)
+    r.foreach { case (k, v) =>
+      assert(math.abs(out(k) - v) < 1e-10, s"node $k: ${out(k)} vs $v") }
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
+
   // ---- fuzzy edit-distance join ---------------------------------------------
 
   test("fuzzy join equals brute force, including shorts and repeated grams") {

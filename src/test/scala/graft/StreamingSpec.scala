@@ -133,6 +133,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.count(_ > 0) >= 3, s"cap forces multiple batches: $sizes")
   }
 
+  test("capacity admission holds on a non-file source (maxOffsetsPerTrigger shape)") {
+    // The reference's `:capacity` maps to Kafka's maxOffsetsPerTrigger
+    // (SURVEY §2.2): a broker-backed backlog is admitted in fixed-size
+    // slices per trigger. No broker in this sandbox, so drive the same
+    // offset-sliced admission through rate-micro-batch — the built-in
+    // offset-range source whose per-trigger admission is an exact row
+    // budget, the identical DataSourceV2 latestOffset/planInputPartitions
+    // contract Kafka's admission limit uses.
+    val capacity = 7
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", capacity.toString)
+      .option("numPartitions", "3")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.add(b.count()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (batchSizes.size < 4 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      import scala.jdk.CollectionConverters._
+      val sizes = batchSizes.asScala.toSeq
+      assert(sizes.size >= 4, s"stream produced batches: $sizes")
+      assert(sizes.take(4).forall(_ == capacity),
+        s"every admitted slice is exactly the capacity budget: $sizes")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-key counts across batches") {
     import spark.implicits._
     val src = MemoryStream[(String, Int)](spark)

@@ -331,6 +331,60 @@ class TimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally cleanup(path)
   }
 
+  test("same-millisecond commit stamps resolve to the latest seq (deterministic tie)") {
+    import spark.implicits._
+    val path = freshPath()
+    try {
+      val base = (1L to 20L).map(k => (k, k)).toDF("k", "v")
+      Merge.writeBucketedSnapshot(base, path, Seq("k"), buckets = 2)
+      val feed = base.filter($"k" % 2 === 0)
+        .withColumn("v", $"v" + 100L)
+        .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+        .withColumn("seq", org.apache.spark.sql.functions.lit(1L))
+      Merge.applyChangesBucketed(path, feed, Seq("k"), "op", "seq", 2,
+        retainHistory = true)
+      // force the tie the wall clock rarely produces: rewrite the
+      // manifest JSON so both seqs carry the SAME stamp, then ask for
+      // exactly that instant — the resolution must pick max(seq), not a
+      // map-iteration-order seq
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new java.io.File(path, "_manifest.json"))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val ct = root.`with`("commit_times_ms")
+      val t0 = ct.get("0").asLong()
+      ct.put("1", t0)
+      // rewrite through the Hadoop fs so the local ChecksumFileSystem's
+      // .crc sidecar stays in sync with the edited bytes
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(new org.apache.hadoop.fs.Path(path, "_manifest.json"), true)
+      try out.write(om.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+      finally out.close()
+      assert(rows(Merge.readSnapshotAsOfTime(spark, path, t0)) ==
+        rows(spark.read.parquet(path)),
+        "a same-ms tie must serve the newest version deterministically")
+    } finally cleanup(path)
+  }
+
+  test("manifest bucket checksums are invariant to input partitioning and row order") {
+    import spark.implicits._
+    val pathA = freshPath(); val pathB = freshPath() + "b"
+    try {
+      val data = (1L to 200L).map(k => (k, k * 3))
+      val a = data.toDF("k", "v")
+      val b = scala.util.Random.shuffle(data).toDF("k", "v").repartition(7)
+      Merge.writeBucketedSnapshot(a, pathA, Seq("k"), buckets = 4)
+      Merge.writeBucketedSnapshot(b, pathB, Seq("k"), buckets = 4)
+      val fs = new org.apache.hadoop.fs.Path(pathA)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def sums(p: String) = Merge.readManifest(fs, p).get._2
+        .map { case (bk, st) => bk -> ((st.rows, st.checksum)) }
+      // the per-bucket (rows, checksum) pair — q108's red-row forensic —
+      // must match bit-for-bit whatever partitioning produced the files
+      assert(sums(pathA) == sums(pathB))
+    } finally { cleanup(pathA); cleanup(pathB) }
+  }
+
   test("a fresh snapshot reads as-of 0 and rejects the future") {
     import spark.implicits._
     val path = freshPath()
