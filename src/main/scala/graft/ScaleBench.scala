@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale spot-bench: do the superlinear-risk queries grow ≲ linearly in
+  * the data? No sf1 fixture ships with the sandbox, so this synthesizes
+  * one from sf0.1 — K disjoint copies with offset keys and per-copy
+  * token-perturbed text — and times the risk queries at ×1 vs ×K in one
+  * JVM. The perturbations keep copies mutually DISSIMILAR (token prefix
+  * `c{i}_` on every word; 3-char name prefixes pairwise edit-distance 3
+  * apart) so near-dup clusters, fuzzy-match pairs, and graph components
+  * stay copy-local: the ×K corpus carries exactly K× the structure, and
+  * any wall-time ratio well past K exposes a superlinear plan.
+  *
+  * Usage: SPARK_GRAFT_SCALE_K=10 sbt "runMain graft.ScaleBench"
+  * Prints one JSON line: per-query seconds at ×1 / ×K and the ratio.
+  */
+object ScaleBench {
+
+  private val RiskQueries = Seq("q66_dedup_groups", "q101_substring_dedup",
+    "q129_fuzzy_join", "q130_pagerank", "q144_triangle_stats")
+
+  /** K offset/perturbed copies of the four input tables the risk
+    * queries read. Copy 0 gets the same transformation as every other
+    * copy so the ×1 baseline measures identical per-row work. */
+  private def synthesize(s: SparkSession, src: String, out: String, k: Int): Unit = {
+    import s.implicits._
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map(i => f(df, i)).reduce(_ unionAll _)
+
+    val docs = s.read.parquet(s"$src/documents.parquet")
+    copies(docs) { (df, i) =>
+      df.withColumn("doc_id", $"doc_id" + lit(i.toLong * 10000000L))
+        // every token gets a copy-local prefix: within-copy token
+        // equality (shingles, grams, spans) is preserved bit-for-bit,
+        // cross-copy similarity drops to zero
+        .withColumn("text", regexp_replace($"text", "(\\S+)", s"c${i}_$$1"))
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val cust = s.read.parquet(s"$src/customer.parquet")
+    copies(cust) { (df, i) =>
+      df.withColumn("c_custkey", $"c_custkey" + lit(i.toLong * 10000000L))
+        // pairwise edit distance between any two copy prefixes is 3
+        // (> maxDist=1), so fuzzy pairs stay copy-local
+        .withColumn("c_name", concat(lit(s"q$i$i$i "), $"c_name"))
+    }.write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    val orders = s.read.parquet(s"$src/orders.parquet")
+    copies(orders) { (df, i) =>
+      df.withColumn("o_orderkey", $"o_orderkey" + lit(i.toLong * 1000000000L))
+        .withColumn("o_custkey", $"o_custkey" + lit(i.toLong * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val li = s.read.parquet(s"$src/lineitem.parquet")
+    copies(li) { (df, i) =>
+      df.withColumn("l_orderkey", $"l_orderkey" + lit(i.toLong * 1000000000L))
+        .withColumn("l_suppkey", $"l_suppkey" + lit(i.toLong * 10000000L))
+        .withColumn("l_partkey", $"l_partkey" + lit(i.toLong * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d1 = s"/tmp/graft_scale_x1"
+    val dk = s"/tmp/graft_scale_x$k"
+    System.err.println(s"[scalebench] synthesizing x1 + x$k from $src")
+    synthesize(spark, src, d1, 1)
+    synthesize(spark, src, dk, k)
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[scalebench] $name failed: $e"); -1.0 }
+      finally spark.catalog.clearCache()
+    }
+
+    val rows = RiskQueries.map { q =>
+      time(q, d1) // untimed warmup: codegen/JIT paid before either scale
+      val t1 = time(q, d1)
+      val tk = time(q, dk)
+      val ratio = if (t1 > 0 && tk > 0) tk / t1 else -1.0
+      System.err.println(f"[scalebench] $q x1=$t1%.2fs x$k=$tk%.2fs ratio=$ratio%.2f")
+      (q, t1, tk, ratio)
+    }
+    val qs = rows.map { case (q, t1, tk, r) =>
+      f""""$q":{"x1_sec":$t1%.3f,"x${k}_sec":$tk%.3f,"ratio":$r%.3f}""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_ratio","data_ratio":$k,"queries":$qs,"src":"$src"}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scalebench_out.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[scalebench] write failed: $e") }
+    spark.stop()
+  }
+}

@@ -277,4 +277,34 @@ object TextAnalysis {
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
   }
+
+  /** Overlapping token-window chunking — the retrieval-prep operator
+    * that turns documents into fixed-budget passages (RAG indexing,
+    * context-window packing). One chunk starts at every `stride`-grid
+    * token position below the doc's token count, covering up to
+    * `window` tokens (trailing chunks are shorter). Pure map-side
+    * explode — zero shuffles, chunk count ∝ corpus tokens / stride —
+    * so the operator scales with a plain scan. Returns
+    * `(id, chunk_idx, start_tok, chunk_len, first_tok, last_tok)`;
+    * first/last token stand in for the chunk text so the full token
+    * slice never needs to materialize twice. */
+  def passageChunks(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window]: $stride")
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .select(col("id"), col("__ws"), col("__n"),
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
+          lit(stride))).as("start_tok"))
+      .select(col("id"),
+        (col("start_tok") / stride).cast("int").as("chunk_idx"),
+        col("start_tok"),
+        least(lit(window), col("__n") - col("start_tok")).as("chunk_len"),
+        element_at(col("__ws"), col("start_tok") + 1).as("first_tok"),
+        element_at(col("__ws"),
+          least(col("__n"), col("start_tok") + lit(window))).as("last_tok"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Metrics, Retrieval, Similarity}
+import graft.operators.{Dedup, Metrics, Mixing, Retrieval, Similarity, TextAnalysis}
 import graft.sources.{Tables => T}
 
 /** Round-5 fourth wave: the retrieval/eval read-outs — BM25 keyword
@@ -247,6 +247,99 @@ object Round8 {
         FROM e)
       SELECT bin, count(*) AS n, round(avg(score), 6) AS mean_score,
              round(avg(CAST(y AS DOUBLE)), 6) AS frac_pos
-      FROM b GROUP BY 1 ORDER BY bin"""))
+      FROM b GROUP BY 1 ORDER BY bin""")),
+
+    // leakage-safe dataset split: near-dup GROUPS (q66's components;
+    // singletons group as themselves) are assigned wholly to one split
+    // by the reproducible multiplicative hash — a near-duplicate can
+    // never straddle train/test, the leakage plain per-doc splitting
+    // (q96) permits. Composition of two verified operators; the split
+    // itself stays map-side once groups exist
+    Q("q169_group_split", (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", 0.5)
+      val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .select($"id".as("doc_id"), $"component".as("group_id"))
+      val grouped = docs.select($"doc_id").join(comps, Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce($"group_id", $"doc_id"))
+      Mixing.splitByHash(grouped, "group_id", "split",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select($"doc_id", $"group_id", $"split")
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, greatest(len(ws) - 2, 0)),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
+             FROM w),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                      len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      reach AS (SELECT src AS id, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id AS doc_id, min(lbl) AS group_id FROM reach GROUP BY id),
+      g AS (SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN comp c USING (doc_id))
+      SELECT doc_id, group_id,
+             CASE WHEN ((group_id % 2147483648) * 2654435761) % 1000 < 800 THEN 'train'
+                  WHEN ((group_id % 2147483648) * 2654435761) % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g ORDER BY doc_id""")),
+
+    // per-domain quality-quantile gate: keep each language's top quartile
+    // by token count — the "prune the bottom p% by quality signal within
+    // each domain" shape of curated-corpus recipes. One keyed window
+    // (shuffle on lang), no global sort; percent_rank's tie handling is
+    // identical across engines, so the gate is exactly reproducible
+    Q("q170_quality_quantile_gate", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val scored = T.documents(s, d).select($"doc_id", $"lang",
+        TextAnalysis.tokenCount($"text").as("n_tok"))
+      scored
+        .withColumn("pr", percent_rank().over(
+          Window.partitionBy($"lang").orderBy($"n_tok")))
+        .filter($"pr" >= 0.75)
+        .select($"doc_id", $"lang", $"n_tok", round($"pr", 6).as("pr"))
+        .orderBy($"doc_id")
+    }, Some("""
+      WITH t AS (SELECT doc_id, lang,
+                        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tok
+                 FROM documents),
+      r AS (SELECT doc_id, lang, n_tok,
+                   percent_rank() OVER (PARTITION BY lang ORDER BY n_tok) AS pr
+            FROM t)
+      SELECT doc_id, lang, n_tok, round(pr, 6) AS pr
+      FROM r WHERE pr >= 0.75 ORDER BY doc_id""")),
+
+    // retrieval-prep passage chunking: overlapping 32-token windows at
+    // stride 16 over every document — map-side explode, zero shuffles,
+    // output ∝ corpus tokens / stride. See TextAnalysis.passageChunks
+    Q("q171_passage_chunks", (s, d) => {
+      import s.implicits._
+      TextAnalysis.passageChunks(T.documents(s, d), "doc_id", "text",
+          window = 32, stride = 16)
+        .select($"id".as("doc_id"), $"chunk_idx", $"start_tok",
+          $"chunk_len", $"first_tok", $"last_tok")
+        .orderBy($"doc_id", $"chunk_idx")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      c AS (SELECT doc_id, ws, len(ws) AS n,
+                   unnest(generate_series(0, len(ws) - 1, 16)) AS start_tok
+            FROM w)
+      SELECT doc_id, CAST(start_tok / 16 AS INT) AS chunk_idx,
+             CAST(start_tok AS INT) AS start_tok,
+             CAST(least(32, n - start_tok) AS INT) AS chunk_len,
+             ws[CAST(start_tok AS INT) + 1] AS first_tok,
+             ws[CAST(least(n, start_tok + 32) AS INT)] AS last_tok
+      FROM c ORDER BY doc_id, chunk_idx"""))
   )
 }

@@ -271,4 +271,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       pt.getFileSystem(spark.sessionState.newHadoopConf()).delete(pt, true)
     }
   }
+
+  test("q130: pageRank iterations never re-shuffle the edge side") {
+    // the edge artifact is hash-partitioned on the join key once at
+    // build; in the final iteration's plan the cached edge scan must
+    // feed the contrib join directly — an Exchange separated from the
+    // edge cache only by partitioning-preserving nodes (project/filter/
+    // sort/codegen) means the loop-invariant layout was lost and every
+    // iteration would pay an edge-sized shuffle. The contrib AGGREGATE's
+    // exchange legitimately moves join output (the walk stops at the
+    // join). AQE + auto-broadcast off: the production shape at scale is
+    // a shuffled join, which tiny test data would otherwise broadcast.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (1L to 300L).map(i => (i % 30, (i * 11) % 30))
+        .filter(e => e._1 != e._2).toDF("s", "t")
+      val out = operators.Graph.pageRank(edges, "s", "t", iterations = 2)
+      val plan = out.queryExecution.executedPlan
+      def cls(p: SparkPlan) = p.getClass.getSimpleName
+      def isEdgeCacheScan(p: SparkPlan) =
+        cls(p) == "InMemoryTableScanExec" &&
+          Set("__src", "__dst", "__deg").subsetOf(p.output.map(_.name).toSet)
+      val preserving = Set("ProjectExec", "FilterExec", "SortExec",
+        "WholeStageCodegenExec", "InputAdapter", "ColumnarToRowExec")
+      def reachesEdgeCache(p: SparkPlan): Boolean =
+        isEdgeCacheScan(p) ||
+          (preserving.contains(cls(p)) && p.children.exists(reachesEdgeCache))
+      val offending = plan.collect {
+        case ex if cls(ex) == "ShuffleExchangeExec" &&
+          ex.children.exists(reachesEdgeCache) => ex
+      }
+      assert(plan.toString.contains("InMemoryTableScan"),
+        s"edge artifact must serve from cache:\n$plan")
+      assert(offending.isEmpty,
+        s"edge cache re-shuffled beneath ${offending.size} Exchange(s):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }

@@ -256,4 +256,39 @@ class Round8OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq(
       (0, 2L, -0.05, 0.5), (1, 1L, 0.3, 0.0), (3, 3L, 1.2, 1.0)))
   }
+
+  // ---- passageChunks -------------------------------------------------------
+
+  test("passageChunks matches hand-computed windows, strides, and tails") {
+    import spark.implicits._
+    // doc 1: 5 tokens, window 4 / stride 2 -> starts 0,2,4 with tails
+    // doc 2: exactly one window; doc 3: empty text -> one 1-token chunk
+    // (whitespace tokenization of "" is [""], the corpus convention)
+    val docs = Seq((1L, "a b c d e"), (2L, "x y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .passageChunks(docs, "doc_id", "text", window = 4, stride = 2)
+      .orderBy("id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0, 4, "a", "d"),
+      (1L, 1, 2, 3, "c", "e"),
+      (1L, 2, 4, 1, "e", "e"),
+      (2L, 0, 0, 2, "x", "y"),
+      (3L, 0, 0, 1, "", "")))
+  }
+
+  test("passageChunks chunk count is exactly ceil(n/stride) per doc") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 33).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 32).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val counts = graft.operators.TextAnalysis
+      .passageChunks(docs, "doc_id", "text", window = 32, stride = 16)
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 2L)) // ceil(33/16)=3, ceil(32/16)=2
+  }
 }
