@@ -95,6 +95,72 @@ object Graph {
     ranks
   }
 
+  /** HITS hub/authority scores (Kleinberg 1999) after `iterations`
+    * mutual-reinforcement rounds from a uniform hub start, L1-normalized
+    * each half-step (all scores are non-negative, so the L1 norm is the
+    * plain sum and the replayable choice — an L2 norm would add a sqrt
+    * whose argument is an order-sensitive sum of squares).
+    *
+    * Spark shape: the distinct edge list is materialized TWICE, once
+    * hash-partitioned on `src` and once on `dst` — each half-step joins
+    * scores on a different side, and two cached layouts mean only the
+    * |nodes|-sized score frame ever moves (the two-layout trade is the
+    * standard one for iterated bidirectional propagation; at 100 TB the
+    * copies live as two bucketed artifacts). Normalization rides the
+    * plan as a 1-row broadcast cross join — no per-iteration collect;
+    * per-iteration persists cut lineage like [[pageRank]].
+    *
+    * Returns `(node, hub, auth)` — nodes with no out-edges score hub 0,
+    * no in-edges auth 0.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct()
+    val eSrc = e.repartition(col("__src")).cache()
+    val eDst = e.repartition(col("__dst")).cache()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst"))).distinct().cache()
+    require(nodes.limit(1).count() > 0, "empty graph")
+
+    var hubs = nodes.withColumn("hub", lit(1.0))
+    var auths: DataFrame = null
+    val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (i <- 1 to iterations) {
+      // auth(v) = Σ_{u→v} hub(u), then / Σ_v auth(v)
+      val aRaw = eSrc.join(hubs.withColumnRenamed("node", "__src"), "__src")
+        .groupBy(col("__dst").as("node")).agg(sum(col("hub")).as("__a"))
+      val aNorm = aRaw.agg(sum(col("__a")).as("__s"))
+      auths = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aNorm))
+        .select(col("node"),
+          (coalesce(col("__a"), lit(0.0)) / col("__s")).as("auth"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept += auths
+      // hub(u) = Σ_{u→v} auth(v), then / Σ_u hub(u)
+      val hRaw = eDst.join(auths.withColumnRenamed("node", "__dst"), "__dst")
+        .groupBy(col("__src").as("node")).agg(sum(col("auth")).as("__h"))
+      val hNorm = hRaw.agg(sum(col("__h")).as("__s"))
+      val next = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hNorm))
+        .select(col("node"),
+          (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
+      hubs =
+        if (i % 3 == 0 && i < iterations) next.localCheckpoint()
+        else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept += hubs
+    }
+    val out = hubs.join(auths, "node").select(
+      col("node"), col("hub"), col("auth"))
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    kept.foreach(_.unpersist(blocking = false))
+    eSrc.unpersist(blocking = false)
+    eDst.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Exact triangle count + global clustering coefficient over an
     * undirected graph, as one row
     * `(n_nodes, n_edges, n_wedges, n_triangles, gcc)`.

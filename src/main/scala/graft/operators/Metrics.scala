@@ -214,4 +214,60 @@ object Metrics {
           / (col("tok_df") * (col("n") - col("tok_df"))
              * col("lab_n") * (col("n") - col("lab_n"))), 6).as("chi2"))
   }
+
+  /** Decile (or `buckets`-ile) lift/gains table for a binary-response
+    * scorer: rows ranked by `(score desc, tie asc)`, split into
+    * equal-count buckets, per bucket the response rate plus the
+    * CUMULATIVE capture rate and lift — the campaign-targeting /
+    * threshold-picking read-out.
+    *
+    * Scale shape: the global rank comes from [[graft.operators.Scale.prefixSum]]'s
+    * range-partition + per-partition window (NO single-partition global
+    * window over the data); bucket ids are integer arithmetic
+    * `((rank-1)·buckets) div n` — exact, reproducible, and remainder
+    * rows spread deterministically. Only the final `buckets`-row frame
+    * sees an unpartitioned window (bounded metadata). `tieCol` must be
+    * unique so the rank — and with it every bucket boundary — is a
+    * total order. `labelCol` must be 0/1.
+    *
+    * Returns `(bucket, n_rows, n_pos, response_rate, cum_capture,
+    * cum_lift)`, rates rounded to 6 places. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      tieCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val n = df.count()
+    require(n >= buckets, s"need >= $buckets rows, got $n")
+    val ranked = Scale.prefixSum(
+      df.select(col(scoreCol).as("__score"),
+          col(labelCol).cast("long").as("__y"), col(tieCol).as("__tie"))
+        .withColumn("__ord", struct((-col("__score")).as("s"),
+          col("__tie").as("t")))
+        .withColumn("__one", lit(1)),
+      "__ord", "__one", "__rn")
+    // `div` keeps the bucket id integer-exact at any n (long/long `/`
+    // would detour through double)
+    val perBucket = ranked
+      .withColumn("bucket",
+        expr(s"((__rn - 1) * $buckets) div ${n}L") + 1)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("n_pos"))
+    // the remaining windows run over exactly `buckets` rows — metadata
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perBucket
+      .withColumn("__cum_pos", sum(col("n_pos")).over(w))
+      .withColumn("__cum_n", sum(col("n_rows")).over(w))
+      .withColumn("__tot_pos", sum(col("n_pos")).over(wAll))
+      .withColumn("__tot_n", sum(col("n_rows")).over(wAll))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_rows"), 6)
+          .as("response_rate"),
+        round(col("__cum_pos").cast("double") / col("__tot_pos"), 6)
+          .as("cum_capture"),
+        round((col("__cum_pos").cast("double") / col("__cum_n"))
+          / (col("__tot_pos").cast("double") / col("__tot_n")), 6)
+          .as("cum_lift"))
+  }
 }

@@ -98,4 +98,44 @@ object Profile {
         round(se * se / (se1 * se1 / (col("n_1") - 1)
           + se2 * se2 / (col("n_2") - 1)), 6).as("welch_df"))
   }
+
+  /** Key-skew diagnostic for a prospective shuffle key, as ONE row:
+    * `(n_rows, n_keys, max_count, top1_share, top10_share, gini)` —
+    * the report that decides whether a join/aggregation on `keyCol`
+    * needs salting ([[Scale.saltedJoin]]) or AQE skew handling before
+    * it runs at full scale.
+    *
+    * Everything after the first aggregate operates on the |keys|-sized
+    * count table. The Gini coefficient needs each key's RANK by count —
+    * a global order — so ranks come from [[Scale.prefixSum]]'s
+    * range-partition machinery, never a single-partition window over
+    * the keys: `G = 2·Σ rank·c / (K·Σc) − (K+1)/K` with ranks over
+    * `(count, key)` ascending (total order ⇒ deterministic), and the
+    * rank-weighted sum is integer arithmetic — exact under any
+    * partitioning. Top-10 share reads a bounded TakeOrdered head. */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val ranked = Scale.prefixSum(
+      counts.withColumn("__ord", struct(col("__c"), col("__k")))
+        .withColumn("__one", lit(1)),
+      "__ord", "__one", "__rank")
+    val folded = ranked.agg(
+      sum(col("__c")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("__c")).as("max_count"),
+      sum(col("__rank") * col("__c")).as("__rc"))
+    // the 10 heaviest keys: orderBy+limit plans as TakeOrdered (bounded
+    // heap per partition + driver merge of 10-row heads), not a sort
+    val top10 = counts.orderBy(col("__c").desc, col("__k"))
+      .limit(10).agg(sum(col("__c")).as("__top10"))
+    folded.crossJoin(top10).select(
+      col("n_rows"), col("n_keys"), col("max_count"),
+      round(col("max_count").cast("double") / col("n_rows"), 6)
+        .as("top1_share"),
+      round(col("__top10").cast("double") / col("n_rows"), 6)
+        .as("top10_share"),
+      round(lit(2.0) * col("__rc") / (col("n_keys") * col("n_rows"))
+        - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
+  }
 }

@@ -208,4 +208,31 @@ object TimeSeries {
       avg(v).over(w.rowsBetween(-rollN, -1)), 6).as("roll_mean")
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
+
+  /** All pairs of SAME-KEY intervals `[start, end]` (dates, inclusive)
+    * that overlap, with the overlap length in days. Returns
+    * `(key, a_id, b_id, a_start, b_start, overlap_days)` with
+    * `a_id < b_id` so each unordered pair appears once.
+    *
+    * Spark shape: one hash equi-join on the key plus a residual
+    * overlap predicate — never an inequality-only join (a nested loop
+    * at scale). Cost is Σ per-key C(n,2), bounded whenever the key
+    * bounds its interval count (orders per customer, sessions per
+    * user). For keyLESS interval overlap, bucket by coarse time bin
+    * first ([[explodeMonthBins]]) and dedup pairs — same rewrite,
+    * calendar as the synthetic key. */
+  def overlappingIntervals(df: DataFrame, keyCol: String, idCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val a = df.select(col(keyCol).as("key"), col(idCol).as("a_id"),
+      col(startCol).as("__as"), col(endCol).as("__ae"))
+    val b = df.select(col(keyCol).as("key"), col(idCol).as("b_id"),
+      col(startCol).as("__bs"), col(endCol).as("__be"))
+    a.join(b, "key")
+      .filter(col("a_id") < col("b_id") &&
+        col("__as") <= col("__be") && col("__bs") <= col("__ae"))
+      .select(col("key"), col("a_id"), col("b_id"),
+        col("__as").as("a_start"), col("__bs").as("b_start"),
+        (datediff(least(col("__ae"), col("__be")),
+          greatest(col("__as"), col("__bs"))) + 1).as("overlap_days"))
+  }
 }
