@@ -323,4 +323,30 @@ object Mixing {
       .withColumn("seq_offset", pmod(col("start_token"), lit(seqLen.toLong)))
       .drop("__cum")
   }
+
+  /** Power-of-two length bucketing for padded batching: each row's
+    * `lengthCol` maps to the smallest power of two ≥ it, and the report
+    * gives per-bucket row/token counts plus the padding a batcher would
+    * waste filling every sequence to the bucket size — the read-out
+    * that decides bucket granularity for a training dataloader.
+    *
+    * The bucket id is INTEGER arithmetic: `2^bitlen(n-1)` via the
+    * binary-string length of `n-1` (`length(bin(n-1))`), never
+    * `2^ceil(log2 n)` — the float log misassigns exact powers of two.
+    * Map-side projection + one ≤64-group aggregate; returns
+    * `(bucket, n_rows, total_len, padding, waste_frac)`. */
+  def lengthBuckets(df: DataFrame, lengthCol: String): DataFrame = {
+    df.select(col(lengthCol).cast("long").as("__n"))
+      .withColumn("bucket", when(col("__n") <= 1, lit(1L))
+        // SQL shiftleft accepts a column shift amount; the DSL overload
+        // only takes a literal
+        .otherwise(expr(
+          "shiftleft(cast(1 as bigint), cast(length(bin(__n - 1)) as int))")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__n")).as("total_len"),
+        sum(col("bucket") - col("__n")).as("padding"))
+      .select(col("bucket"), col("n_rows"), col("total_len"), col("padding"),
+        round(col("padding").cast("double") /
+          (col("bucket") * col("n_rows")), 6).as("waste_frac"))
+  }
 }

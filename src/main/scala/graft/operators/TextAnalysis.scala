@@ -307,4 +307,79 @@ object TextAnalysis {
         element_at(col("__ws"),
           least(col("__n"), col("start_tok") + lit(window))).as("last_tok"))
   }
+
+  /** Document-frequency vocabulary pruning — the TF-IDF / embedding-prep
+    * preprocessing step: tokens appearing in MORE than
+    * `maxShare`·|docs| documents (corpus-wide glue with no signal) or in
+    * FEWER than `minDf` documents (noise/typos that bloat the vocab)
+    * are removed from every document; the rest keep their exact order.
+    *
+    * Returns `(id, n_tokens, n_kept, n_dropped_hi, n_dropped_lo,
+    * kept_text)`.
+    *
+    * Scale shape: one token explode feeds the vocab-sized df aggregate;
+    * only the PRUNED vocabulary (out-of-band tokens — vocab-sized at
+    * worst, typically far smaller) joins back against the exploded
+    * corpus, AQE-broadcastable; reassembly sorts each doc's surviving
+    * `(pos, token)` structs in-aggregate — `collect_list` alone has no
+    * order guarantee under retries. */
+  def pruneByDocFreq(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxShare: Double, minDf: Long): org.apache.spark.sql.DataFrame = {
+    require(maxShare > 0 && maxShare <= 1, s"maxShare in (0,1]: $maxShare")
+    require(minDf >= 0, s"minDf must be >= 0: $minDf")
+    val toks = docs
+      .select(col(idCol).as("id"), posexplode(tokens(col(textCol)))
+        .as(Seq("__pos", "__tok")))
+    val nDocs = docs.agg(count(lit(1)).as("__nd"))
+    val df = toks.select(col("id"), col("__tok")).distinct()
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val pruned = df.crossJoin(broadcast(nDocs))
+      .select(col("__tok"),
+        when(col("__df") > col("__nd") * maxShare, lit("hi"))
+          .when(col("__df") < minDf, lit("lo")).as("__why"))
+      .filter(col("__why").isNotNull)
+    toks.join(pruned, Seq("__tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__why").isNull, 1)).as("n_kept"),
+        count(when(col("__why") === "hi", 1)).as("n_dropped_hi"),
+        count(when(col("__why") === "lo", 1)).as("n_dropped_lo"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__why").isNull,
+            struct(col("__pos"), col("__tok"))))),
+          s => s.getField("__tok"))).as("kept_text"))
+  }
+
+  /** Per-domain unigram-distribution drift: KL(P_domain ‖ P_corpus)
+    * over word frequencies — the mixture-monitoring read-out that flags
+    * a source whose token distribution wanders from the corpus it
+    * feeds. No smoothing needed: every domain token is by construction
+    * in the corpus support. Returns `(domain, n_tokens, n_terms, kl)`.
+    *
+    * One token explode serves both aggregates; the per-(domain, token)
+    * cell table joins the vocab-sized corpus counts (AQE-broadcastable)
+    * and folds to |domains| rows. KL sums are order-sensitive doubles —
+    * rounded to 6 places, the same contract as every LM score here. */
+  def unigramKlByDomain(docs: org.apache.spark.sql.DataFrame,
+      domainCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(domainCol).as("domain"),
+      explode(tokens(col(textCol))).as("__tok"))
+    val cells = toks.groupBy(col("domain"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val corpus = cells.groupBy(col("__tok"))
+      .agg(sum(col("__c")).as("__cw"))
+    val domTot = cells.groupBy(col("domain")).agg(sum(col("__c")).as("__ts"))
+    val tot = corpus.agg(sum(col("__cw")).as("__t"))
+    cells
+      .join(corpus, "__tok")
+      .join(domTot, "domain")
+      .crossJoin(broadcast(tot))
+      .select(col("domain"), col("__ts"), col("__c"),
+        ((col("__c").cast("double") / col("__ts")) *
+          log((col("__c").cast("double") / col("__ts")) /
+            (col("__cw").cast("double") / col("__t")))).as("__term"))
+      .groupBy(col("domain"))
+      .agg(max(col("__ts")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        round(sum(col("__term")), 6).as("kl"))
+  }
 }

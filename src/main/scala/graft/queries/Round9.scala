@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOf, Graph, Metrics, Profile, TimeSeries}
+import graft.operators.{AsOf, Graph, Metrics, Mixing, Profile, TextAnalysis, TimeSeries}
 import graft.sources.{Tables => T}
 
 /** Round-6 wave: graph authority scoring (HITS), marketing attribution,
@@ -177,6 +177,79 @@ object Round9 {
              round(cum_pos * 1.0 / tot_pos, 6) AS cum_capture,
              round((cum_pos * 1.0 / cum_n)
                / (tot_pos * 1.0 / tot_n), 6) AS cum_lift
-      FROM w ORDER BY bucket"""))
+      FROM w ORDER BY bucket""")),
+
+    // document-frequency vocabulary pruning: corpus-glue tokens (df >
+    // 50% of docs) and rare noise (df < 3) removed from every doc,
+    // surviving tokens kept in exact order — only the pruned vocab
+    // joins back against the corpus (AQE-broadcastable)
+    Q("q177_df_prune", (s, d) => {
+      import s.implicits._
+      TextAnalysis.pruneByDocFreq(T.documents(s, d), "doc_id", "text",
+          maxShare = 0.5, minDf = 3L)
+        .orderBy($"id")
+    }, Some("""
+      WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                 FROM documents),
+      tk AS (SELECT doc_id, ws,
+                    unnest(generate_series(1, len(ws))) AS pos
+             FROM w),
+      t AS (SELECT doc_id, CAST(pos AS INT) AS pos, ws[pos] AS tok FROM tk),
+      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      nd AS (SELECT count(*) AS nd FROM documents),
+      pr AS (SELECT tok, CASE WHEN df > nd * 0.5 THEN 'hi'
+                              WHEN df < 3 THEN 'lo' END AS why
+             FROM df, nd WHERE df > nd * 0.5 OR df < 3)
+      SELECT t.doc_id AS id, count(*) AS n_tokens,
+             count(CASE WHEN why IS NULL THEN 1 END) AS n_kept,
+             count(CASE WHEN why = 'hi' THEN 1 END) AS n_dropped_hi,
+             count(CASE WHEN why = 'lo' THEN 1 END) AS n_dropped_lo,
+             coalesce(string_agg(CASE WHEN why IS NULL THEN tok END,
+               ' ' ORDER BY pos), '') AS kept_text
+      FROM t LEFT JOIN pr USING (tok)
+      GROUP BY 1 ORDER BY id""")),
+
+    // per-source unigram KL divergence from the corpus distribution —
+    // the mixture-drift monitor; cells join vocab-sized corpus counts,
+    // folded to |sources| rows
+    Q("q178_kl_drift", (s, d) => {
+      import s.implicits._
+      TextAnalysis.unigramKlByDomain(T.documents(s, d), "source", "text")
+        .orderBy($"domain")
+    }, Some("""
+      WITH t AS (SELECT source AS domain,
+                        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                 FROM documents),
+      cells AS (SELECT domain, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      corpus AS (SELECT tok, sum(c) AS cw FROM cells GROUP BY 1),
+      dt AS (SELECT domain, sum(c) AS ts FROM cells GROUP BY 1),
+      tt AS (SELECT sum(cw) AS t FROM corpus)
+      SELECT cells.domain AS domain, max(ts) AS n_tokens,
+             count(*) AS n_terms,
+             round(sum((c * 1.0 / ts) *
+               ln((c * 1.0 / ts) / (cw * 1.0 / t))), 6) AS kl
+      FROM cells JOIN corpus USING (tok) JOIN dt ON dt.domain = cells.domain,
+           tt
+      GROUP BY 1 ORDER BY cells.domain""")),
+
+    // power-of-two length bucketing with padding-waste accounting — the
+    // batching-efficiency read-out; integer bit arithmetic (never float
+    // log2), map-side projection + a <=64-group aggregate
+    Q("q179_length_buckets", (s, d) => {
+      import s.implicits._
+      val lens = T.documents(s, d).select(
+        TextAnalysis.tokenCount($"text").as("n_tok"))
+      Mixing.lengthBuckets(lens, "n_tok").orderBy($"bucket")
+    }, Some("""
+      WITH t AS (SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n
+                 FROM documents),
+      b AS (SELECT n, CASE WHEN n <= 1 THEN 1
+                           ELSE (1::BIGINT << length(bin(n - 1))) END AS bucket
+            FROM t)
+      SELECT bucket, count(*) AS n_rows, sum(n) AS total_len,
+             sum(bucket - n) AS padding,
+             round(sum(bucket - n) * 1.0 / (bucket * count(*)), 6)
+               AS waste_frac
+      FROM b GROUP BY 1 ORDER BY bucket"""))
   )
 }

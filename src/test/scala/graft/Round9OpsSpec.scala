@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{Graph, Metrics, Profile, TimeSeries}
+import graft.operators.{Graph, Metrics, Mixing, Profile, TextAnalysis, TimeSeries}
 
 /** Round-6 wave operators: HITS, interval-overlap pairs, skew report,
   * lift table. */
@@ -120,6 +120,83 @@ class Round9OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getDouble(4) == 1.0)
     assert(out(0).getDouble(5) == 2.0)
     assert(out(1).getLong(2) == 0 && out(1).getDouble(5) == 1.0)
+  }
+
+  // ---- TextAnalysis.pruneByDocFreq -----------------------------------------
+
+  test("pruneByDocFreq drops high-df glue and low-df noise, keeps order") {
+    import spark.implicits._
+    // 'the' in 3/3 docs (> 2/3 share -> hi); 'zq' df 1 (< 2 -> lo);
+    // 'cat'/'dog' df 2 survive
+    val docs = Seq((1L, "the cat dog zq"), (2L, "cat the dog"),
+      (3L, "the")).toDF("id", "text")
+    val out = TextAnalysis.pruneByDocFreq(docs, "id", "text", 0.67, 2L)
+      .orderBy("id").collect()
+    assert(out(0).getString(5) == "cat dog")
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 2 &&
+      out(0).getLong(3) == 1 && out(0).getLong(4) == 1)
+    assert(out(1).getString(5) == "cat dog") // order preserved per doc
+    assert(out(2).getString(5) == "" && out(2).getLong(2) == 0)
+  }
+
+  test("pruneByDocFreq is partitioning-invariant") {
+    import spark.implicits._
+    val docs = (1 to 50)
+      .map(i => (i.toLong, s"tok${i % 3} tok${i % 7} tok$i always"))
+      .toDF("id", "text")
+    val a = TextAnalysis.pruneByDocFreq(docs, "id", "text", 0.5, 2L)
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.pruneByDocFreq(docs.repartition(11), "id", "text",
+      0.5, 2L).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  // ---- TextAnalysis.unigramKlByDomain --------------------------------------
+
+  test("unigramKlByDomain matches the hand-computed divergence") {
+    import spark.implicits._
+    // corpus: a x3, b x1 -> P_c(a)=3/4, P_c(b)=1/4
+    // d1 = "a a" -> P(a)=1 -> KL = 1*ln(1/(3/4)) = ln(4/3)
+    // d2 = "a b" -> KL = .5 ln(.5/.75) + .5 ln(.5/.25)
+    val docs = Seq(("d1", "a a"), ("d2", "a b")).toDF("src", "text")
+    val m = TextAnalysis.unigramKlByDomain(docs, "src", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m("d1")._1 == 2L)
+    assert(m("d1")._2 == r6(math.log(4.0 / 3)))
+    assert(m("d2")._2 ==
+      r6(0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)))
+  }
+
+  test("unigramKlByDomain is zero for a domain matching the corpus") {
+    import spark.implicits._
+    val docs = Seq(("d1", "a b"), ("d2", "a b")).toDF("src", "text")
+    val out = TextAnalysis.unigramKlByDomain(docs, "src", "text").collect()
+    assert(out.forall(_.getDouble(3) == 0.0))
+  }
+
+  // ---- Mixing.lengthBuckets ------------------------------------------------
+
+  test("lengthBuckets assigns exact power-of-two buckets") {
+    import spark.implicits._
+    // 1->1, 2->2, 3->4, 4->4, 5->8, 8->8, 9->16, 1024->1024, 1025->2048
+    val df = Seq(1, 2, 3, 4, 5, 8, 9, 1024, 1025).toDF("n")
+    val m = Mixing.lengthBuckets(df, "n").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(m(1L)._1 == 1 && m(2L)._1 == 1 && m(4L)._1 == 2)
+    assert(m(8L)._1 == 2 && m(8L)._2 == (8 - 5) + 0)
+    assert(m(16L)._1 == 1 && m(16L)._2 == 7)
+    assert(m(1024L)._1 == 1 && m(1024L)._2 == 0)
+    assert(m(2048L)._1 == 1 && m(2048L)._2 == 1023)
+  }
+
+  test("lengthBuckets waste fraction is padding over bucket capacity") {
+    import spark.implicits._
+    val df = Seq(5, 6).toDF("n") // bucket 8: padding 3+2=5, cap 16
+    val r = Mixing.lengthBuckets(df, "n").collect()(0)
+    assert(r.getLong(0) == 8 && r.getDouble(4) == 0.3125)
   }
 
   test("liftTable buckets split remainders deterministically and cover all rows") {
