@@ -128,28 +128,37 @@ object Graph {
     var auths: DataFrame = null
     val kept = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (i <- 1 to iterations) {
-      // auth(v) = Σ_{u→v} hub(u), then / Σ_v auth(v)
+      // auth(v) = Σ_{u→v} hub(u), then / Σ_v auth(v). The raw frame is
+      // persisted because BOTH the norm aggregate and the node join
+      // read it — unpersisted, the edge⋈score join runs twice per
+      // half-step. The half-step OUTPUT is an eager localCheckpoint,
+      // not a persist: each normalized frame references its raw twice
+      // and each raw the previous frame, so planned lineage quadruples
+      // per iteration — cached-plan trees nest their children's full
+      // plans and analysis/explain blow up exponentially within a few
+      // iterations. The checkpoint makes every half-step a leaf: plan
+      // size O(1) at any depth, and the frames are only |nodes| rows.
       val aRaw = eSrc.join(hubs.withColumnRenamed("node", "__src"), "__src")
         .groupBy(col("__dst").as("node")).agg(sum(col("hub")).as("__a"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept += aRaw
       val aNorm = aRaw.agg(sum(col("__a")).as("__s"))
       auths = nodes.join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aNorm))
         .select(col("node"),
           (coalesce(col("__a"), lit(0.0)) / col("__s")).as("auth"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      kept += auths
+        .localCheckpoint()
       // hub(u) = Σ_{u→v} auth(v), then / Σ_u hub(u)
       val hRaw = eDst.join(auths.withColumnRenamed("node", "__dst"), "__dst")
         .groupBy(col("__src").as("node")).agg(sum(col("auth")).as("__h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kept += hRaw
       val hNorm = hRaw.agg(sum(col("__h")).as("__s"))
-      val next = nodes.join(hRaw, Seq("node"), "left")
+      hubs = nodes.join(hRaw, Seq("node"), "left")
         .crossJoin(broadcast(hNorm))
         .select(col("node"),
           (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
-      hubs =
-        if (i % 3 == 0 && i < iterations) next.localCheckpoint()
-        else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      kept += hubs
+        .localCheckpoint()
     }
     val out = hubs.join(auths, "node").select(
       col("node"), col("hub"), col("auth"))
@@ -221,5 +230,56 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("gcc"))
+  }
+
+  /** Degree assortativity (Newman 2002) of an undirected graph, as one
+    * row `(n_nodes, n_edges, mean_deg, max_deg, assortativity)`: the
+    * Pearson correlation of endpoint degrees over every edge counted in
+    * BOTH directions (the standard convention — the symmetric edge set
+    * makes Σx = Σy). Positive = hubs attach to hubs, negative = hub-
+    * and-spoke; the one-number topology fingerprint that predicts how
+    * partition-skewed any per-neighbor shuffle will run.
+    *
+    * All five correlation moments are sums of INTEGERS (degrees and
+    * their products), exact in doubles to 2^53 under any partitioning
+    * and merge order — the closed-form corr here has none of the
+    * cancellation hazard it has on float data. Input edges may be
+    * directed/duplicated; canonicalized first like [[triangleStats]].
+    * Two keyed shuffles (degree agg, degree join) + one 1-row fold. */
+  def degreeMixing(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("node").as("a"), col("deg").as("__da"))
+    val db = deg.select(col("node").as("b"), col("deg").as("__db"))
+    // both directions: (da,db) and (db,da) — the fold sums x and y
+    // symmetrically so one pass over the canonical edges suffices
+    val m = canon.join(da, "a").join(db, "b").agg(
+      count(lit(1)).as("__m"),
+      sum(col("__da") + col("__db")).as("__sx"),
+      sum(col("__da") * col("__da") + col("__db") * col("__db")).as("__sxx"),
+      sum(col("__da") * col("__db") * 2).as("__sxy"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("deg")).as("__sumdeg"), max(col("deg")).as("max_deg"))
+    // combine in double AFTER the exact long sums: the products below
+    // (n·Σxy, (Σx)²) overflow longs on big graphs, and double
+    // arithmetic over exactly-represented operands is deterministic.
+    // (The SUMS stay exact to 2^53 — a graph pushing Σdeg² past that
+    // needs decimal accumulators.)
+    val nD = (col("__m") * 2).cast("double") // directed edge count
+    val sxD = col("__sx").cast("double")
+    degStats.crossJoin(m).select(
+      col("n_nodes"), col("__m").as("n_edges"),
+      round(col("__sumdeg").cast("double") / col("n_nodes"), 6)
+        .as("mean_deg"),
+      col("max_deg"),
+      round((nD * col("__sxy").cast("double") - sxD * sxD)
+        / (nD * col("__sxx").cast("double") - sxD * sxD), 6)
+        .as("assortativity"))
   }
 }

@@ -260,6 +260,30 @@ object Quantiles {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group robust scaling `(x − median) / IQR` — the feature
+    * normalization that survives the outliers a mean/stddev z-score is
+    * dragged by. One [[exactQuantiles]] sort-rank pass computes all
+    * three boundaries (p25/p50/p75); the group-sized stats join back
+    * (AQE-broadcastable) and the scale is a map-side projection.
+    * Zero-IQR groups (over half the mass on one value) get null — the
+    * guard runs BEFORE the division, ANSI-safe. Appends
+    * `<valueCol>_scaled`, rounded to 6 places. */
+  def robustScale(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val stats = exactQuantiles(df, groupCols, valueCol,
+        Seq(0.25, 0.5, 0.75))
+      .withColumnRenamed("p25", "__lo").withColumnRenamed("p50", "__med")
+      .withColumnRenamed("p75", "__hi")
+    val joined = if (groupCols.isEmpty) df.crossJoin(stats.drop("__g"))
+      else df.join(stats, groupCols, "left")
+    joined
+      .withColumn(s"${valueCol}_scaled",
+        when(col("__hi") > col("__lo"),
+          round((col(valueCol).cast("double") - col("__med"))
+            / (col("__hi") - col("__lo")), 6)))
+      .drop("__lo", "__med", "__hi")
+  }
+
   /** Per-group z-score outliers: rows where
     * `|value − mean| / stddev > threshold`, with the score appended as
     * a `z` column. Groups with fewer than `minCount` rows (sample

@@ -350,6 +350,37 @@ object TextAnalysis {
           s => s.getField("__tok"))).as("kept_text"))
   }
 
+  /** Corpus-wide ORDERED token co-occurrence counts within a ±`window`
+    * token span: every `(w_i, w_{i+j})` pair for `j = 1..window`,
+    * counted across all documents — the collocation statistic behind
+    * skip-gram training data and phrase mining (q160's PMI uses
+    * doc-level baskets; this is the positional variant).
+    *
+    * Scale shape: pairs materialize MAP-SIDE inside one array HOF chain
+    * over the bound token array (never a positional self-join, which
+    * would shuffle the exploded corpus twice), so the only shuffle is
+    * the final pair aggregate: cost ∝ corpus tokens × window. Returns
+    * `(w1, w2, n)`. */
+  def cooccurrencePairs(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, window: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val pairs = flatten(transform(
+      sequence(lit(1), size(col("__ws")) - 1),
+      i => transform(sequence(lit(1), lit(window)),
+        j => when(i + j <= size(col("__ws")),
+          struct(element_at(col("__ws"), i).as("w1"),
+            element_at(col("__ws"), i + j).as("w2"))))))
+    docs
+      .select(tokens(col(textCol)).as("__ws"))
+      // guard BEFORE building the range: sequence(1, 0) counts DOWN in
+      // Spark, so a 1-token doc must never reach the pair HOF
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(pairs).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-domain unigram-distribution drift: KL(P_domain ‖ P_corpus)
     * over word frequencies — the mixture-monitoring read-out that flags
     * a source whose token distribution wanders from the corpus it

@@ -209,6 +209,37 @@ object TimeSeries {
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
 
+  /** Merge each key's overlapping `[start, end]` date intervals
+    * (inclusive; sharing at least one day — merely adjacent intervals
+    * stay separate) into maximal islands: the gaps-and-islands pass
+    * behind coverage/uptime/exposure accounting. Returns
+    * `(key, island_start, island_end, n_intervals)`.
+    *
+    * One keyed shuffle + one WindowExec pass: an island opens where the
+    * start exceeds the running max of all PRECEDING ends (frame ends at
+    * -1 row, so the current interval never masks its own gap), and the
+    * running count of opens numbers the islands. Rows tying on
+    * `(start, end)` are interchangeable for island assignment, so the
+    * order — and the output — is deterministic without a tie column. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val byStart = Window.partitionBy(col("key"))
+      .orderBy(col("__s"), col("__e"))
+    val prevMax = max(col("__e"))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(keyCol).as("key"), col(startCol).as("__s"),
+        col(endCol).as("__e"))
+      .withColumn("__open",
+        when(prevMax.isNull || col("__s") > prevMax, 1).otherwise(0))
+      .withColumn("__island", sum(col("__open")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("__island"))
+      .agg(min(col("__s")).as("island_start"),
+        max(col("__e")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+
   /** All pairs of SAME-KEY intervals `[start, end]` (dates, inclusive)
     * that overlap, with the overlap length in days. Returns
     * `(key, a_id, b_id, a_start, b_start, overlap_days)` with
