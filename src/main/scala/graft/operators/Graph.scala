@@ -232,6 +232,49 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("gcc"))
   }
 
+  /** Adamic–Adar link prediction over an undirected graph: for every
+    * non-adjacent node pair `(u, v)`, `AA = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)`
+    * — rare shared neighbors weigh more than hubs. Returns
+    * `(u, v, common_neighbors, aa)` with `u < v`, score rounded to 6.
+    *
+    * Scale shape: the wedge self-join runs ONLY through centers with
+    * `2 ≤ deg ≤ maxHubDegree` — an unbounded hub center contributes
+    * C(deg, 2) pairs (quadratic at a million-degree hub) while adding
+    * at most 1/ln(deg) ≈ nothing to any score, so capping the center
+    * degree is the standard production trade (cost becomes
+    * Σ_{deg≤cap} C(deg,2) ≤ m·cap/2, linear in edges) and is part of
+    * this operator's CONTRACT — an oracle replaying the same cap
+    * matches exactly. Existing edges are anti-joined out. Degrees are
+    * computed over the FULL graph (the cap limits which centers
+    * expand, not what a center's weight is). */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHubDegree: Int): DataFrame = {
+    require(maxHubDegree >= 2, s"maxHubDegree must be >= 2: $maxHubDegree")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache()
+    val adj = canon.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(canon.select(col("b"), col("a")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("__deg"))
+    val centers = adj.join(
+      deg.filter(col("__deg") >= 2 && col("__deg") <= maxHubDegree), "w")
+    val x = centers.select(col("w"), col("n").as("u"), col("__deg"))
+    val y = centers.select(col("w"), col("n").as("v"))
+    val scored = x.join(y, "w").filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        round(sum(lit(1.0) / log(col("__deg"))), 6).as("aa"))
+    // canon stays cached through the caller's action (it feeds adj,
+    // degrees, and the anti-join); freed by cache hygiene like
+    // triangleStats' edge cache
+    scored.join(
+      canon.select(col("a").as("u"), col("b").as("v")),
+      Seq("u", "v"), "left_anti")
+  }
+
   /** Degree assortativity (Newman 2002) of an undirected graph, as one
     * row `(n_nodes, n_edges, mean_deg, max_deg, assortativity)`: the
     * Pearson correlation of endpoint degrees over every edge counted in

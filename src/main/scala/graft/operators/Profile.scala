@@ -99,6 +99,31 @@ object Profile {
           + se2 * se2 / (col("n_2") - 1)), 6).as("welch_df"))
   }
 
+  /** Referential-integrity audit across a set of foreign-key relations:
+    * one row per relation — `(relation, n_rows, n_null_fk, n_orphans,
+    * orphan_rate)` — the ingest gate that catches a broken upstream
+    * export before a join silently drops (inner) or null-pads (outer)
+    * the mismatched rows. NULL FKs are counted separately, not as
+    * orphans (SQL FK semantics). Each relation costs one left join of
+    * the child against the parent's distinct keys (dimension-sized,
+    * AQE-broadcastable) folded to one row; relations union. */
+  def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "need at least one relation")
+    relations.map { case (label, child, fkCol, parent, pkCol) =>
+      child.select(col(fkCol).as("__fk"))
+        .join(parent.select(col(pkCol).as("__pk")).distinct(),
+          col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("__fk").isNull, 1)).as("n_null_fk"),
+          count(when(col("__fk").isNotNull && col("__pk").isNull, 1))
+            .as("n_orphans"))
+        .select(lit(label).as("relation"), col("n_rows"), col("n_null_fk"),
+          col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_rows"), 6)
+            .as("orphan_rate"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Key-skew diagnostic for a prospective shuffle key, as ONE row:
     * `(n_rows, n_keys, max_count, top1_share, top10_share, gini)` —
     * the report that decides whether a join/aggregation on `keyCol`

@@ -174,16 +174,22 @@ object TextAnalysis {
     * aggregate; the context counts reduce the bigram table. The
     * documents scan twice (bigram pass + vocab-size pass) — both
     * map-side. Returns (id, n_bigrams, avg_logp). */
-  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
-    require(alpha > 0, s"alpha must be positive: $alpha")
-    val t = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__ws"))
-    val bi = t.filter(size(col("__ws")) >= 2).select(col("id"),
+  /** `(id, __a, __b)` bigram stream of a corpus — shared by the
+    * self-scoring and held-out LM paths. */
+  private def bigramPairs(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2).select(col("id"),
         explode(zip_with(
           slice(col("__ws"), lit(1), size(col("__ws")) - 1),
           slice(col("__ws"), lit(2), size(col("__ws")) - 1),
           (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
       .select(col("id"), col("__p.a").as("__a"), col("__p.b").as("__b"))
+
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val bi = bigramPairs(docs, idCol, textCol)
     val c2 = bi.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c2"))
     val c1 = c2.groupBy(col("__a")).agg(sum(col("__c2")).as("__c1"))
     val vocab = docs.select(explode(tokens(col(textCol))).as("__w"))
@@ -194,6 +200,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log((col("__c2") + lit(alpha)) /
           (col("__c1") + lit(alpha) * col("__v")))), 6).as("avg_logp"))
+  }
+
+  /** Held-out bigram LM scoring — [[bigramLogProb]] with the model
+    * trained on `train` and applied to `test`: the actual LM-quality
+    * eval shape (a model scored on its own training text overstates
+    * itself). Unseen test bigrams and unseen contexts fall back to the
+    * add-α floor ((0+α)/(0+α·V)) via LEFT joins — the self-scoring
+    * path's inner joins would silently drop exactly the novel text the
+    * held-out split exists to measure. Vocabulary is the TRAIN vocab.
+    * Same scale shape as [[bigramLogProb]]: count tables are
+    * vocab-sized and AQE-broadcastable; test scans once. */
+  def bigramLogProbHeldOut(train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val bi = bigramPairs(test, idCol, textCol)
+    val c2 = bigramPairs(train, idCol, textCol)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("__a")).agg(sum(col("__c2")).as("__c1"))
+    val vocab = train.select(explode(tokens(col(textCol))).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    bi.join(c2, Seq("__a", "__b"), "left").join(c1, Seq("__a"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((coalesce(col("__c2"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("__c1"), lit(0L)) + lit(alpha) * col("__v")))), 6)
+          .as("avg_logp"))
   }
 
   /** One-row corpus report — the data card a corpus release ships with:
