@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   private val RiskQueries = Seq("q66_dedup_groups", "q101_substring_dedup",
-    "q129_fuzzy_join", "q130_pagerank", "q144_triangle_stats")
+    "q129_fuzzy_join", "q130_pagerank", "q144_triangle_stats",
+    "q172_hits", "q188_adamic_adar")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other

@@ -477,4 +477,40 @@ object Similarity {
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
   }
+
+  /** Per-label centroid vectors and their pairwise cosine similarity —
+    * the class-geometry read-out (which labels' embeddings overlap,
+    * which are separable) run before a classifier or a SemDeDup-style
+    * pass trusts the space. Returns `(label_a, label_b, dim, cos)` for
+    * `label_a < label_b`, cosine rounded to 6.
+    *
+    * Scale shape: centroids come from ONE posexplode + (label, pos)
+    * aggregate — |labels|·d rows however big the corpus — re-assembled
+    * by sorted-struct collect (plain `collect_list` has no order
+    * guarantee); the pairwise step is a |labels|² self-join of
+    * d-length arrays, metadata-sized. Cosine is explicit double HOF
+    * arithmetic (ascending-index folds, the replayable order) — the
+    * float-typed native expression would silently downcast the
+    * centroids. */
+  def centroidSimilarity(vectors: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val cents = vectors
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("label"), col("__pos"))
+      .agg(avg(col("__v").cast("double")).as("__m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"),
+          col("__m")))), s => s.getField("__m")).as("c"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val a = cents.select(col("label").as("label_a"), col("c").as("__ca"))
+    val b = cents.select(col("label").as("label_b"), col("c").as("__cb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        size(col("__ca")).as("dim"),
+        round(dot(col("__ca"), col("__cb")) /
+          (sqrt(dot(col("__ca"), col("__ca"))) *
+            sqrt(dot(col("__cb"), col("__cb")))), 6).as("cos"))
+  }
 }

@@ -209,6 +209,46 @@ object TimeSeries {
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
 
+  /** Per-key per-period OHLC resampling: open/high/low/close of
+    * `valueCol` within each `date_trunc(unit)` bucket — the downsampling
+    * step that turns an irregular event stream into a fixed-frequency
+    * series. Open/close are `min_by`/`max_by` over the (ts, tie) struct:
+    * deterministic under ties and retries, where a bare first/last
+    * would depend on partition order. One keyed hash aggregate, no
+    * window, no sort. Returns
+    * `(key, period, open, high, low, close, n)`. */
+  def resampleOhlc(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, unit: String = "week"): DataFrame = {
+    val ord = struct(col(tsCol), col(tieCol))
+    val v = col(valueCol).cast("double")
+    df.groupBy(col(keyCol).as("key"),
+        date_trunc(unit, col(tsCol)).as("period"))
+      .agg(min_by(v, ord).as("open"), max(v).as("high"), min(v).as("low"),
+        max_by(v, ord).as("close"), count(lit(1)).as("n"))
+  }
+
+  /** Per-key time-weighted average (TWAP): each value holds from its
+    * timestamp until the key's next event; the average weights values
+    * by that holding duration — the fair summary of an irregularly
+    * sampled series (a plain mean over-counts burst periods). The last
+    * event has no duration and contributes only to `n_events`; keys
+    * with a single event have no defined TWAP and are dropped.
+    * Durations are integer microseconds (exact); one keyed window +
+    * one aggregate. Returns `(key, n_events, span_seconds, twap)`. */
+  def twapPerKey(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("__us"))
+    df.select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("__us"),
+        col(valueCol).cast("double").as("__v"))
+      .withColumn("__dur", lead(col("__us"), 1).over(w) - col("__us"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("__dur")).cast("double") / 1e6).as("span_seconds"),
+        round(sum(col("__v") * col("__dur")) /
+          sum(col("__dur")), 6).as("twap"))
+      .filter(col("n_events") >= 2)
+  }
+
   /** Merge each key's overlapping `[start, end]` date intervals
     * (inclusive; sharing at least one day — merely adjacent intervals
     * stay separate) into maximal islands: the gaps-and-islands pass

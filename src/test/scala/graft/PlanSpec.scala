@@ -315,4 +315,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("q182: co-occurrence pairs build map-side — no join, one explode") {
+    val p = plan("q182_cooccurrence")
+    assert(!p.contains("Join"), s"pairs must not come from a join:\n$p")
+    assert(p.contains("Generate explode"), s"expected in-task explode:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be a bounded heap, not a global sort:\n$p")
+  }
+
+  test("q175/q176: the data-sized rank window is keyed on __pid, never global") {
+    // prefixSum's range exchange sits behind its localCheckpoint (the
+    // downstream plan reads the materialized RDD), so the visible
+    // invariant is the WINDOW: partitioned by __pid — a global
+    // (unpartitioned) window over the data would read SinglePartition
+    for (q <- Seq("q175_skew_report", "q176_lift_table")) {
+      val p = plan(q)
+      assert(p.contains("windowspecdefinition(__pid"),
+        s"$q: expected the per-partition rank window keyed on __pid:\n$p")
+    }
+  }
+
+  test("q181: interval coverage stays keyed — no single-partition stage") {
+    val p = plan("q181_interval_coverage")
+    assert(!p.contains("SinglePartition"), s"must distribute:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q184/q188: graph moments and wedge joins never go cartesian") {
+    // 1-row broadcast cross joins (the in-plan scalar pattern) are
+    // expected; a CartesianProduct over data is not
+    for (q <- Seq("q184_degree_mix", "q188_adamic_adar")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: wedge/moment path must stay a hash join:\n$p")
+    }
+  }
+
+  test("q177: df-prune explodes in-task and joins the vocab by hash") {
+    val p = plan("q177_df_prune")
+    assert(p.toLowerCase.contains("posexplode"),
+      s"expected posexplode:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
