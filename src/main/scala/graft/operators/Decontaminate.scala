@@ -75,4 +75,32 @@ object Decontaminate {
       .select(col(idCol))
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram overlap above: corpus vectors whose cosine similarity to
+    * any eval-set vector reaches `threshold`, each with its closest
+    * eval match (paraphrased eval leakage that exact-gram matching
+    * misses). Returns `(<idCol>, eval_id, sim)` for flagged rows only.
+    *
+    * Scale shape: the eval set broadcasts (it is benchmark-sized by
+    * definition) and the corpus scans ONCE map-side — never a corpus
+    * self-join; the arg-max per corpus row is a window over its ≤|eval|
+    * candidate matches. Ranking uses the 6-rounded similarity with the
+    * eval id as tie-break (q32's engine-stable ordering). */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).as("__e_emb"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(ev))
+      .select(col(idCol), col("eval_id"),
+        round(graft.functions.Functions.cosine_similarity(
+          col(vecCol), col("__e_emb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("eval_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }
