@@ -99,6 +99,44 @@ object Profile {
           + se2 * se2 / (col("n_2") - 1)), 6).as("welch_df"))
   }
 
+  /** Pairwise Pearson correlation matrix over `cols`, as
+    * `(col_a, col_b, n, corr)` rows for `col_a < col_b` — the
+    * multicollinearity screen a feature pipeline runs before training.
+    *
+    * Two aggregate passes: means first, then CENTERED cross-products —
+    * the one-pass Σxy−ΣxΣy/n closed form cancels catastrophically on
+    * large-mean columns (same rationale as `TimeSeries.trendPerKey`).
+    * Both aggregates are single-row folds with map-side partials; rows
+    * with a null in ANY measured column are dropped once so every pair
+    * sees the same n. Correlations rounded to 6. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, s"need >= 2 columns: $cols")
+    val clean = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .na.drop(cols)
+    val meanAggs = count(lit(1)).as("__n") +:
+      cols.map(c => avg(col(c)).as(s"__m_$c"))
+    val means = clean.agg(meanAggs.head, meanAggs.tail: _*)
+    val centered = clean.crossJoin(broadcast(means))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val sums = centered.agg(
+      max(col("__n")).as("__n"),
+      (pairs.map { case (a, b) =>
+        sum((col(a) - col(s"__m_$a")) * (col(b) - col(s"__m_$b")))
+          .as(s"__sxy_${a}_$b") } ++
+        cols.map(c =>
+          sum((col(c) - col(s"__m_$c")) * (col(c) - col(s"__m_$c")))
+            .as(s"__sxx_$c"))): _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', __sxy_${a}_$b / sqrt(__sxx_$a * __sxx_$b)"
+    }.mkString(", ")
+    sums.selectExpr("__n",
+        s"stack(${pairs.length}, $stacked) AS (col_a, col_b, __r)")
+      .select(col("col_a"), col("col_b"), col("__n").as("n"),
+        round(col("__r"), 6).as("corr"))
+  }
+
   /** Referential-integrity audit across a set of foreign-key relations:
     * one row per relation — `(relation, n_rows, n_null_fk, n_orphans,
     * orphan_rate)` — the ingest gate that catches a broken upstream
