@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `row_number() <= k` filters run on the bounded-heap operator:
     // partial top-k before the exchange instead of a full per-group sort
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    // pure range joins (no equi conjunct) become binned hash joins when
+    // spark.graft.rangeJoin.binWidth is set
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -122,6 +122,35 @@ object Round14 {
       SELECT event_type, dow, n, round(m, 6) AS mean_value,
              round(m - tm, 6) AS dev_from_type_mean
       FROM c JOIN o USING (event_type)
-      ORDER BY event_type, dow"""))
+      ORDER BY event_type, dow""")),
+
+    // a NAIVE pure range join (no equi key — Spark's only physical
+    // choice is a nested loop) written exactly as a user would, made
+    // scale-safe by the injected RangeJoinRewriteRule: bin equi-join +
+    // exact residual. RangeJoinRewriteSpec proves bit-equality with the
+    // nested-loop plan; PlanSpec pins the rewritten shape
+    Q("q205_range_join_auto", (s, d) => {
+      import s.implicits._
+      org.apache.spark.sql.graft.Shims.addOptimization(s,
+        graft.plans.RangeJoinRewriteRule)
+      s.conf.set("spark.graft.rangeJoin.binWidth", "500")
+      val bands = T.part(s, d).select($"p_partkey",
+        ($"p_retailprice" * 50).as("lo"),
+        ($"p_retailprice" * 50 + 200).as("hi"))
+      val orders = T.orders(s, d).select($"o_orderkey", $"o_totalprice")
+      orders.join(bands, $"o_totalprice" >= $"lo" && $"o_totalprice" <= $"hi")
+        .groupBy($"p_partkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice".cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_in_band"))
+        .orderBy($"p_partkey")
+    }, Some("""
+      SELECT p_partkey, count(*) AS n_orders,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+               2) AS sum_in_band
+      FROM orders JOIN part
+        ON o_totalprice >= p_retailprice * 50
+       AND o_totalprice <= p_retailprice * 50 + 200
+      GROUP BY 1 ORDER BY p_partkey"""))
   )
 }

@@ -33,6 +33,17 @@ object Shims {
         classic.experimental.extraStrategies :+ strategy
   }
 
+  /** Append an optimizer rule once (idempotent) — the running-session
+    * counterpart of `GraftExtensions`' injectOptimizerRule. */
+  def addOptimization(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(rule))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ rule
+  }
+
   /** Register a temp SQL function on an existing session (the
     * `FunctionRegistry` lives behind `sessionState`, also package-private).
     * For session-construction-time registration use

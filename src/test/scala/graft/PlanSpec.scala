@@ -352,6 +352,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q205: the naive range join plans as a binned hash join, not a nested loop") {
+    val p = plan("q205_range_join_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"RangeJoinRewriteRule must have fired:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the interval side's bin explode:\n$p")
+  }
+
   test("q177: df-prune explodes in-task and joins the vocab by hash") {
     val p = plan("q177_df_prune")
     assert(p.toLowerCase.contains("posexplode"),
