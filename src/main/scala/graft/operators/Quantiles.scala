@@ -260,6 +260,38 @@ object Quantiles {
       .drop("__lo", "__hi")
   }
 
+  /** Per-group LOWER weighted median: the smallest value whose
+    * cumulative weight reaches half the group's total — the
+    * size-weighted "typical value" (median order line weighted by
+    * revenue, median latency weighted by traffic) an unweighted median
+    * misreads. Weights are cast to LONG (use integer units — cents,
+    * counts) so every comparison `2·cumw ≥ W` is integer-exact: no
+    * interpolation, no float boundary. One (group, value) pre-reduce,
+    * one keyed window pass over distinct values, never a global sort.
+    * Returns `(groupCols…, total_weight, weighted_median)`. */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .select(groupCols.map(col) :+ col(valueCol).cast("double").as("__v")
+        :+ col(weightCol).cast("long").as("__w"): _*)
+      .filter(col("__w") > 0)
+      .groupBy(groupCols.map(col) :+ col("__v"): _*)
+      .agg(sum(col("__w")).as("__cw"))
+    val byVal = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+    val full = Window.partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("__cum", sum(col("__cw")).over(
+        byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__cw")).over(full))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__tot")).as("total_weight"),
+        min(col("__v")).as("weighted_median"))
+  }
+
   /** Per-group robust scaling `(x − median) / IQR` — the feature
     * normalization that survives the outliers a mean/stddev z-score is
     * dragged by. One [[exactQuantiles]] sort-rank pass computes all

@@ -126,6 +126,54 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_events"), round(fold, 6).as("ewma"))
   }
 
+  /** Per-key exponential time-decay score `Σ v·exp(−Δt/τ)` against the
+    * corpus's latest timestamp — the recency-weighted engagement
+    * number a ranking feature store keeps per user. Δt in exact
+    * integer seconds (micros div 1e6) against a 1-row broadcast
+    * reference; one keyed hash aggregate, no window. `tauSeconds` is
+    * the e-folding time. Returns `(key, n_events, decayed_score)`
+    * rounded to 6. */
+  def decayScore(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tauSeconds: Double): DataFrame = {
+    require(tauSeconds > 0, s"tauSeconds must be positive: $tauSeconds")
+    val ref = df.agg(max(unix_micros(col(tsCol))).as("__ref"))
+    df.select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("__us"),
+        col(valueCol).cast("double").as("__v"))
+      .crossJoin(broadcast(ref))
+      .select(col("key"),
+        (col("__v") * exp(-(expr("(__ref - __us) div 1000000").cast("double"))
+          / tauSeconds)).as("__term"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("__term")), 6).as("decayed_score"))
+  }
+
+  /** Per-key clamped running balance: fold `greatest(0, acc + delta)`
+    * over each key's time-ordered deltas — inventory / prepaid-credit
+    * semantics where the balance can never go negative, which NO window
+    * frame expresses (the clamp makes every step depend on the folded
+    * prior state, not a distributive sum). Same shape as [[ewmaPerKey]]:
+    * per-key sorted-struct collect + sequential aggregate HOF — exact
+    * semantics, deterministic under any partitioning, per-key cost
+    * ∝ events. Returns `(key, n_events, final_balance, total_lost)`
+    * where `total_lost` is the amount discarded by the zero clamps
+    * (conservation: Σdeltas − lost = balance). */
+  def clampedRunningBalance(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], deltaCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val sortKey = struct(
+      orderCols.map(col) :+ col(deltaCol).cast("double").as("__d"): _*)
+    val deltas = transform(array_sort(collect_list(sortKey)),
+      s => s.getField("__d"))
+    val fold = aggregate(deltas, lit(0.0),
+      (acc: Column, d: Column) => greatest(lit(0.0), acc + d))
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        round(fold, 6).as("final_balance"),
+        round(fold - aggregate(deltas, lit(0.0), (acc, d) => acc + d), 6)
+          .as("total_lost"))
+  }
+
   /** Per-key least-squares trend line `y ≈ intercept + slope·x` — the
     * feature-engineering "is this user's metric rising" signal. The
     * CENTERED two-pass formula (per-key means first, then
