@@ -275,6 +275,48 @@ object Graph {
       Seq("u", "v"), "left_anti")
   }
 
+  /** Multi-source BFS hop distances: the minimum number of edges from
+    * any seed node, explored breadth-first to `maxDepth`. Returns
+    * `(node, dist)` for every REACHED node (dist 0 = seed); unreached
+    * nodes are absent. The hop-distance primitive under influence
+    * radii, blast-radius audits, and "within N links of a bad actor"
+    * filters.
+    *
+    * Spark shape: level-synchronous frontier expansion — the textbook
+    * distributed BFS. The edge list is hash-partitioned on the
+    * expansion key ONCE and cached, so each level's join only shuffles
+    * the frontier (which is ≤ |nodes| and usually far smaller); visited
+    * nodes are anti-joined out so every node is expanded exactly once
+    * across the whole run (total work O(m + n·depth), never O(m·depth)).
+    * Each level's output is an eager `localCheckpoint` — the visited
+    * set is read by every later level, and without the cut its lineage
+    * would nest one join+union deeper per level. The per-level empty-
+    * frontier probe is a `limit(1)` scalar, not a data-sized collect.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct()
+      .repartition(col("__src")).cache()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var depth = 0
+    while (depth < maxDepth && frontier.limit(1).count() > 0) {
+      depth += 1
+      val next = e.join(frontier.withColumnRenamed("node", "__src"), "__src")
+        .select(col("__dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth))
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = visited.filter(col("dist") === depth).select(col("node"))
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
+
   /** Degree assortativity (Newman 2002) of an undirected graph, as one
     * row `(n_nodes, n_edges, mean_deg, max_deg, assortativity)`: the
     * Pearson correlation of endpoint degrees over every edge counted in

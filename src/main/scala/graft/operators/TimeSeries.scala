@@ -257,6 +257,51 @@ object TimeSeries {
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
 
+  /** Hampel outlier filter (Pearson et al. 2016): per row, the exact
+    * median and MAD of the centered ±`half` window around it; a row is
+    * an outlier when `|v − med| > nSigma · 1.4826 · MAD` (1.4826 scales
+    * MAD to σ under normality). The robust despiking standard — a
+    * rolling MEAN test lets one spike inflate its own threshold;
+    * medians don't care.
+    *
+    * Spark shape: ONE keyed WindowExec pass `collect_list`s each
+    * centered frame (frame order follows the window's (order, tie)
+    * sort — deterministic), then median and MAD are pure map-side
+    * array arithmetic over the ≤ (2·half+1)-element frames: sort,
+    * interpolate middle, transform to |v−med|, sort again. No second
+    * shuffle, no self-join; per-row cost O(w log w) for tiny w.
+    * Returns the input plus `(med, mad, is_outlier)`, med/mad rounded
+    * to 6. Even-length frames use the interpolated (mean-of-middles)
+    * median, matching `quantile_cont(0.5)`. */
+  def hampelFilter(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, half: Int = 3, nSigma: Double = 3.0): DataFrame = {
+    require(half >= 1, s"half must be >= 1: $half")
+    require(nSigma > 0, s"nSigma must be > 0: $nSigma")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-half, half)
+    def medOf(arr: Column): Column = {
+      val s = array_sort(arr)
+      val n = size(s)
+      // odd: middle; even: mean of the two middles (quantile_cont form)
+      val mid = ((n + 1) / 2).cast("int")
+      val lo = (n / 2).cast("int")
+      when(n % 2 === 1, element_at(s, mid))
+        .otherwise((element_at(s, lo) + element_at(s, lo + 1)) / 2.0)
+    }
+    val v = col(valueCol).cast("double")
+    val withArr = df.withColumn("__w", collect_list(v).over(w))
+    val med = medOf(col("__w"))
+    val withMed = withArr.withColumn("__med", med)
+    val mad = medOf(transform(col("__w"),
+      x => abs(x - col("__med"))))
+    withMed.withColumn("__mad", mad)
+      .withColumn("is_outlier",
+        abs(v - col("__med")) > lit(nSigma * 1.4826) * col("__mad"))
+      .withColumn("med", round(col("__med"), 6))
+      .withColumn("mad", round(col("__mad"), 6))
+      .drop("__w", "__med", "__mad")
+  }
+
   /** Per-key per-period OHLC resampling: open/high/low/close of
     * `valueCol` within each `date_trunc(unit)` bucket — the downsampling
     * step that turns an irregular event stream into a fixed-frequency

@@ -26,4 +26,33 @@ object TopK {
     Shims.ofRows(spark, TopKPerGroup(groupAttrs, ordAttr, k, desc, analyzed))
       .drop("__ord")
   }
+
+  /** 2-D skyline (Pareto frontier), maximizing both `xCol` and `yCol`:
+    * keeps every row no other row dominates, where `q` dominates `p`
+    * iff `q.x ≥ p.x ∧ q.y ≥ p.y` with at least one strict — the
+    * Börzsönyi et al. (2001) skyline operator. Duplicate extreme
+    * points all survive (neither dominates the other).
+    *
+    * Spark shape — the 2-D case needs NO pairwise join: reduce to one
+    * `max(y)` row per distinct x (one hash aggregate; this is the only
+    * corpus-sized shuffle), then a single running-max pass in
+    * decreasing x order decides each x-group — a group survives iff
+    * its ymax strictly exceeds every ymax at strictly larger x — and
+    * the survivors semi-join back to recover all tied originals. The
+    * running-max window runs over the REDUCED per-x set; when distinct
+    * x is itself corpus-sized, swap the window for the range-
+    * partitioned prefix machinery of [[Scale.prefixSum]] (same
+    * associative pass, no single-partition stage). */
+  def skyline2DMax(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val surviving = perX
+      .withColumn("__prev", max(col("__ymax")).over(w))
+      .filter(col("__prev").isNull || col("__ymax") > col("__prev"))
+      .select(col(xCol), col("__ymax").as(yCol))
+    df.join(surviving, Seq(xCol, yCol), "left_semi")
+  }
 }
