@@ -52,4 +52,36 @@ object Baskets {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minPairSupport)
   }
+
+  /** Item-item cosine similarity over basket co-occurrence (the
+    * Sarwar et al. 2001 item-based collaborative-filtering weight):
+    * `cos(a,b) = co(a,b) / √(n_a · n_b)` where `n_x` counts distinct
+    * baskets containing `x` — co-occurrence normalized so two popular
+    * items aren't "similar" merely for being everywhere.
+    *
+    * Built on [[frequentPairs]] (A-Priori pruned, so no mega-basket
+    * pair explosion); the per-item support table is item-count-sized
+    * and AQE-broadcasts into the two degree joins. All integer inputs
+    * to one map-side double expression — deterministic everywhere.
+    *
+    * Returns `(item_a, item_b, support, n_a, n_b, cosine)` with
+    * `item_a < item_b`, cosine rounded to 6. */
+  def itemCosine(baskets: DataFrame, basketCol: String, itemCol: String,
+      minItemSupport: Long, minPairSupport: Long): DataFrame = {
+    val pairs = frequentPairs(baskets, basketCol, itemCol,
+      minItemSupport, minPairSupport)
+    val itemN = baskets
+      .select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
+      .distinct()
+      .groupBy(col("__item")).agg(count(lit(1)).as("__n"))
+    pairs
+      .join(itemN.select(col("__item").as("item_a"), col("__n").as("n_a")),
+        "item_a")
+      .join(itemN.select(col("__item").as("item_b"), col("__n").as("n_b")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("n_a"), col("n_b"),
+        round(col("support") /
+          sqrt((col("n_a") * col("n_b")).cast("double")), 6).as("cosine"))
+  }
 }

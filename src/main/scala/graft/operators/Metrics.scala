@@ -270,4 +270,57 @@ object Metrics {
           / (col("__tot_pos").cast("double") / col("__tot_n")), 6)
           .as("cum_lift"))
   }
+
+  /** Linear (uniform) multi-touch attribution: each conversion's value
+    * splits evenly across ALL of the user's touches inside the
+    * `lookbackDays` window ending at the conversion (last-touch — q173
+    * — gives everything to the final click; linear is the other
+    * standard read). Conversions with no in-window touch credit the
+    * reserved `unattributed` channel in full.
+    *
+    * Determinism contract: per (conversion, channel) the credit is
+    * `round(value · n_channel / n_total, 4)` — one deterministic
+    * map-side double expression — then cast to `decimal(18,4)` so the
+    * cross-partition SUM is exact and associative (raw double credit
+    * sums would flap by partial-sum order: the q141 lesson). Rounding
+    * happens per conversion-channel, so totals may differ from
+    * Σ value by < 0.0001·|pairs| — that tolerance IS the contract,
+    * and the oracle replays it.
+    *
+    * Shape: one equi-join on the user key with the time window as a
+    * residual predicate (per-user touch×conversion pairs — bounded by
+    * per-user activity, never corpus-quadratic), one aggregate to
+    * per-conversion channel counts, one conversion-keyed window for
+    * totals, one |channels|-sized final aggregate.
+    *
+    * Returns `(channel, credited, n_conversions)`. */
+  def linearAttribution(touches: DataFrame, tUserCol: String,
+      tTsCol: String, channelCol: String, conversions: DataFrame,
+      cUserCol: String, cTsCol: String, cIdCol: String, valueCol: String,
+      lookbackDays: Int): DataFrame = {
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1: $lookbackDays")
+    val t = touches.select(col(tUserCol).as("__tu"),
+      col(tTsCol).as("__tts"), col(channelCol).as("__ch"))
+    val c = conversions.select(col(cUserCol).as("__cu"),
+      col(cTsCol).as("__cts"), col(cIdCol).as("__cid"),
+      col(valueCol).as("__v"))
+    val joined = c.join(t,
+      col("__tu") === col("__cu") &&
+        col("__tts") <= col("__cts") &&
+        col("__tts") >= col("__cts") - expr(s"INTERVAL $lookbackDays DAYS"),
+      "left")
+    val perConv = joined.groupBy(col("__cid"), col("__v"), col("__ch"))
+      .agg(count(col("__ch")).as("__nch")) // 0 on the no-touch row
+    val wc = Window.partitionBy(col("__cid"))
+    perConv
+      .withColumn("__ntot", sum(col("__nch")).over(wc))
+      .select(coalesce(col("__ch"), lit("unattributed")).as("channel"),
+        col("__cid"),
+        round(when(col("__ntot") === 0, col("__v"))
+            .otherwise(col("__v") * col("__nch") / col("__ntot")), 4)
+          .cast("decimal(18,4)").as("__credit"))
+      .groupBy(col("channel"))
+      .agg(sum(col("__credit")).cast("decimal(18,4)").as("credited"),
+        countDistinct(col("__cid")).as("n_conversions"))
+  }
 }

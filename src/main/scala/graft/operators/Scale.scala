@@ -159,6 +159,30 @@ object Scale {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    * shard of a non-negative id: the shard whose keyed hash of the id
+    * is largest. The property mod-hashing lacks: growing `k` shards to
+    * `k+1` moves only ~1/(k+1) of the keys (each key moves only if the
+    * NEW shard wins its rendezvous), where `id % k` → `id % (k+1)`
+    * reshuffles ~k/(k+1) of them — the difference between topping up a
+    * 100 TB layout and rewriting it.
+    *
+    * Pure integer arithmetic on the id's low 31 bits (the [[Mixing]]
+    * overflow discipline), replayable bit-for-bit in any engine. The
+    * per-shard weights are packed as `hash·64 + (63 − shard)` so the
+    * arg-max is a plain `array_max` with a deterministic lowest-shard
+    * tie-break — no struct compare to replay. `shards ≤ 64`. */
+  def rendezvousShard(id: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 64, s"shards must be in [1,64]: $shards")
+    val packed = transform(sequence(lit(0), lit(shards - 1)), s => {
+      val mix = pmod(pmod(id, lit(2147483648L)) * lit(1000003L) +
+        s * lit(999983L), lit(2147483648L))
+      val h = pmod(mix * lit(2654435761L), lit(2147483648L))
+      h * lit(64L) + (lit(63L) - s)
+    })
+    (lit(63L) - pmod(array_max(packed), lit(64L))).cast("int")
+  }
+
   /** Z-order (Morton) value of two non-negative dimension columns: bit i
     * of `a` lands at position 2i, bit i of `b` at 2i+1, so sorting by the
     * result clusters rows that are close in BOTH dimensions. Inputs must
