@@ -31,7 +31,8 @@ object Functions {
       "hyperplane_signature" -> ((es: Seq[Expression]) =>
         HyperplaneSignature(es(0), if (es.length > 1) litInt(es(1), "bits") else 16)),
       "minhash_signature" -> ((es: Seq[Expression]) =>
-        MinHashSignature(es(0), if (es.length > 1) litInt(es(1), "numHashes") else 64))
+        MinHashSignature(es(0), if (es.length > 1) litInt(es(1), "numHashes") else 64)),
+      "jaro_winkler" -> ((es: Seq[Expression]) => JaroWinkler(es(0), es(1)))
     )
   }
 
@@ -75,6 +76,11 @@ object Functions {
   /** MinHash signature of an `array<string>` shingle column (map-side, no shuffle). */
   def minhash_signature(shingles: Column, numHashes: Int = 64): Column =
     Shims.column(MinHashSignature(Shims.expression(shingles), numHashes))
+
+  /** Jaro–Winkler similarity of two string columns (thresholded-boost
+    * variant; see [[JaroWinkler]]). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    Shims.column(JaroWinkler(Shims.expression(a), Shims.expression(b)))
 
   /** BPE subword pieces of a string column under a trained merge table
     * (train with [[graft.operators.Bpe.train]]; not SQL-registered — the

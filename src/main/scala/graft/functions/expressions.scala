@@ -539,3 +539,89 @@ object HyperplaneSignature {
     if (bit < MaxCachedBits && dim < MaxCachedDims) cached(bit)(dim)
     else planeUncached(bit, dim)
 }
+
+/** Jaro–Winkler similarity of two strings (Winkler 1990) — the
+  * record-linkage standard for short names: Jaro's match/transposition
+  * score, boosted toward 1 for strings sharing a common prefix (≤ 4
+  * chars, scale 0.1), with the boost applied only when the base Jaro
+  * score exceeds 0.7 (Winkler's "boost threshold" — the variant DuckDB,
+  * Apache Commons Text, and the published record-linkage literature
+  * agree on, verified value-for-value against DuckDB's
+  * `jaro_winkler_similarity`).
+  *
+  * Codegen emits a reference call (the [[RefCallCodegen]] pattern, here
+  * for a binary expression): the containing projection keeps its
+  * whole-stage span and only this value crosses one JIT-compiled call.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  /** Public bridge so generated Java reaches the protected eval. */
+  final def evalBridge(a: Any, b: Any): Any = nullSafeEval(a, b)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jwExpr", this, classOf[JaroWinkler].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ((java.lang.Double) $ref.evalBridge($a, $b)).doubleValue();")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object JaroWinkler {
+  private final val BoostThreshold = 0.7
+  private final val PrefixScale = 0.1
+  private final val MaxPrefix = 4
+
+  def similarity(s1: String, s2: String): Double = {
+    if (s1 == s2) return 1.0
+    val n1 = s1.length; val n2 = s2.length
+    if (n1 == 0 || n2 == 0) return 0.0
+    val window = math.max(math.max(n1, n2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](n1)
+    val m2 = new Array[Boolean](n2)
+    var matches = 0
+    var i = 0
+    while (i < n1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(i + window + 1, n2)
+      var j = lo
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: matched chars compared in order, halved
+    var t = 0; var k = 0; i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val half = t / 2
+    val m = matches.toDouble
+    val jaro = (m / n1 + m / n2 + (m - half) / m) / 3.0
+    if (jaro <= BoostThreshold) return jaro
+    var l = 0
+    val maxL = math.min(MaxPrefix, math.min(n1, n2))
+    while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+    jaro + l * PrefixScale * (1.0 - jaro)
+  }
+}

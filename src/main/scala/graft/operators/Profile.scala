@@ -201,4 +201,55 @@ object Profile {
       round(lit(2.0) * col("__rc") / (col("n_keys") * col("n_rows"))
         - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
   }
+
+  /** Poisson-bootstrap confidence interval for the per-group mean of an
+    * exact integer measure — THE scale-out bootstrap (Chamandy et al.,
+    * Google 2012): instead of materializing B resamples of N rows, each
+    * row draws a Poisson(1) multiplicity per replicate, so the whole
+    * B-replicate bootstrap is ONE map-side explode + one keyed
+    * aggregate; nothing is ever sampled with global coordination.
+    *
+    * Determinism contract: the multiplicity comes from the house
+    * multiplicative hash of `(id, replicate)` compared against FIXED
+    * integer thresholds (the truncated-at-4 Poisson(1) inverse CDF,
+    * `⌊cum·2³¹⌋` = 790015084, 1580030168, 1975037710, 2106706891) —
+    * pure integer arithmetic, replayable bit-for-bit in any engine, no
+    * float boundary anywhere in the draw. Replicate means divide two
+    * exact longs; the CI bounds are exact interpolated quantiles
+    * ([[Quantiles.exactQuantiles]], = SQL `quantile_cont`) over the B
+    * replicate means. Replicates that draw an empty group (possible for
+    * tiny groups) are dropped from that group's quantile set.
+    *
+    * Returns `(groupCol, n_rows, mean, ci_lo, ci_hi)` — mean and
+    * bounds in the measure's units, unrounded (callers round). */
+  def poissonBootstrapCI(df: DataFrame, groupCol: String, idCol: String,
+      measureCol: String, b: Int = 100,
+      loP: Double = 0.05, hiP: Double = 0.95): DataFrame = {
+    require(b >= 10 && b <= 10000, s"b must be in [10, 10000]: $b")
+    val rows = df.select(col(groupCol), col(idCol).as("__id"),
+      col(measureCol).cast("long").as("__v"))
+    val rep = rows.select(col(groupCol), col("__id"), col("__v"),
+      explode(sequence(lit(0), lit(b - 1))).as("__r"))
+    val mix = pmod(pmod(col("__id"), lit(2147483648L)) * lit(1000003L) +
+      col("__r") * lit(999983L), lit(2147483648L))
+    val h = pmod(mix * lit(2654435761L), lit(2147483648L))
+    val m = when(h < 790015084L, 0L).when(h < 1580030168L, 1L)
+      .when(h < 1975037710L, 2L).when(h < 2106706891L, 3L).otherwise(4L)
+    val means = rep.withColumn("__m", m)
+      .groupBy(col(groupCol), col("__r"))
+      .agg(sum(col("__m") * col("__v")).as("__ws"),
+        sum(col("__m")).as("__wn"))
+      .filter(col("__wn") > 0)
+      .select(col(groupCol),
+        (col("__ws").cast("double") / col("__wn")).as("__mean"))
+    val ci = Quantiles.exactQuantiles(means, Seq(groupCol), "__mean",
+      Seq(loP, hiP))
+    val pn = (p: Double) => s"p${(p * 100).round}"
+    val actual = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__v")).cast("double") / count(lit(1))).as("mean"))
+    actual.join(ci, groupCol)
+      .select(col(groupCol), col("n_rows"), col("mean"),
+        col(pn(loP)).as("ci_lo"), col(pn(hiP)).as("ci_hi"))
+  }
 }
