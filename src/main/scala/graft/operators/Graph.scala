@@ -317,6 +317,51 @@ object Graph {
     visited
   }
 
+  /** k-core of an undirected graph (Seidman 1983): the unique maximal
+    * subgraph in which every node has degree ≥ k, found by iterated
+    * peeling — repeatedly delete nodes of degree < k until a fixed
+    * point. The "dense core" extractor: in dedup-cluster graphs the
+    * k-core separates genuinely entangled near-duplicate families from
+    * chains of borderline pairs.
+    *
+    * Spark shape: each peel round is one degree aggregate + two
+    * semi-join filters against the surviving-node set (keyed shuffles
+    * only; the survivors frame is |nodes|-sized). Every round's edge
+    * set is an eager `localCheckpoint` — the peel is data-dependent in
+    * depth, and without the cut lineage would nest one join deeper per
+    * round. The fixed-point probe is a `limit(1)` scalar per round;
+    * rounds are bounded by |nodes| but in practice by the graph's
+    * degeneracy ordering depth (tens, not thousands).
+    *
+    * Returns `(node, core_degree)` — the surviving nodes with their
+    * degree INSIDE the core (≥ k by construction); empty when the
+    * graph has no k-core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var done = false
+    while (!done) {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b")))
+        .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+      val keep = deg.filter(col("__deg") >= k).select(col("node"))
+      val dropped = deg.filter(col("__deg") < k).limit(1).count()
+      if (dropped == 0) done = true
+      else e = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Degree assortativity (Newman 2002) of an undirected graph, as one
     * row `(n_nodes, n_edges, mean_deg, max_deg, assortativity)`: the
     * Pearson correlation of endpoint degrees over every edge counted in

@@ -271,6 +271,52 @@ object Metrics {
           .as("cum_lift"))
   }
 
+  /** Per-group two-regressor ordinary least squares
+    * `y = b0 + b1·x1 + b2·x2`, solved in closed form from the normal
+    * equations (Cramer's rule on the 3×3 moment matrix) — multiple
+    * regression as ONE hash aggregate + a map-side solve, no iterative
+    * fitting, no driver math.
+    *
+    * Determinism contract: inputs must be INTEGER-valued columns so all
+    * nine moment sums (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y)
+    * are exact longs under any partitioning; the determinants then
+    * combine those exact values in double with one fixed expression
+    * shape — replayable verbatim in any engine. Groups with a singular
+    * normal matrix (constant regressors, collinearity) are dropped
+    * explicitly rather than returning NaN coefficients.
+    *
+    * Returns `(groupCol, n, b0, b1, b2)`, coefficients rounded to 6. */
+  def ols2(df: DataFrame, groupCol: String, x1Col: String, x2Col: String,
+      yCol: String): DataFrame = {
+    val x1 = col(x1Col).cast("long"); val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("__p"), sum(x2).as("__q"), sum(y).as("__sy"),
+      sum(x1 * x1).as("__a"), sum(x1 * x2).as("__b"),
+      sum(x2 * x2).as("__c"),
+      sum(x1 * y).as("__s1y"), sum(x2 * y).as("__s2y"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val (p, q, sy, a, b, c) =
+      (d("__p"), d("__q"), d("__sy"), d("__a"), d("__b"), d("__c"))
+    val (s1y, s2y) = (d("__s1y"), d("__s2y"))
+    val det = nD * (a * c - b * b) - p * (p * c - b * q) +
+      q * (p * b - a * q)
+    val d0 = sy * (a * c - b * b) - p * (s1y * c - b * s2y) +
+      q * (s1y * b - s2y * a)
+    val d1 = nD * (s1y * c - b * s2y) - sy * (p * c - b * q) +
+      q * (p * s2y - s1y * q)
+    val d2 = nD * (a * s2y - s1y * b) - p * (p * s2y - s1y * q) +
+      sy * (p * b - a * q)
+    m.withColumn("__det", det)
+      .filter(col("__det") =!= 0.0)
+      .select(col(groupCol), col("n"),
+        round(d0 / col("__det"), 6).as("b0"),
+        round(d1 / col("__det"), 6).as("b1"),
+        round(d2 / col("__det"), 6).as("b2"))
+  }
+
   /** Linear (uniform) multi-touch attribution: each conversion's value
     * splits evenly across ALL of the user's touches inside the
     * `lookbackDays` window ending at the conversion (last-touch — q173

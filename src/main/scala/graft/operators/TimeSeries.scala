@@ -257,6 +257,52 @@ object TimeSeries {
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
 
+  /** Event-time disorder audit — the measurement that TUNES a
+    * watermark: per key, compare each event's timestamp with the
+    * running maximum over arrival order (`arrivalCols`); an event is
+    * LATE when its timestamp is behind that high-water mark, and its
+    * lateness in whole seconds is how much watermark delay would have
+    * been needed to keep it. Aggregated per `sliceCol`, with the exact
+    * interpolated `latenessP` quantile of the late events' lateness —
+    * set the watermark at p95/p99 lateness instead of guessing.
+    *
+    * One keyed WindowExec pass (running max per key — never a global
+    * window), one hash aggregate per slice, and [[Quantiles]]'
+    * sort-rank pass over only the LATE rows. Lateness is integer
+    * microsecond arithmetic floored to seconds — no float timestamps.
+    *
+    * Returns `(sliceCol, n_events, n_late, late_frac, max_late_s,
+    * p<q>_late_s)` (quantile null for slices with no late events). */
+  def disorderAudit(df: DataFrame, keyCol: String,
+      arrivalCols: Seq[String], tsCol: String, sliceCol: String,
+      latenessP: Double = 0.95): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(arrivalCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLate = df
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__hwm", max(col("__us")).over(w))
+      // integral `div`, not float division: DuckDB's `//` and Spark's
+      // `div` are both exact integer ops — no truncate-vs-round hazard
+      .withColumn("__late_s",
+        when(col("__hwm").isNotNull && col("__us") < col("__hwm"),
+          expr("(__hwm - __us) div 1000000")))
+    val perSlice = withLate.groupBy(col(sliceCol)).agg(
+      count(lit(1)).as("n_events"),
+      count(col("__late_s")).as("n_late"),
+      max(col("__late_s")).as("max_late_s"))
+    val pCol = s"p${(latenessP * 100).round}"
+    val q = Quantiles.exactQuantiles(
+      withLate.filter(col("__late_s").isNotNull), Seq(sliceCol),
+      "__late_s", Seq(latenessP))
+    perSlice.join(q, Seq(sliceCol), "left")
+      .select(col(sliceCol), col("n_events"), col("n_late"),
+        round(col("n_late").cast("double") / col("n_events"), 6)
+          .as("late_frac"),
+        col("max_late_s"),
+        round(col(pCol), 6).as(s"${pCol}_late_s"))
+  }
+
   /** Hampel outlier filter (Pearson et al. 2016): per row, the exact
     * median and MAD of the centered ±`half` window around it; a row is
     * an outlier when `|v − med| > nSigma · 1.4826 · MAD` (1.4826 scales

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Metrics, TimeSeries}
+import graft.sources.{Tables => T}
+
+/** Round-6 eleventh wave: closed-form multiple regression, watermark
+  * disorder audit, k-core extraction.
+  */
+object Round19 {
+
+  val all: Seq[Q] = Seq(
+
+    // per-type two-regressor OLS of order value (cents) on hour-of-day
+    // and day-of-week: multiple regression as ONE hash aggregate of
+    // exact integer moments + a map-side Cramer solve
+    Q("q218_ols2", (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).select($"event_type",
+        hour($"ts").as("x1"), dayofweek($"ts").as("x2"),
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("y"))
+      Metrics.ols2(ev, "event_type", "x1", "x2", "y")
+        .orderBy($"event_type")
+    }, Some("""
+      WITH base AS (SELECT event_type AS grp, hour(ts) AS x1,
+                           dayofweek(ts) + 1 AS x2,
+                           CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) AS y
+                    FROM events),
+      m AS (SELECT grp, count(*) AS n,
+                   sum(x1) AS sp, sum(x2) AS sq, sum(y) AS ssy,
+                   sum(x1*x1) AS sa, sum(x1*x2) AS sb, sum(x2*x2) AS sc,
+                   sum(x1*y) AS s1, sum(x2*y) AS s2
+            FROM base GROUP BY 1),
+      d AS (SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+                   CAST(sp AS DOUBLE) AS p, CAST(sq AS DOUBLE) AS q,
+                   CAST(ssy AS DOUBLE) AS sy, CAST(sa AS DOUBLE) AS a,
+                   CAST(sb AS DOUBLE) AS b2, CAST(sc AS DOUBLE) AS c,
+                   CAST(s1 AS DOUBLE) AS s1y, CAST(s2 AS DOUBLE) AS s2y
+            FROM m),
+      x AS (SELECT grp, n,
+              nd*(a*c - b2*b2) - p*(p*c - b2*q) + q*(p*b2 - a*q) AS det,
+              sy*(a*c - b2*b2) - p*(s1y*c - b2*s2y)
+                + q*(s1y*b2 - s2y*a) AS d0,
+              nd*(s1y*c - b2*s2y) - sy*(p*c - b2*q)
+                + q*(p*s2y - s1y*q) AS d1,
+              nd*(a*s2y - s1y*b2) - p*(p*s2y - s1y*q)
+                + sy*(p*b2 - a*q) AS d2
+            FROM d)
+      SELECT grp AS event_type, n, round(d0/det, 6) AS b0,
+             round(d1/det, 6) AS b1, round(d2/det, 6) AS b2
+      FROM x WHERE det <> 0 ORDER BY event_type""")),
+
+    // how late do events really arrive? per-user high-water mark over
+    // arrival order, lateness in exact integer seconds, p95 lateness
+    // per event type — the number a watermark should be SET to
+    Q("q219_disorder_audit", (s, d) => {
+      import s.implicits._
+      TimeSeries.disorderAudit(
+          T.events(s, d).select($"event_type", $"user_id", $"event_id",
+            $"ts"),
+          "user_id", Seq("event_id"), "ts", "event_type",
+          latenessP = 0.95)
+        .orderBy($"event_type")
+    }, Some("""
+      WITH x AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us
+                 FROM events),
+      h AS (SELECT event_type, us,
+                   max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS hwm
+            FROM x),
+      l AS (SELECT event_type, us, hwm,
+                   CASE WHEN hwm IS NOT NULL AND us < hwm
+                        THEN (hwm - us) // 1000000 END AS late_s
+            FROM h),
+      a AS (SELECT event_type, count(*) AS n_events,
+                   count(late_s) AS n_late, max(late_s) AS max_late_s
+            FROM l GROUP BY 1),
+      q AS (SELECT event_type, quantile_cont(late_s, 0.95) AS p95
+            FROM l WHERE late_s IS NOT NULL GROUP BY 1)
+      SELECT a.event_type, n_events, n_late,
+             round(CAST(n_late AS DOUBLE) / n_events, 6) AS late_frac,
+             max_late_s, round(p95, 6) AS p95_late_s
+      FROM a LEFT JOIN q ON a.event_type = q.event_type
+      ORDER BY a.event_type""")),
+
+    // dense trade core: the 30-core of the symmetrized customer-supplier
+    // graph — iterated peel to the unique fixed point; no SQL oracle can
+    // iterate a data-dependent peel, so correctness is pinned by
+    // KCoreSpec's brute-force reference on randomized graphs
+    Q("q220_kcore", (s, d) => {
+      import s.implicits._
+      val edges = T.orders(s, d)
+        .join(T.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey" * 2).as("src"),
+          ($"l_suppkey" * 2 + 1).as("dst"))
+      Graph.kCore(edges, "src", "dst", k = 30)
+        .select(when($"node" % 2 === 0,
+            concat(lit("c"), ($"node" / 2).cast("long")))
+          .otherwise(concat(lit("s"), (($"node" - 1) / 2).cast("long")))
+          .as("node"),
+          $"core_degree")
+        .orderBy($"node")
+    }, None)
+  )
+}
