@@ -20,7 +20,7 @@ object ScaleBench {
 
   private val RiskQueries = Seq("q66_dedup_groups", "q101_substring_dedup",
     "q129_fuzzy_join", "q130_pagerank", "q144_triangle_stats",
-    "q172_hits", "q188_adamic_adar")
+    "q172_hits", "q188_adamic_adar", "q209_bfs_distances", "q220_kcore")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other

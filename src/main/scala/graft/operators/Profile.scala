@@ -202,6 +202,134 @@ object Profile {
         - (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
   }
 
+  /** Audience overlap matrix: for every pair of segments, the exact
+    * member intersection and Jaccard — the dedup step before adding a
+    * "new" audience that is 90% an existing one. One distinct pass,
+    * one id-keyed self-join whose per-id fan-out is bounded by the
+    * segment count (each id contributes ≤ C(|segs|,2) pairs — never
+    * corpus-quadratic), and a |segments|²-sized result; the size table
+    * AQE-broadcasts into the final joins.
+    *
+    * Returns `(seg_a, seg_b, n_a, n_b, n_both, jaccard)` with
+    * `seg_a < seg_b`, Jaccard rounded to 6; disjoint pairs are absent
+    * (their intersection is empty — readers treat missing as 0). */
+  def segmentOverlap(df: DataFrame, segCol: String, idCol: String): DataFrame = {
+    val us = df.select(col(segCol).as("__s"), col(idCol).as("__id"))
+      .distinct()
+    val sizes = us.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val a = us.select(col("__s").as("seg_a"), col("__id"))
+    val b = us.select(col("__s").as("seg_b"), col("__id"))
+    val co = a.join(b, "__id").filter(col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b")).agg(count(lit(1)).as("n_both"))
+    co.join(sizes.select(col("__s").as("seg_a"), col("__n").as("n_a")),
+        "seg_a")
+      .join(sizes.select(col("__s").as("seg_b"), col("__n").as("n_b")),
+        "seg_b")
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+  }
+
+  /** Cramér's V association between two categorical columns — the
+    * normalized chi-squared (in [0,1]) that says whether, e.g., brand
+    * and type are independent dimensions or one determines the other.
+    * Computed over the FULL r×c grid (absent cells contribute their
+    * whole expectation, which a join on observed cells alone would
+    * drop).
+    *
+    * Determinism: the contingency margins are exact longs; each cell's
+    * `(o−e)²/e` is one fixed double expression; and the chi² total is
+    * folded over the cells in SORTED (a, b) order via a collected
+    * array — the grid is |a|·|b| metadata-sized, so the collect is
+    * bounded, and the ordered fold removes the one remaining
+    * partial-sum order hazard a plain `sum()` would keep.
+    *
+    * Returns one row `(n, r, c, chi2, cramers_v)`, rounded to 6. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val t = df.select(col(aCol).cast("string").as("__a"),
+      col(bCol).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val obs = t.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+    val ra = t.groupBy(col("__a")).agg(count(lit(1)).as("__na"))
+    val cb = t.groupBy(col("__b")).agg(count(lit(1)).as("__nb"))
+    val nRow = t.agg(count(lit(1)).as("__nn"),
+      countDistinct(col("__a")).as("r"), countDistinct(col("__b")).as("c"))
+    val grid = ra.crossJoin(cb)
+      .join(obs, Seq("__a", "__b"), "left")
+      .crossJoin(broadcast(nRow))
+      .withColumn("__e",
+        (col("__na") * col("__nb")).cast("double") / col("__nn"))
+      .withColumn("__contrib",
+        pow(coalesce(col("__o"), lit(0L)) - col("__e"), 2) / col("__e"))
+    grid.agg(
+        max(col("__nn")).as("n"), max(col("r")).as("r"),
+        max(col("c")).as("c"),
+        collect_list(struct(col("__a"), col("__b"), col("__contrib")))
+          .as("__cells"))
+      .select(col("n"), col("r"), col("c"),
+        aggregate(array_sort(col("__cells")), lit(0.0),
+          (acc, x) => acc + x.getField("__contrib")).as("__chi2"))
+      .select(col("n"), col("r"), col("c"),
+        round(col("__chi2"), 6).as("chi2"),
+        round(sqrt(col("__chi2") /
+          (col("n") * least(col("r") - 1, col("c") - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Population stability index between a baseline and a comparison
+    * distribution — the model-monitoring drift gate (PSI < 0.1 stable,
+    * > 0.25 shifted): baseline equi-depth bucket boundaries
+    * ([[Quantiles.exactQuantiles]], ONE sort pass), branch-free
+    * comparison-sum bucket assignment against the broadcast 1-row
+    * boundary table (q152's no-bin-flip shape), per-bucket shares, and
+    * `Σ (p_b − p_a)·ln(p_b/p_a)`. The total is folded in bucket order
+    * over the collected ≤`buckets`-element array — deterministic, like
+    * [[cramersV]]. Buckets empty on either side yield NULL
+    * contributions and a NULL total (visible, never silently skipped).
+    *
+    * Returns `buckets` rows
+    * `(bucket, n_a, n_b, p_a, p_b, contrib, psi)`, rounded to 6. */
+  def psi(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 100,
+      s"buckets must be in [2, 100]: $buckets")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val names = ps.map(p => s"p${(p * 100).round}")
+    val bounds = Quantiles.exactQuantiles(dfA, Seq(), valueCol, ps)
+      .drop("__g")
+    val v = col(valueCol).cast("double")
+    val bucket = names
+      .foldLeft(lit(1))((acc, b) => acc + (v > col(b)).cast("int"))
+    def counts(df: DataFrame, out: String) = df.filter(v.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as(out))
+    val spine = dfA.sparkSession.range(1, buckets + 1)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = spine
+      .join(counts(dfA, "n_a"), Seq("bucket"), "left")
+      .join(counts(dfB, "n_b"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = joined.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    val withP = joined.crossJoin(broadcast(tot))
+      .withColumn("p_a", col("n_a").cast("double") / col("__ta"))
+      .withColumn("p_b", col("n_b").cast("double") / col("__tb"))
+      .withColumn("__contrib", when(col("n_a") > 0 && col("n_b") > 0,
+        (col("p_b") - col("p_a")) * log(col("p_b") / col("p_a"))))
+    val total = withP.agg(
+      collect_list(struct(col("bucket"), col("__contrib"))).as("__cs"),
+      max(when(col("__contrib").isNull, 1).otherwise(0)).as("__anyNull"))
+      .select(when(col("__anyNull") === 0,
+        aggregate(array_sort(col("__cs")), lit(0.0),
+          (acc, x) => acc + x.getField("__contrib"))).as("__psi"))
+    withP.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("__contrib"), 6).as("contrib"),
+        round(col("__psi"), 6).as("psi"))
+  }
+
   /** Poisson-bootstrap confidence interval for the per-group mean of an
     * exact integer measure — THE scale-out bootstrap (Chamandy et al.,
     * Google 2012): instead of materializing B resamples of N rows, each
