@@ -447,4 +447,38 @@ object TextAnalysis {
       .agg(max(col("__ts")).as("n_tokens"), count(lit(1)).as("n_terms"),
         round(sum(col("__term")), 6).as("kl"))
   }
+
+  /** Flesch reading ease per document (Flesch 1948; the readability
+    * gate several published corpus-quality pipelines apply):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`,
+    * with sentences split on `[.!?]+` (the [[passageChunks]]-family
+    * convention), words on whitespace, and syllables counted as vowel
+    * groups per word floored at 1 (the standard heuristic — exact
+    * syllabification needs a dictionary no engine ships).
+    *
+    * Pure map-side array-HOF arithmetic — one projection, zero
+    * shuffles, fully codegen'd; every count is an integer so the final
+    * double expression is deterministic everywhere. Returns the input
+    * id plus `(n_sentences, n_words, n_syllables, flesch)` (flesch
+    * rounded to 6; 0-word docs get NULL flesch rather than a division
+    * error). */
+  def fleschReadingEase(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val sent = filter(
+      transform(split(col(textCol), "[.!?]+"), x => trim(x)),
+      x => length(x) > 0)
+    val words = filter(split(col(textCol), "\\s+"), x => length(x) > 0)
+    val syll = aggregate(words, lit(0L), (acc, w) =>
+      acc + greatest(lit(1),
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0)))))
+    docs.select(col(idCol),
+        size(sent).as("n_sentences"), size(words).as("n_words"),
+        syll.as("n_syllables"))
+      .withColumn("flesch", when(col("n_words") > 0,
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / greatest(col("n_sentences"), lit(1)))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words")), 6)))
+  }
 }

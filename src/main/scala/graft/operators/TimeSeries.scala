@@ -257,6 +257,24 @@ object TimeSeries {
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
 
+  /** Longest consecutive-day activity streak per key — the
+    * gaps-and-islands classic (day minus dense row number is constant
+    * within a run): one distinct day reduction, one keyed window, two
+    * keyed aggregates. Returns `(keyCol, n_active_days,
+    * longest_streak)`. */
+  def longestDailyStreak(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val days = df.select(col(keyCol).as("__k"),
+      to_date(col(tsCol)).as("__day")).distinct()
+    val w = Window.partitionBy(col("__k")).orderBy(col("__day"))
+    days.withColumn("__g", date_sub(col("__day"), row_number().over(w)))
+      .groupBy(col("__k"), col("__g")).agg(count(lit(1)).as("__len"))
+      .groupBy(col("__k"))
+      .agg(sum(col("__len")).as("n_active_days"),
+        max(col("__len")).as("longest_streak"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
   /** Event-time disorder audit — the measurement that TUNES a
     * watermark: per key, compare each event's timestamp with the
     * running maximum over arrival order (`arrivalCols`); an event is
