@@ -448,6 +448,38 @@ object TextAnalysis {
         round(sum(col("__term")), 6).as("kl"))
   }
 
+  /** Cross-document boilerplate detection: the fraction of each doc's
+    * sentences that also appear in at least `minDocs` OTHER documents —
+    * navigation chrome, license headers, and template text score high
+    * and are what corpus-cleaning pipelines strip before training
+    * (span dedup finds long literal repeats; this finds short
+    * sentence-granular chrome). Sentences follow the `[.!?]+` + trim
+    * convention of the q75 family.
+    *
+    * Shape: one map-side sentence explode (per-doc DISTINCT sentences),
+    * one sentence-keyed doc-frequency aggregate, one broadcast-friendly
+    * join back, one per-doc fold. Nothing quadratic; the sentence df
+    * table is vocabulary-sized. Returns
+    * `(idCol, n_sentences, n_boilerplate, boilerplate_ratio)` over
+    * docs that have at least one sentence. */
+  def boilerplateRatio(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDocs: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val sent = filter(
+      transform(split(col(textCol), "[.!?]+"), x => trim(x)),
+      x => length(x) > 0)
+    val ds = docs.select(col(idCol), explode(sent).as("__sent")).distinct()
+    val df = ds.groupBy(col("__sent"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    ds.join(df, "__sent")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("__df") > minDocs, 1L).otherwise(0L))
+          .as("n_boilerplate"))
+      .withColumn("boilerplate_ratio",
+        round(col("n_boilerplate").cast("double") / col("n_sentences"), 6))
+  }
+
   /** Flesch reading ease per document (Flesch 1948; the readability
     * gate several published corpus-quality pipelines apply):
     * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`,

@@ -257,6 +257,35 @@ object TimeSeries {
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
 
+  /** Rolling 7-day distinct actives per day ("WAU by day") — EXACTLY,
+    * without a distinct-over-window (which Spark cannot express) or an
+    * inequality self-join (which explodes): each distinct (key, day)
+    * pair is exploded map-side to the `windowDays` days it contributes
+    * to, then ONE distinct aggregate per target day counts it once.
+    * Cost: `windowDays ×` the (already day-deduped) pair count — linear,
+    * shuffle keyed on day. Days beyond the observed range are clipped
+    * by a semi-join against the observed-day set.
+    *
+    * Returns `(day, active_1d, active_window)`. */
+  def rollingDistinctDaily(df: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val pairs = df.select(col(keyCol).as("__k"),
+      to_date(col(tsCol)).as("__day")).distinct()
+    val observed = pairs.select(col("__day").as("day")).distinct()
+    val contrib = pairs.select(col("__k"),
+      explode(sequence(lit(0), lit(windowDays - 1))).as("__o"),
+      col("__day"))
+      .select(col("__k"), expr("date_add(__day, __o)").as("day"))
+      .join(observed, Seq("day"), "left_semi")
+    val win = contrib.groupBy(col("day"))
+      .agg(countDistinct(col("__k")).as("active_window"))
+    val one = pairs.groupBy(col("__day").as("day"))
+      .agg(count(lit(1)).as("active_1d"))
+    one.join(win, "day")
+      .select(col("day"), col("active_1d"), col("active_window"))
+  }
+
   /** Longest consecutive-day activity streak per key — the
     * gaps-and-islands classic (day minus dense row number is constant
     * within a run): one distinct day reduction, one keyed window, two
