@@ -271,6 +271,76 @@ object Metrics {
           .as("cum_lift"))
   }
 
+  /** Isotonic calibration via pool-adjacent-violators (Ayer et al.
+    * 1955; the calibration step behind isotonic-calibrated
+    * classifiers): observed positive rates over score-ordered bins are
+    * replaced by the closest monotone non-decreasing fit (weighted
+    * least squares, which PAV solves exactly). The q168 reliability
+    * bins say IF scores are calibrated; this REPAIRS them while
+    * keeping the ranking.
+    *
+    * Scale shape: scores reduce to `bins` quantile bins per group
+    * first (one keyed ntile window — the same bounded-metadata move
+    * every calibration implementation makes), so the sequential PAV
+    * fold runs over ≤`bins` pooled points per group, applied to the
+    * collected bin array post-aggregate — bounded, never data-sized.
+    * A SQL oracle cannot express the pooling recursion → queries on
+    * this are rows-only, pinned by Round24OpsSpec (textbook PAV hand
+    * cases + monotonicity/mean-preservation laws).
+    *
+    * Returns `(groupCol, bin, n, rate_raw, rate_iso)`, rates rounded
+    * to 6; `rate_iso` is non-decreasing in `bin` within each group. */
+  def isotonicCalibration(df: DataFrame, groupCol: String,
+      scoreCol: String, labelCol: String, tieCols: Seq[String],
+      bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000]: $bins")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol) +: tieCols.map(col): _*)
+    val binned = df
+      .withColumn("__bin", ntile(bins).over(w))
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("__pos"))
+    val pavUdf = udf((ns: Seq[Long], ps: Seq[Long]) =>
+      Metrics.pav(ns.map(_.toDouble).toArray,
+        ns.zip(ps).map { case (n, p) => p.toDouble / n }.toArray))
+    binned.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(
+        struct(col("__bin"), col("n"), col("__pos")))).as("__cells"))
+      .withColumn("__iso", pavUdf(
+        expr("transform(__cells, x -> x.n)"),
+        expr("transform(__cells, x -> x.__pos)")))
+      .select(col(groupCol),
+        explode(arrays_zip(col("__cells"), col("__iso"))).as("__z"))
+      .select(col(groupCol),
+        col("__z.__cells.__bin").as("bin"),
+        col("__z.__cells.n").as("n"),
+        round(col("__z.__cells.__pos").cast("double")
+          / col("__z.__cells.n"), 6).as("rate_raw"),
+        round(col("__z.__iso"), 6).as("rate_iso"))
+  }
+
+  /** Sequential pool-adjacent-violators on (weight, value) pairs in
+    * order; returns the monotone non-decreasing fit, one value per
+    * input point. Exposed for the spec's law checks. */
+  private[graft] def pav(ws: Array[Double], ys: Array[Double]): Array[Double] = {
+    val bw = scala.collection.mutable.ArrayBuffer[Double]()
+    val bm = scala.collection.mutable.ArrayBuffer[Double]()
+    val bc = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < ws.length) {
+      var wgt = ws(i); var m = ys(i); var c = 1
+      while (bm.nonEmpty && bm.last >= m) {
+        m = (bm.last * bw.last + m * wgt) / (bw.last + wgt)
+        wgt += bw.last; c += bc.last
+        bw.remove(bw.size - 1); bm.remove(bm.size - 1); bc.remove(bc.size - 1)
+      }
+      bw += wgt; bm += m; bc += c
+      i += 1
+    }
+    bm.zip(bc).flatMap { case (m, c) => Seq.fill(c)(m) }.toArray
+  }
+
   /** Per-group two-regressor ordinary least squares
     * `y = b0 + b1·x1 + b2·x2`, solved in closed form from the normal
     * equations (Cramer's rule on the 3×3 moment matrix) — multiple

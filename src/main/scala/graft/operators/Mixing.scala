@@ -335,6 +335,48 @@ object Mixing {
     * `2^ceil(log2 n)` — the float log misassigns exact powers of two.
     * Map-side projection + one ≤64-group aggregate; returns
     * `(bucket, n_rows, total_len, padding, waste_frac)`. */
+  /** Neyman-optimal stratified sample allocation (Neyman 1934): a
+    * fixed sample budget split across strata ∝ `n_h · σ_h` — big AND
+    * variable strata get more samples, minimizing the variance of the
+    * stratified mean estimate; the statistically-right alternative to
+    * q105's proportional allocation when strata differ in spread.
+    *
+    * Determinism: `valueCol` must be integer-valued (cents-style), so
+    * each stratum's sum-of-squares comes from EXACT long moments
+    * (`n·Σx² − (Σx)²` assembled in double from exact longs); the
+    * allocation share divides by the ordered fold of the per-stratum
+    * weights (strata are metadata-sized, [[Profile.cramersV]]'s
+    * trick), and the integer allocation is `floor(x + 0.5)` — no
+    * engine-specific round-half rule anywhere.
+    *
+    * Returns `(stratumCol, n_rows, sigma, alloc)`; single-row strata
+    * carry NULL sigma and allocate 0. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val x = col(valueCol).cast("long")
+    val m = df.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n_rows"), sum(x).as("__sx"),
+      sum(x * x).as("__sxx"))
+    val nD = col("n_rows").cast("double")
+    val sigma = when(col("n_rows") >= 2,
+      sqrt(greatest(lit(0.0),
+        (nD * col("__sxx").cast("double")
+          - col("__sx").cast("double") * col("__sx").cast("double"))
+          / (nD * (nD - 1)))))
+    val withW = m.withColumn("__sigma", sigma)
+      .withColumn("__w", coalesce(nD * col("__sigma"), lit(0.0)))
+    val tot = withW.agg(
+      collect_list(struct(col(stratumCol), col("__w"))).as("__ws"))
+      .select(aggregate(array_sort(col("__ws")), lit(0.0),
+        (acc, s) => acc + s.getField("__w")).as("__wtot"))
+    withW.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_rows"),
+        round(col("__sigma"), 6).as("sigma"),
+        floor(lit(budget.toDouble) * col("__w") / col("__wtot") + 0.5)
+          .cast("long").as("alloc"))
+  }
+
   def lengthBuckets(df: DataFrame, lengthCol: String): DataFrame = {
     df.select(col(lengthCol).cast("long").as("__n"))
       .withColumn("bucket", when(col("__n") <= 1, lit(1L))

@@ -257,6 +257,56 @@ object TimeSeries {
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
 
+  /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over
+    * right-censored durations — the churn/retention curve done
+    * correctly: subjects still active at observation end are CENSORED
+    * (they leave the risk set without counting as an event), where the
+    * naive "fraction churned by day t" silently treats them as
+    * immortal. `S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)` over distinct event
+    * times.
+    *
+    * Shape: one hash aggregate to per-duration (events, censored)
+    * counts; the risk-set and survival recursions are windows over the
+    * DISTINCT-duration table — metadata-sized (days, not subjects), so
+    * the single-partition window is bounded, like every per-bucket
+    * fold in this codebase. The product is `exp(Σ ln(1−d/n))` with the
+    * cumulative sum sequential inside the window — deterministic, and
+    * replayable verbatim in SQL.
+    *
+    * Returns one row per distinct duration with ≥1 EVENT:
+    * `(t, n_risk, n_events, n_censored_at_t, survival)` (survival
+    * rounded to 6, non-increasing in t). */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      observedCol: String): DataFrame = {
+    val perT = df.groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(col(observedCol).cast("long")).as("n_events"),
+        sum(lit(1L) - col(observedCol).cast("long")).as("n_censored_at_t"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("__gone",
+        coalesce(sum(col("n_events") + col("n_censored_at_t")).over(w),
+          lit(0L)))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+      .withColumn("n_risk", col("__n") - col("__gone"))
+      .withColumn("__f",
+        lit(1.0) - col("n_events").cast("double") / col("n_risk"))
+      // the terminal step where EVERYONE at risk has the event makes
+      // the factor 0 — ln would blow up (DuckDB errors, Spark nulls);
+      // survival is exactly 0 from that t on, so flag it instead
+      .withColumn("__hitZero",
+        max(when(col("__f") === 0.0, 1).otherwise(0)).over(wTot))
+      .withColumn("__lnf", when(col("__f") > 0, log(col("__f")))
+        .otherwise(lit(0.0)))
+      .withColumn("survival", when(col("__hitZero") === 1, lit(0.0))
+        .otherwise(round(exp(sum(col("__lnf")).over(wTot)), 6)))
+      .filter(col("n_events") > 0)
+      .select(col("t"), col("n_risk"), col("n_events"),
+        col("n_censored_at_t"), col("survival"))
+  }
+
   /** Rolling 7-day distinct actives per day ("WAU by day") — EXACTLY,
     * without a distinct-over-window (which Spark cannot express) or an
     * inequality self-join (which explodes): each distinct (key, day)
