@@ -257,6 +257,76 @@ object TimeSeries {
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
 
+  /** Holt linear (double-exponential) smoothing per key with a
+    * one-step-ahead forecast — the level+trend recursion
+    * `l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}` seeded at
+    * `(l, b) = (x_1, 0)` — a sequential dependence no window frame
+    * expresses ([[clampedRunningBalance]]'s class): per-key sorted
+    * collect + ONE aggregate HOF fold with an `array(level, trend)`
+    * accumulator, exact order from `orderCol`.
+    *
+    * The smoothing constants enter the expression as `(1.0 − α)`
+    * SUBEXPRESSIONS (never pre-computed on the driver): each engine
+    * constant-folds the same literals to the same double, so an oracle
+    * spelling `(1.0 - 0.3)` replays bit-for-bit — a driver-side
+    * `1 - 0.3` would interpolate `0.7000000000000001` and flap.
+    *
+    * Returns `(keyCol, n_points, level, trend, forecast)` (rounded to
+    * 6) for keys with ≥ 2 points. */
+  def holtForecast(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, alpha: Double = 0.3, beta: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1): $beta")
+    val a = alpha.toString; val b = beta.toString
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__s"))
+      .withColumn("__vals", expr("transform(__s, x -> x.v)"))
+      .filter(size(col("__vals")) >= 2)
+      .withColumn("__st", expr(
+        s"""aggregate(slice(__vals, 2, size(__vals) - 1),
+           array(element_at(__vals, 1), cast(0.0 as double)),
+           (acc, x) -> array(
+             $a * x + (1.0 - $a) * (acc[0] + acc[1]),
+             $b * ($a * x + (1.0 - $a) * (acc[0] + acc[1]) - acc[0])
+               + (1.0 - $b) * acc[1]))"""))
+      .select(col(keyCol), size(col("__vals")).as("n_points"),
+        round(expr("__st[0]"), 6).as("level"),
+        round(expr("__st[1]"), 6).as("trend"),
+        round(expr("__st[0] + __st[1]"), 6).as("forecast"))
+  }
+
+  /** Per-key burstiness (Fano factor) of daily activity: variance of
+    * the key's daily event count over the GLOBAL observed-day range
+    * (zero days count — a key active once in a 30-day corpus is
+    * bursty, which a per-active-day variance would hide), divided by
+    * the mean. F ≈ 1 is Poisson-like, F ≫ 1 bursty — the signal that
+    * decides per-key rate limits and skew salts. All moments are
+    * exact integer sums (absent days add 0 to Σc and Σc²; the global
+    * day count is a broadcast scalar), combined in double at the end.
+    *
+    * Returns `(keyCol, n_days, n_active_days, n_events, mean, fano)`
+    * rounded to 6. */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.select(col(keyCol).as("__k"),
+      to_date(col(tsCol)).as("__day"))
+      .groupBy(col("__k"), col("__day")).agg(count(lit(1)).as("__c"))
+    val nDays = daily.select(col("__day")).distinct()
+      .agg(count(lit(1)).as("__nd"))
+    daily.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_active_days"), sum(col("__c")).as("n_events"),
+        sum(col("__c") * col("__c")).as("__sc2"))
+      .crossJoin(broadcast(nDays))
+      .select(col("__k").as(keyCol), col("__nd").as("n_days"),
+        col("n_active_days"), col("n_events"),
+        round(col("n_events").cast("double") / col("__nd"), 6).as("mean"),
+        round(((col("__nd").cast("double") * col("__sc2").cast("double")
+            - col("n_events").cast("double") * col("n_events").cast("double"))
+          / (col("__nd").cast("double") * (col("__nd").cast("double") - 1)))
+          / (col("n_events").cast("double") / col("__nd")), 6).as("fano"))
+  }
+
   /** Kaplan–Meier survival estimator (Kaplan & Meier 1958) over
     * right-censored durations — the churn/retention curve done
     * correctly: subjects still active at observation end are CENSORED
