@@ -330,6 +330,51 @@ object Profile {
         round(col("__psi"), 6).as("psi"))
   }
 
+  /** Delete-one-group jackknife standard error for a RATIO metric
+    * (Tukey 1958; the production standard for CTR-style metrics, where
+    * the naive binomial SE is wrong because numerator and denominator
+    * are both random): units (e.g. days) are deleted one at a time,
+    * the ratio recomputed from the remaining totals, and
+    * `SE² = (G−1)/G · Σ(r_g − r̄)²`. Complements
+    * [[poissonBootstrapCI]] — the jackknife is deterministic with NO
+    * hash draws at all.
+    *
+    * Everything reduces to the |units|-sized per-unit totals table
+    * (exact long sums); the leave-one-out ratios are metadata-sized
+    * and both folds run in sorted unit order over collected arrays
+    * ([[cramersV]]'s trick) — squares as products, not `pow` (pow is
+    * not guaranteed bit-identical across engines).
+    *
+    * Returns one row `(n_units, ratio, se, ci_lo, ci_hi)` (95% normal
+    * CI), rounded to 6. */
+  def jackknifeRatioSE(df: DataFrame, unitCol: String, numCol: String,
+      denCol: String): DataFrame = {
+    val per = df.groupBy(col(unitCol))
+      .agg(sum(col(numCol).cast("long")).as("__n"),
+        sum(col(denCol).cast("long")).as("__d"))
+    val tot = per.agg(sum(col("__n")).as("__tn"),
+      sum(col("__d")).as("__td"), count(lit(1)).as("__g"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select(col(unitCol), col("__tn"), col("__td"), col("__g"),
+        ((col("__tn") - col("__n")).cast("double")
+          / (col("__td") - col("__d"))).as("__r"))
+    val folded = loo.groupBy(col("__tn"), col("__td"), col("__g"))
+      .agg(sort_array(collect_list(struct(col(unitCol).as("u"),
+        col("__r").as("r")))).as("__rs"))
+      .withColumn("__sum", aggregate(col("__rs"), lit(0.0),
+        (acc, x) => acc + x.getField("r")))
+      .withColumn("__mean", col("__sum") / col("__g"))
+      .withColumn("__ssq", aggregate(col("__rs"), lit(0.0),
+        (acc, x) => acc + (x.getField("r") - col("__mean"))
+          * (x.getField("r") - col("__mean"))))
+    val gD = col("__g").cast("double")
+    folded.select(col("__g").as("n_units"),
+        round(col("__tn").cast("double") / col("__td"), 6).as("ratio"),
+        round(sqrt((gD - 1) / gD * col("__ssq")), 6).as("se"))
+      .withColumn("ci_lo", round(col("ratio") - lit(1.96) * col("se"), 6))
+      .withColumn("ci_hi", round(col("ratio") + lit(1.96) * col("se"), 6))
+  }
+
   /** Poisson-bootstrap confidence interval for the per-group mean of an
     * exact integer measure — THE scale-out bootstrap (Chamandy et al.,
     * Google 2012): instead of materializing B resamples of N rows, each

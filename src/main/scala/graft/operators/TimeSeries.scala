@@ -257,6 +257,83 @@ object TimeSeries {
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
 
+  /** Theil–Sen robust slope per key (Theil 1950, Sen 1968): the MEDIAN
+    * of all pairwise slopes `(y_j−y_i)/(x_j−x_i)` — up to ~29%
+    * contaminated points leave the estimate unmoved, where one OLS
+    * outlier drags the fit arbitrarily. Pairwise enumeration is the
+    * operator's CONTRACT and cost: per-key C(n,2) slopes, so
+    * `maxPoints` bounds each key (keys beyond it are dropped loudly —
+    * a hub key would otherwise go quadratic; at 100 TB pre-aggregate
+    * to daily/bucketed points first, which is what the q239 query
+    * does). Slopes are enumerated MAP-SIDE from each key's collected
+    * (x, y) array — no self-join, one keyed aggregate — and the
+    * median is the exact interpolated middle of the sorted slope
+    * array.
+    *
+    * Returns `(keyCol, n_points, n_pairs, slope)` (slope rounded to
+    * 6) for keys with ≥ 2 distinct x. */
+  def theilSen(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String, maxPoints: Int = 1000): DataFrame = {
+    require(maxPoints >= 2 && maxPoints <= 10000,
+      s"maxPoints must be in [2, 10000]: $maxPoints")
+    val g = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y")))).as("__pts"))
+      .filter(size(col("__pts")).between(2, maxPoints))
+    // all i<j slopes with x_i != x_j, via a flattened double loop of
+    // array HOFs; sort + exact interpolated median, all map-side
+    val withSlopes = g.withColumn("__slopes", expr(
+      """array_sort(flatten(transform(__pts, (p, i) ->
+           filter(transform(__pts, (q, j) ->
+             IF(j > i AND q.x != p.x,
+                (q.y - p.y) / (q.x - p.x), NULL)),
+           s -> s IS NOT NULL))))"""))
+      .filter(size(col("__slopes")) >= 1)
+    val n = size(col("__slopes"))
+    val mid = ((n + 1) / 2).cast("int")
+    val lo = (n / 2).cast("int")
+    withSlopes.select(col(keyCol), size(col("__pts")).as("n_points"),
+      n.cast("long").as("n_pairs"),
+      round(when(n % 2 === 1, element_at(col("__slopes"), mid))
+        .otherwise((element_at(col("__slopes"), lo)
+          + element_at(col("__slopes"), lo + 1)) / 2.0), 6).as("slope"))
+  }
+
+  /** Lag-1 autocorrelation per key over an ordered integer series —
+    * the "is today like yesterday" number that separates trending
+    * series from noise. Computed from EXACT long moments of the
+    * consecutive-pair set (`Σx`, `Σy`, `Σxy`, `Σx²`, `Σy²` over pairs
+    * `(v_t, v_{t+1})`) combined in double at the end — the textbook
+    * Pearson form over lagged pairs, deterministic under any
+    * partitioning. One keyed window (the lead) + one hash aggregate.
+    *
+    * Returns `(keyCol, n_pairs, r1)` (rounded to 6) for keys with ≥ 2
+    * pairs and non-degenerate variance. */
+  def lag1Autocorr(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val paired = df
+      .withColumn("__y", lead(col(valueCol).cast("long"), 1).over(w))
+      .filter(col("__y").isNotNull)
+      .select(col(keyCol), col(valueCol).cast("long").as("__x"),
+        col("__y"))
+    val m = paired.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n_pairs").cast("double")
+    val cov = nD * d("__sxy") - d("__sx") * d("__sy")
+    val vx = nD * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nD * d("__syy") - d("__sy") * d("__sy")
+    m.filter(col("n_pairs") >= 2 && vx > 0 && vy > 0)
+      .select(col(keyCol), col("n_pairs"),
+        round(cov / sqrt(vx * vy), 6).as("r1"))
+  }
+
   /** Holt linear (double-exponential) smoothing per key with a
     * one-step-ahead forecast — the level+trend recursion
     * `l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})`,

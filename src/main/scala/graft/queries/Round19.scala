@@ -86,17 +86,28 @@ object Round19 {
       FROM a LEFT JOIN q ON a.event_type = q.event_type
       ORDER BY a.event_type""")),
 
-    // dense trade core: the 30-core of the symmetrized customer-supplier
-    // graph — iterated peel to the unique fixed point; no SQL oracle can
-    // iterate a data-dependent peel, so correctness is pinned by
-    // KCoreSpec's brute-force reference on randomized graphs
+    // dense trade core: the median-degree-core of the symmetrized
+    // customer-supplier graph (k tracks the fixture scale: ~10-core at
+    // sf0.001, ~33-core at sf0.01) — iterated peel to the unique fixed
+    // point; no SQL oracle can iterate a data-dependent peel, so
+    // correctness is pinned by Round19OpsSpec's brute-force reference
+    // on randomized graphs
     Q("q220_kcore", (s, d) => {
       import s.implicits._
       val edges = T.orders(s, d)
         .join(T.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
         .select(($"o_custkey" * 2).as("src"),
           ($"l_suppkey" * 2 + 1).as("dst"))
-      Graph.kCore(edges, "src", "dst", k = 30)
+      // data-driven k = median degree (a bounded 1-row scalar); below
+      // the median half the nodes peel immediately, so the surviving
+      // core is non-trivial at every fixture scale
+      val e = edges.distinct()
+      val deg = e.select($"src".as("n")).unionAll(e.select($"dst"))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+      val k = math.max(2, graft.operators.Quantiles
+        .exactQuantiles(deg, Seq(), "d", Seq(0.5))
+        .select($"p50").collect()(0).getDouble(0).toInt)
+      Graph.kCore(edges, "src", "dst", k = k)
         .select(when($"node" % 2 === 0,
             concat(lit("c"), ($"node" / 2).cast("long")))
           .otherwise(concat(lit("s"), (($"node" - 1) / 2).cast("long")))
