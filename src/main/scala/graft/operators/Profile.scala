@@ -330,6 +330,47 @@ object Profile {
         round(col("__psi"), 6).as("psi"))
   }
 
+  /** Data-contract audit ("expectations"): evaluate a set of named
+    * row-level violation predicates in ONE scan — every rule is a
+    * conditional count inside the same aggregate, so adding rules
+    * costs nothing at 100 TB — and unpivot to a (rule, n_violations,
+    * violation_rate) report. Uniqueness and referential rules need
+    * their own shuffles; compose them via [[uniquenessViolations]] /
+    * [[fkAudit]] and union the reports.
+    */
+  def expectations(df: DataFrame,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.map { case (n, viol) =>
+      sum(when(viol, 1L).otherwise(0L)).as(s"__v_$n")
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map { case (n, _) =>
+      s"'$n', `__v_$n`"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${rules.length}, $stacked) AS (rule, n_violations)",
+        "__n")
+      .select(col("rule"), col("n_violations"),
+        round(col("n_violations").cast("double") / col("__n"), 6)
+          .as("violation_rate"))
+  }
+
+  /** Rows whose `keyCol` value occurs more than once — the uniqueness
+    * half of a data contract (one keyed aggregate + broadcastable
+    * semi-join of the duplicated-key set). Returns one row
+    * `(rule, n_violations, violation_rate)` like [[expectations]]. */
+  def uniquenessViolations(df: DataFrame, keyCol: String): DataFrame = {
+    val dups = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+    val nViol = dups.agg(coalesce(sum(col("__c")), lit(0L)).as("__v"))
+    val nAll = df.agg(count(lit(1)).as("__n"))
+    nViol.crossJoin(nAll).select(
+      lit(s"unique_$keyCol").as("rule"),
+      col("__v").as("n_violations"),
+      round(col("__v").cast("double") / col("__n"), 6)
+        .as("violation_rate"))
+  }
+
   /** Delete-one-group jackknife standard error for a RATIO metric
     * (Tukey 1958; the production standard for CTR-style metrics, where
     * the naive binomial SE is wrong because numerator and denominator

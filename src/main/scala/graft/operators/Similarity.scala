@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import graft.functions.Functions._
 
@@ -512,5 +512,76 @@ object Similarity {
         round(dot(col("__ca"), col("__cb")) /
           (sqrt(dot(col("__ca"), col("__ca"))) *
             sqrt(dot(col("__cb"), col("__cb")))), 6).as("cos"))
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    * greedily pick `k` of each probe's candidates maximizing
+    * `λ·relevance − (1−λ)·max-sim-to-already-selected` — the standard
+    * diversity pass that stops a retrieval page being five copies of
+    * the same near-duplicate.
+    *
+    * The greedy recursion is inherently sequential over each probe's
+    * candidate list, so it runs as a per-probe Scala fold over the
+    * COLLECTED candidate array — bounded by the upstream top-N (pass
+    * the output of [[bruteForceTopK]] or an ANN variant; N ≤ ~100),
+    * never the corpus; the pairwise candidate–candidate cosines are
+    * O(N²) per probe, also bounded. Selection ties break on
+    * (score desc, vec_id) so the result is deterministic, but the
+    * greedy trace is not SQL-expressible → rows-only + spec.
+    *
+    * Input needs `(probe_id, vec_id, sim, embedding)`; returns
+    * `(probe_id, rank, vec_id, sim, mmr_score)` (rounded to 6). */
+  def mmrRerank(candidates: DataFrame, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambda > 0 && lambda <= 1, s"lambda must be in (0,1]: $lambda")
+    val sel = udf((cands: Seq[Row]) => {
+      // cands: (vec_id, sim, embedding)
+      val ids = cands.map(_.getLong(0)).toArray
+      val rel = cands.map(_.getDouble(1)).toArray
+      val embs = cands.map(_.getSeq[Float](2).toArray).toArray
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer[Int]()
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+      while (selected.size < math.min(k, ids.length)) {
+        var bestI = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < ids.length) {
+          if (!selected.contains(i)) {
+            val maxSim = if (selected.isEmpty) 0.0
+              else selected.map(j => cos(embs(i), embs(j))).max
+            val score = lambda * rel(i) - (1.0 - lambda) * maxSim
+            if (score > bestScore ||
+                (score == bestScore && bestI >= 0 && ids(i) < ids(bestI))) {
+              bestI = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        selected += bestI
+        out += ((selected.size, ids(bestI), rel(bestI), bestScore))
+      }
+      out.toSeq
+    })
+    candidates
+      .groupBy(col("probe_id"))
+      .agg(sort_array(collect_list(struct(
+        (-col("sim")).as("negSim"), col("vec_id"), col("sim"),
+        col("embedding")))).as("__sorted"))
+      .withColumn("__cands", expr(
+        "transform(__sorted, x -> struct(x.vec_id, x.sim, x.embedding))"))
+      .withColumn("__picks", sel(col("__cands")))
+      .select(col("probe_id"), explode(col("__picks")).as("__p"))
+      .select(col("probe_id"), col("__p._1").as("rank"),
+        col("__p._2").as("vec_id"), round(col("__p._3"), 6).as("sim"),
+        round(col("__p._4"), 6).as("mmr_score"))
   }
 }
