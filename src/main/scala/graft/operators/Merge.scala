@@ -831,6 +831,29 @@ object Merge {
       .agg(fns.head, fns.tail: _*)
   }
 
+  /** Temporal (point-in-time) join of an event-timed fact stream
+    * against an SCD2 dimension history ([[scd2]]'s output): each fact
+    * row is enriched with the dimension attributes VALID AT its event
+    * time — `valid_from ≤ ts < valid_to` (open-ended current rows
+    * match everything after their start). The join every "status at
+    * time of shipment / price at time of click" question needs, and
+    * the one a plain latest-version join silently gets wrong.
+    *
+    * Spark shape: a keyed equi-join with the interval test as a
+    * RESIDUAL predicate — per key a fact meets only that key's version
+    * rows, which the SCD2 contract keeps bounded (change counts, not
+    * row counts), so the fan-out is never corpus×corpus; facts with no
+    * valid version (before the key's first interval, or unknown keys)
+    * keep NULL attributes via the left join. */
+  def temporalJoin(facts: DataFrame, factKeyCol: String, factTsCol: String,
+      dim: DataFrame, dimKeyCol: String,
+      fromCol: String = "valid_from", toCol: String = "valid_to"): DataFrame = {
+    val cond = facts(factKeyCol) === dim(dimKeyCol) &&
+      dim(fromCol) <= facts(factTsCol) &&
+      (dim(toCol).isNull || facts(factTsCol) < dim(toCol))
+    facts.join(dim, cond, "left").drop(dim(dimKeyCol))
+  }
+
   /** Incremental maintenance of a JOIN-then-aggregate view (the delta
     * algebra of materialized views, Gupta & Mumick 1995): with
     * `A = A₀ ∪ ΔA` and `B = B₀ ∪ ΔB`,

@@ -257,6 +257,24 @@ object TimeSeries {
     df.select(df.columns.map(col) ++ lagCols :+ roll: _*)
   }
 
+  /** Daily concurrency (backlog) curve: for each calendar day, how
+    * many intervals cover it (orders opened but not yet shipped, jobs
+    * in flight, rooms occupied) — WITHOUT the inequality join the
+    * naive `day BETWEEN start AND end` formulation costs: each
+    * interval explodes map-side into its covered days ([[gapFillDaily]]'s
+    * span-bounded calendar trick; cost ∝ total covered days), then ONE
+    * day-keyed count. Days covered by zero intervals are absent.
+    * Inclusive on both ends. Returns `(day, n_open)`. */
+  def dailyConcurrency(df: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    df.select(to_date(col(startCol)).as("__s"),
+        to_date(col(endCol)).as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__s") <= col("__e"))
+      .select(explode(sequence(col("__s"), col("__e"))).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_open"))
+  }
+
   /** Theil–Sen robust slope per key (Theil 1950, Sen 1968): the MEDIAN
     * of all pairwise slopes `(y_j−y_i)/(x_j−x_i)` — up to ~29%
     * contaminated points leave the estimate unmoved, where one OLS
