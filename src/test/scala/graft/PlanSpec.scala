@@ -367,4 +367,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected posexplode:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q247: bucketed scans, and the join key is never re-shuffled") {
+    // the query fn writes the bucketed tables, then plans the join;
+    // the aggregate's own status-keyed exchange is legitimate — the
+    // guard is that NO exchange partitions on the JOIN key (either the
+    // join broadcasts, or it runs bucket-to-bucket)
+    val p = plan("q247_bucketed_join")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both scans must read the bucketed layout:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join key must never shuffle over the bucketed layout:\n$p")
+  }
+
+  test("q248: the partitioned layout prunes to one event_type directory") {
+    val p = plan("q248_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected a partition filter on the scan:\n$p")
+    // the pruned value never needs a data filter — it's directory choice
+    assert(p.contains("(event_type#") || p.contains("event_type = purchase")
+      || p.contains("equals(event_type"), s"partition value missing:\n$p")
+  }
 }
