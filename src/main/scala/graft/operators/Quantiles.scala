@@ -373,6 +373,60 @@ object Quantiles {
         col("n"))
   }
 
+  /** Quantile normalization: map every value of `dfB` onto the
+    * DISTRIBUTION of `dfA` — each b-value's percent rank in B is
+    * looked up in A's interpolated quantile function
+    * (`mapped = Q_A((rank_B − 1)/(n_B − 1))`), so the transformed B
+    * has A's shape exactly while preserving B's order. The batch-
+    * effect / score-alignment standard (microarray normalization,
+    * cross-model score calibration).
+    *
+    * Shape: B's dense percent rank comes from one keyed-free sort-rank
+    * pass over the per-VALUE reduced table ([[Scale.prefixSum]]'s
+    * range-partitioned machinery — no single-partition window);
+    * A reduces to its sorted value ARRAY broadcast as one row (the
+    * reference distribution — bounded by contract; at 100 TB pass a
+    * quantile SKETCH of A, e.g. `buckets` equi-depth boundaries, which
+    * is this same code over the reduced array). Interpolation is the
+    * quantile_cont form. Ties in B share a rank (first-of-run), so
+    * equal inputs map to equal outputs under any partitioning.
+    *
+    * Returns `(valueCol, n, mapped)` per DISTINCT B value, mapped
+    * rounded to 6. */
+  def quantileNormalize(dfA: DataFrame, dfB: DataFrame,
+      valueCol: String): DataFrame = {
+    val aArr = dfA.select(col(valueCol).cast("double").as("__bval"))
+      .filter(col("__bval").isNotNull)
+      .agg(sort_array(collect_list(col("__bval"))).as("__ref"))
+    val bVals = dfB.select(col(valueCol).cast("double").as("__bval"))
+      .filter(col("__bval").isNotNull)
+      .groupBy(col("__bval")).agg(count(lit(1)).as("n"))
+    // dense first-of-run rank over distinct values via range-partitioned
+    // prefix counts; nTot = Σn (broadcast 1-row)
+    val ranked = Scale.prefixSum(bVals.withColumn("__one", col("n")),
+      "__bval", "__one", "__cum")
+    val nTot = bVals.agg(sum(col("n")).as("__nb"))
+    val withP = ranked.crossJoin(broadcast(nTot))
+      .withColumn("__rank", col("__cum") - col("n") + 1) // first of run
+      .withColumn("__p",
+        when(col("__nb") > 1,
+          (col("__rank") - 1).cast("double") / (col("__nb") - 1))
+          .otherwise(lit(0.0)))
+    withP.crossJoin(broadcast(aArr))
+      .withColumn("__na", size(col("__ref")))
+      .withColumn("__h", col("__p") * (col("__na") - 1))
+      .withColumn("__lo", floor(col("__h")).cast("int"))
+      .withColumn("__frac", col("__h") - col("__lo"))
+      .select(col("__bval").as(valueCol), col("n"),
+        round(
+          element_at(col("__ref"), col("__lo") + 1) +
+            col("__frac") *
+              (element_at(col("__ref"),
+                least(col("__lo") + 2, col("__na"))) -
+                element_at(col("__ref"), col("__lo") + 1)), 6)
+          .as("mapped"))
+  }
+
   def zscoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
       threshold: Double, minCount: Long = 2): DataFrame = {
     require(threshold > 0, s"threshold must be > 0: $threshold")
