@@ -143,4 +143,73 @@ object Fuzzy {
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
         col("__dist").as("dist"))
   }
+
+  /** Reciprocal (mutual) best match between two record sets within a
+    * block — the symmetric-nearest-neighbor linkage rule: a pair links
+    * only when the right record is the left's closest match AND the
+    * left is the right's closest, which kills the asymmetric chains a
+    * one-directional argmin produces. Distance is |leftKey − rightKey|
+    * on integer keys (exact); ties break on the partner's id, so the
+    * match set is deterministic under any partitioning.
+    *
+    * Spark shape: candidates come from ONE equi-join on the block key
+    * (cost Σ |block_L|·|block_R| — the block choice bounds the
+    * quadratic, as in all blocking schemes); both argmin directions are
+    * row_number windows over that same pair set. Nothing global, no
+    * driver round-trips. Returns `(block, left_id, right_id, dist)`. */
+  def mutualBestMatch(left: DataFrame, lIdCol: String, lKeyCol: String,
+      right: DataFrame, rIdCol: String, rKeyCol: String,
+      blockCol: String): DataFrame = {
+    val l = left.select(col(blockCol).as("block"), col(lIdCol).as("left_id"),
+      col(lKeyCol).cast("long").as("__lk"))
+    val r = right.select(col(blockCol).as("block"), col(rIdCol).as("right_id"),
+      col(rKeyCol).cast("long").as("__rk"))
+    val pairs = l.join(r, "block")
+      .withColumn("dist", abs(col("__lk") - col("__rk")))
+    val wl = Window.partitionBy(col("block"), col("left_id"))
+      .orderBy(col("dist").asc, col("right_id").asc)
+    val wr = Window.partitionBy(col("block"), col("right_id"))
+      .orderBy(col("dist").asc, col("left_id").asc)
+    pairs
+      .withColumn("__bl", row_number().over(wl))
+      .withColumn("__br", row_number().over(wr))
+      .filter(col("__bl") === 1 && col("__br") === 1)
+      .select(col("block"), col("left_id"), col("right_id"), col("dist"))
+  }
+
+  /** Blocked sorted-neighborhood candidate generation (Hernández &
+    * Stolfo 1995) — the classic entity-resolution blocking method: sort
+    * records by a discriminating key WITHIN a coarse block, slide a
+    * window of `w`, and emit each record paired with its ≤w successors,
+    * verified by edit distance ≤ `maxDist`. Linear candidate count
+    * (≤ w·n) instead of the quadratic all-pairs.
+    *
+    * Spark shape: the "sorted" part is a PARTITIONED window (block →
+    * in-partition sort), never a global ordering — blocks distribute
+    * freely, so the method survives any corpus size as long as blocks
+    * do (pick the block key accordingly; a skewed block degrades to
+    * that block's w·|block|, still linear). One shuffle on the block
+    * key; the w successor columns come from `lead`, so no self-join at
+    * all. Ties in the sort key break on `idCol` — deterministic pairs
+    * under any partitioning. */
+  def sortedNeighborhood(df: DataFrame, blockCol: String, keyCol: String,
+      idCol: String, textCol: String, w: Int, maxDist: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1: $w")
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val win = Window.partitionBy(col(blockCol))
+      .orderBy(col(keyCol).asc, col(idCol).asc)
+    val withLeads = df.select(col(blockCol), col(keyCol), col(idCol),
+        col(textCol))
+      .withColumn("__nbrs", array((1 to w).map(i =>
+        struct(lead(col(idCol), i).over(win).as("nid"),
+          lead(col(textCol), i).over(win).as("ntext"))): _*))
+    withLeads
+      .select(col(blockCol), col(idCol).as("id_a"),
+        col(textCol).as("__ta"), explode(col("__nbrs")).as("__n"))
+      .filter(col("__n.nid").isNotNull)
+      .withColumn("dist", levenshtein(col("__ta"), col("__n.ntext")))
+      .filter(col("dist") <= maxDist)
+      .select(col(blockCol), col("id_a"), col("__n.nid").as("id_b"),
+        col("dist"))
+  }
 }

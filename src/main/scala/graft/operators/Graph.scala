@@ -412,4 +412,111 @@ object Graph {
         / (nD * col("__sxx").cast("double") - sxD * sxD), 6)
         .as("assortativity"))
   }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007,
+    * the deterministic synchronous variant): every node starts with its
+    * own id as label; each round ALL nodes simultaneously adopt the
+    * most frequent label among their neighbors, ties broken by the
+    * smallest label. A fixed round count keeps the semantics closed
+    * form (the asynchronous variant's order-dependence is exactly what
+    * a distributed engine must not have); communities emerge as label
+    * plateaus after a few rounds.
+    *
+    * Spark shape: edges are symmetrized out of one pass, canonicalized,
+    * and hash-partitioned on the expansion key ONCE; a round is one
+    * join (neighbor label lookup) + one count aggregate + one
+    * row_number tie-break window — all keyed shuffles, nothing global.
+    * Per-round output is an eager `localCheckpoint` (O(1) lineage at
+    * any depth). Isolated nodes keep their own label (left join).
+    *
+    * Returns `(node, label)` after `rounds` rounds. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = canon.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("__src"), col("e.dst").as("__dst"))
+      .repartition(col("__src")).cache()
+    val nodes = sym.select(col("__src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    val w = Window.partitionBy(col("__dst"))
+      .orderBy(col("__cnt").desc, col("label").asc)
+    (1 to rounds).foreach { _ =>
+      val adopted = sym
+        .join(labels.withColumnRenamed("node", "__src"), "__src")
+        .groupBy(col("__dst"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__dst").as("node"), col("label").as("__new"))
+      labels = labels.join(adopted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
+  /** Hop-bounded single-source shortest paths over weighted directed
+    * edges (Bellman–Ford 1958, the k-relaxation form): after `maxHops`
+    * synchronous relaxation rounds, each node's dist is the exact
+    * minimum-weight path from any seed using ≤ maxHops edges. The
+    * hop bound makes the semantics closed-form (and oracle-checkable)
+    * even on graphs with cycles; weights must be non-negative for the
+    * bounded result to also be a lower-bound certificate.
+    *
+    * Spark shape: the edge list is hash-partitioned on `src` ONCE and
+    * cached, so each round's relax join only shuffles the current
+    * distance table (|nodes|-sized, never |edges|). A round is one
+    * join + one min-combine aggregate — Catalyst plans the min as
+    * partial+final, so the shuffle carries one row per (partition,
+    * node). Distances accumulate in DECIMAL — exact, associative,
+    * partitioning-independent — never double. Each round ends in an
+    * eager `localCheckpoint` (same O(1)-lineage discipline as
+    * [[pageRank]]/[[bfsDistances]]); early exit when a round changes
+    * nothing, probed with a `limit(1)` scalar, not a data-sized
+    * collect.
+    *
+    * Returns `(node, dist)` for every node reachable within the hop
+    * budget (seeds at dist 0). */
+  def weightedSssp(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(weightCol).cast("decimal(28,2)").as("__w"))
+      .groupBy(col("__src"), col("__dst")) // parallel edges: keep lightest
+      .agg(min(col("__w")).as("__w"))
+      .repartition(col("__src")).cache()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(java.math.BigDecimal.ZERO).cast("decimal(28,2)"))
+      .localCheckpoint()
+    var hop = 0
+    var converged = false
+    while (hop < maxHops && !converged) {
+      hop += 1
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "__src"), "__src")
+        .select(col("__dst").as("node"),
+          (col("dist") + col("__w")).cast("decimal(28,2)").as("dist"))
+      val next = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      // fixed point: no node improved and no new node appeared
+      converged = next.as("n")
+        .join(dist.as("p"), col("n.node") === col("p.node"), "left_outer")
+        .filter(col("p.node").isNull || col("n.dist") < col("p.dist"))
+        .limit(1).count() == 0
+      dist = next
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
 }

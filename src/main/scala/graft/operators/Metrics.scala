@@ -439,4 +439,85 @@ object Metrics {
       .agg(sum(col("__credit")).cast("decimal(18,4)").as("credited"),
         countDistinct(col("__cid")).as("n_conversions"))
   }
+
+  /** Per-group Gini coefficient of a non-negative measure — the
+    * concentration read-out behind "how skewed is token/spend/traffic
+    * mass across members" audits (a Gini of 0 = perfectly even, →1 =
+    * one member holds everything). Uses the exact rank form over the
+    * ascending-sorted values: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n.
+    *
+    * Determinism: values are cast to decimal before any sum (the rank-
+    * weighted sum and the total are both exact and order-independent),
+    * ranks tie-break on `tieCol`, and the only double math is the final
+    * per-group scalar division, rounded. One keyed shuffle: the
+    * row_number window and both aggregates share the hash partitioning
+    * on `groupCol` — groups spread across executors, nothing global. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(v.asc, col(tieCol).asc)
+    df.select(col(groupCol), v.as("__x"),
+        row_number().over(w).cast("long").as("__i"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).cast("decimal(28,2)").as("__sx"),
+        sum(col("__x") * col("__i")).cast("decimal(28,2)").as("__six"))
+      .filter(col("__sx") > 0)
+      .select(col(groupCol), col("n"),
+        round(
+          lit(2.0) * col("__six").cast("double")
+            / (col("n").cast("double") * col("__sx").cast("double"))
+            - (col("n") + 1).cast("double") / col("n").cast("double"),
+          6).as("gini"))
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) per group:
+    * does sample A's distribution of `valueCol` stochastically dominate
+    * sample B's? Returns per `groupCol` the two sample sizes, U for the
+    * A side, and the tie-corrected normal-approximation z (no
+    * continuity correction — documented, and mirrored by the oracle).
+    *
+    * Rank mechanics: midranks over the POOLED sample per group —
+    * avg rank of a tied run = minRank + (ties−1)/2, computed from a
+    * `rank()` window plus a per-value count, no global sort. Midranks
+    * are multiples of 0.5, exactly representable in double, and their
+    * sums stay exact below 2^52 — so the rank-sum is deterministic
+    * under any partitioning without decimal help. Tie correction
+    * Σ(t³−t) accumulates in long (exact). All windows/aggregates share
+    * one hash partitioning on `groupCol`. */
+  def mannWhitney(df: DataFrame, groupCol: String, sideCol: String,
+      sideA: String, sideB: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val pool = df
+      .filter(col(sideCol).isin(sideA, sideB) && x.isNotNull)
+      .select(col(groupCol), col(sideCol).as("__side"), x.as("__x"))
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(col("__x"))
+    val wTies = Window.partitionBy(col(groupCol), col("__x"))
+    val ranked = pool
+      .withColumn("__minrank", rank().over(wRank))
+      .withColumn("__t", count(lit(1)).over(wTies))
+      .withColumn("__midrank",
+        col("__minrank") + (col("__t") - 1).cast("double") / 2.0)
+    val agg = ranked.groupBy(col(groupCol)).agg(
+      sum(when(col("__side") === sideA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__side") === sideB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__side") === sideA, col("__midrank"))
+        .otherwise(lit(0.0))).as("__r_a"),
+      // each tied run of size t contributes t·(t³−t); dividing the
+      // per-row sum by the run size once more would need a distinct —
+      // instead sum (t³−t) weighted 1/t per row, exactly: (t²−1)
+      sum((col("__t") * col("__t") - 1).cast("long")).as("__tsum"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val n = nA + nB
+    val u = col("__r_a") - nA * (nA + 1.0) / 2.0
+    // Σ over rows of (t²−1) = Σ over runs of t·(t²−1) = Σ(t³−t)
+    val sigma = sqrt(nA * nB / 12.0
+      * ((n + 1.0) - col("__tsum").cast("double") / (n * (n - 1.0))))
+    agg.filter(col("n_a") > 0 && col("n_b") > 0 && sigma > 0)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round(u, 1).as("u_a"),
+        round((u - nA * nB / 2.0) / sigma, 6).as("z"))
+  }
 }

@@ -707,4 +707,92 @@ object TimeSeries {
         (datediff(least(col("__ae"), col("__be")),
           greatest(col("__as"), col("__bs"))) + 1).as("overlap_days"))
   }
+
+  /** Per-key daily series with LINEAR interpolation across the missing
+    * days — the gap repair that [[gapFillDaily]]'s step fill is too
+    * blunt for (a 10-day hole between 100 and 200 should read 110, 120,
+    * … not ten 100s). Observed days keep their exact aggregated value;
+    * a missing day `d` between bracketing observations (d₀,v₀), (d₁,v₁)
+    * reads v₀ + (v₁−v₀)·(d−d₀)/(d₁−d₀).
+    *
+    * Spark shape: daily reduce is a decimal-exact hash aggregate; the
+    * calendar is a span-bounded `sequence` explode per key (map-side,
+    * no calendar join); bracketing observations come from two
+    * `last/first(ignoreNulls)` running windows that SHARE one hash
+    * partitioning on the key with the explode — so the whole operator
+    * is two keyed shuffles, per-key cost ∝ span days, keys never
+    * interact. The interpolation itself is scalar double math on two
+    * decimal-exact endpoints, rounded — deterministic under any
+    * partitioning. Rows outside the observed span don't exist (the
+    * calendar spans min..max observed day), so both brackets are
+    * always defined on interpolated rows. */
+  /** Rolling OLS slope per key: over each trailing `n`-row window
+    * (ordered by the integer `xCol`), the least-squares slope of
+    * `valueCol` against `xCol` — the "is this series locally rising"
+    * feature that a global [[trendPerKey]] fit smears out.
+    *
+    * Determinism: the closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is
+    * evaluated ENTIRELY in integer arithmetic — x stays a long, the
+    * value becomes integer cents — so every windowed sum is exact and
+    * partitioning-independent; the single double division happens on
+    * two exact longs, then rounds. Windows shorter than 2 rows or with
+    * a degenerate x spread yield NULL. One keyed shuffle: all window
+    * frames share the hash partitioning on `keyCol`. */
+  def rollingSlope(df: DataFrame, keyCol: String, xCol: String,
+      valueCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2: $n")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val x = col(xCol).cast("long")
+    val yc = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    df.select(col(keyCol), x.as("__x"), yc.as("__yc"))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__x")).over(w))
+      .withColumn("__sy", sum(col("__yc")).over(w))
+      .withColumn("__sxy", sum(col("__x") * col("__yc")).over(w))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
+      .select(col(keyCol), col("__x").as(xCol), col("__cnt").as("n_window"),
+        round(
+          when(col("__cnt") < 2 ||
+              col("__cnt") * col("__sxx") === col("__sx") * col("__sx"),
+            lit(null))
+            .otherwise(
+              (col("__cnt") * col("__sxy") - col("__sx") * col("__sy"))
+                .cast("double")
+                / (col("__cnt") * col("__sxx") - col("__sx") * col("__sx"))
+                  .cast("double") / 100.0),
+          6).as("slope"))
+  }
+
+  def interpolateDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__day"),
+        col(valueCol).cast("decimal(18,2)").as("__v"))
+      .groupBy(col("__k"), col("__day"))
+      .agg(sum(col("__v")).cast("decimal(18,2)").as("__v"))
+    val cal = daily.groupBy(col("__k"))
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+      .select(col("__k"), explode(sequence(col("__lo"), col("__hi"),
+        expr("interval 1 day"))).as("__day"))
+    val wPrev = Window.partitionBy(col("__k")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("__k")).orderBy(col("__day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = cal.join(daily, Seq("__k", "__day"), "left")
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pd", last(when(col("__v").isNotNull, col("__day")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__nd", first(when(col("__v").isNotNull, col("__day")),
+        ignoreNulls = true).over(wNext))
+    joined.select(col("__k").as(keyCol), col("__day").as("day"),
+      col("__v").isNotNull.as("observed"),
+      round(when(col("__v").isNotNull, col("__v").cast("double"))
+        .otherwise(col("__pv").cast("double")
+          + (col("__nv") - col("__pv")).cast("double")
+            * datediff(col("__day"), col("__pd")).cast("double")
+            / datediff(col("__nd"), col("__pd")).cast("double")),
+        6).as("value"))
+  }
 }

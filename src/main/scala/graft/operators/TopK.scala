@@ -55,4 +55,39 @@ object TopK {
       .select(col(xCol), col("__ymax").as(yCol))
     df.join(surviving, Seq(xCol, yCol), "left_semi")
   }
+
+  /** Top-p (cumulative-coverage) selection per group — the nucleus-
+    * sampling analog for corpus audits: per group, the SMALLEST prefix
+    * of members (by descending integer weight, tie on `tieCol`) whose
+    * cumulative weight reaches fraction `pNum/pDen` of the group total.
+    * A member is kept iff the mass BEFORE it is still short of the
+    * target, so the first member always survives and the prefix stops
+    * at the first one that closes the gap.
+    *
+    * Determinism: weights are integers, the threshold is the rational
+    * `pNum/pDen`, and the keep test is the cross-multiplied integer
+    * comparison `cum_before · pDen < total · pNum` — no floating point
+    * anywhere, so the selected set is identical under any partitioning
+    * or engine. One hash partitioning on the group keys carries the
+    * total, the prefix window, and the rank. */
+  def topPByGroup(df: DataFrame, groupCols: Seq[String],
+      weightCol: String, tieCol: String, pNum: Long, pDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(pNum > 0 && pDen > 0 && pNum <= pDen,
+      s"p must be a fraction in (0,1]: $pNum/$pDen")
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*)
+      .orderBy(col(weightCol).desc, col(tieCol).asc)
+    val wg = Window.partitionBy(gcols: _*)
+    df.withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__total", sum(col("__w")).over(wg))
+      .withColumn("__cum", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rank", row_number().over(w))
+      .filter((col("__cum") - col("__w")) * pDen < col("__total") * pNum)
+      .withColumn("cum_weight", col("__cum"))
+      .withColumn("total_weight", col("__total"))
+      .drop("__w", "__total", "__cum")
+  }
 }
