@@ -520,4 +520,42 @@ object Metrics {
         round(u, 1).as("u_a"),
         round((u - nA * nB / 2.0) / sigma, 6).as("z"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per group: the maximum
+    * vertical ECDF gap D = max |F_A(v) − F_B(v)| between the two
+    * sides' empirical distributions — the distribution-shift read-out
+    * that sees shape changes [[mannWhitney]]'s location test misses.
+    *
+    * Determinism: the gap is maximized in INTEGER form —
+    * |cumA·n_B − cumB·n_A| over per-value cumulative counts — so the
+    * argmax and the numerator are exact under any partitioning; the
+    * single double division happens on two exact longs, then rounds.
+    * One hash partitioning on `groupCol` carries the per-value
+    * reduce, the cumulative window, and the final max. */
+  def ksTest(df: DataFrame, groupCol: String, sideCol: String,
+      sideA: String, sideB: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val perVal = df
+      .filter(col(sideCol).isin(sideA, sideB) && x.isNotNull)
+      .select(col(groupCol), col(sideCol).as("__side"), x.as("__x"))
+      .groupBy(col(groupCol), col("__x"))
+      .agg(sum(when(col("__side") === sideA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === sideB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col(groupCol))
+    perVal
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(wg))
+      .withColumn("__nb", sum(col("__cb")).over(wg))
+      .groupBy(col(groupCol))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("__num"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round(col("__num").cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("d"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for the document pipeline (SURVEY §2.3).
@@ -512,5 +512,56 @@ object TextAnalysis {
             / greatest(col("n_sentences"), lit(1)))
           - lit(84.6) * (col("n_syllables").cast("double")
             / col("n_words")), 6)))
+  }
+
+  /** Zipf-law exponent fit over the corpus vocabulary: OLS slope of
+    * ln(frequency) against ln(rank) for the top-N tokens — natural
+    * corpora sit near slope −1 (Zipf 1949), and a corpus that doesn't
+    * is usually templated, scraped boilerplate, or synthetic.
+    *
+    * Determinism without an ordered fold: each logarithm is SNAPPED TO
+    * AN INTEGER GRID (round(ln·10⁹) as long) before any sum. Both
+    * engines' ln agree to ~1 ulp (≈10⁻¹⁶), far inside the 10⁻⁹ grid,
+    * so the snapped integers are identical; every moment is then an
+    * exact integer/decimal sum — order- and partitioning-independent —
+    * and the closed-form slope divides two exact quantities once, in
+    * double. The 10⁹ scale cancels exactly in the slope ratio; the
+    * intercept rescales by one multiplication.
+    *
+    * Spark shape: one token-count aggregate (the only corpus-sized
+    * shuffle), a bounded TakeOrdered top-N (orderBy+limit — never a
+    * full sort at 100 TB), rank via a window over N rows, one 1-row
+    * moment fold. Returns `(n_tokens, slope, intercept)` (rounded). */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 3, s"topN must be >= 3: $topN")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__t").asc).limit(topN)
+    val ranked = counts.withColumn("__rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__cnt").desc, col("__t").asc)).cast("long"))
+    val grid = lit(1000000000L)
+    val lx = round(log(col("__rank").cast("double")) * grid).cast("long")
+    val ly = round(log(col("__cnt").cast("double")) * grid).cast("long")
+    val folded = ranked
+      .select(lx.as("__lx"), ly.as("__ly"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__lx")).as("__sx"), sum(col("__ly")).as("__sy"),
+        sum(col("__lx").cast("decimal(38,0)")
+          * col("__ly").cast("decimal(38,0)")).as("__sxy"),
+        sum(col("__lx").cast("decimal(38,0)")
+          * col("__lx").cast("decimal(38,0)")).as("__sxx"))
+    val nD = col("n_tokens").cast("double")
+    val slope = (nD * col("__sxy").cast("double")
+        - col("__sx").cast("double") * col("__sy").cast("double")) /
+      (nD * col("__sxx").cast("double")
+        - col("__sx").cast("double") * col("__sx").cast("double"))
+    folded.select(col("n_tokens"),
+      round(slope, 6).as("slope"),
+      round((col("__sy").cast("double") / 1.0e9
+        - slope * (col("__sx").cast("double") / 1.0e9)) / nD, 6)
+        .as("intercept"))
   }
 }

@@ -352,6 +352,50 @@ object TimeSeries {
         round(cov / sqrt(vx * vy), 6).as("r1"))
   }
 
+  /** Autocorrelation function per key: Pearson r between the series
+    * and its lag-k shift for every k in 1..maxLag — the periodicity
+    * probe behind "is this signal weekly" questions; the multi-lag
+    * generalization of [[lag1Autocorr]] with the same exactness
+    * contract (integer moments summed exactly, doubles only in the
+    * final closed form, identical under any partitioning — cast the
+    * value to integer units before calling).
+    *
+    * Spark shape: the k shifted copies come from `lead` columns over
+    * ONE keyed window (no self-join), stacked into `(lag, pair)` rows
+    * by a map-side array explode; the moment aggregate then shares the
+    * same hash partitioning on the key. Cost: rows × maxLag exploded
+    * pairs — maxLag is a small constant, so linear. Degenerate lags
+    * (< 2 pairs or zero variance on either side) are dropped. */
+  def acf(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val x = col(valueCol).cast("long")
+    val pairs = df
+      .select(col(keyCol), x.as("__x"),
+        array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), lead(x, k).over(w).as("y"))): _*)
+          .as("__ls"))
+      .select(col(keyCol), col("__x"), explode(col("__ls")).as("__p"))
+      .filter(col("__p.y").isNotNull)
+      .select(col(keyCol), col("__p.lag").as("lag"), col("__x"),
+        col("__p.y").as("__y"))
+    val m = pairs.groupBy(col(keyCol), col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n_pairs").cast("double")
+    val cov = nD * d("__sxy") - d("__sx") * d("__sy")
+    val vx = nD * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nD * d("__syy") - d("__sy") * d("__sy")
+    m.filter(col("n_pairs") >= 2 && vx > 0 && vy > 0)
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        round(cov / sqrt(vx * vy), 6).as("acf"))
+  }
+
   /** Holt linear (double-exponential) smoothing per key with a
     * one-step-ahead forecast — the level+trend recursion
     * `l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})`,

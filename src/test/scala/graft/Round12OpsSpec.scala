@@ -4,104 +4,129 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.operators.{Similarity, TimeSeries}
+import graft.operators.{Metrics, TextAnalysis, TimeSeries}
 
-/** Round-6 fourth-wave operators: OHLC resample, centroid geometry,
-  * TWAP. */
+/** Round-6 twenty-seventh-wave operators: KS test, ACF, Zipf fit. */
 class Round12OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = Session.local(4)
 
   override def afterAll(): Unit = spark.stop()
 
-  // ---- TimeSeries.resampleOhlc ---------------------------------------------
+  // ---- ksTest --------------------------------------------------------------
 
-  test("resampleOhlc picks open/close by time with deterministic ties") {
+  test("ksTest: disjoint supports give D = 1") {
     import spark.implicits._
-    val df = Seq(
-      // one Monday-started week; two rows share the open timestamp —
-      // the lower tie id must win open
-      ("u", "2024-01-01 09:00:00", 1L, 10.0),
-      ("u", "2024-01-01 09:00:00", 2L, 99.0),
-      ("u", "2024-01-03 09:00:00", 3L, -5.0),
-      ("u", "2024-01-05 09:00:00", 4L, 42.0),
-      // next week
-      ("u", "2024-01-08 09:00:00", 5L, 7.0)
-    ).toDF("k", "ts", "id", "v").withColumn("ts", $"ts".cast("timestamp"))
-    val out = TimeSeries.resampleOhlc(df, "k", "ts", "id", "v", "week")
-      .orderBy("period").collect()
-    assert(out.length == 2)
-    val w1 = out(0)
-    assert(w1.getDouble(2) == 10.0 && w1.getDouble(3) == 99.0 &&
-      w1.getDouble(4) == -5.0 && w1.getDouble(5) == 42.0 &&
-      w1.getLong(6) == 4)
-    assert(out(1).getDouble(2) == 7.0 && out(1).getLong(6) == 1)
+    val df = Seq(("g", "A", 1.0), ("g", "A", 2.0),
+      ("g", "B", 10.0), ("g", "B", 11.0)).toDF("g", "s", "x")
+    val r = Metrics.ksTest(df, "g", "s", "A", "B", "x").collect()(0)
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 1.0)
   }
 
-  test("resampleOhlc is partitioning-invariant") {
+  test("ksTest: identical samples give D = 0") {
     import spark.implicits._
-    val df = (1 to 200).map(i => (s"u${i % 5}",
-        f"2024-01-${1 + i % 28}%02d 0${i % 10}:00:00", i.toLong,
-        (i * 37 % 101).toDouble))
-      .toDF("k", "ts", "id", "v").withColumn("ts", $"ts".cast("timestamp"))
-    val a = TimeSeries.resampleOhlc(df, "k", "ts", "id", "v", "week")
-      .collect().map(_.toSeq).toSet
-    val b = TimeSeries.resampleOhlc(df.repartition(13), "k", "ts", "id",
-      "v", "week").collect().map(_.toSeq).toSet
+    val df = Seq(("g", "A", 1.0), ("g", "A", 2.0),
+      ("g", "B", 1.0), ("g", "B", 2.0)).toDF("g", "s", "x")
+    val r = Metrics.ksTest(df, "g", "s", "A", "B", "x").collect()(0)
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("ksTest matches a hand-computed interleaved case") {
+    import spark.implicits._
+    // A={1,3}, B={2,4}: after v=1 gap=|1*2-0*2|/4=0.5; v=2 0; v=3 0.5;
+    // v=4 0 → D = 0.5
+    val df = Seq(("g", "A", 1.0), ("g", "A", 3.0),
+      ("g", "B", 2.0), ("g", "B", 4.0)).toDF("g", "s", "x")
+    val r = Metrics.ksTest(df, "g", "s", "A", "B", "x").collect()(0)
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("ksTest drops groups missing a side; is partitioning-invariant") {
+    import spark.implicits._
+    val base = (1 to 300).map(i =>
+      ("g", if (i % 3 == 0) "A" else "B", (i % 37) * 1.25))
+    val df = (base :+ (("solo", "A", 1.0))).toDF("g", "s", "x")
+    val a = Metrics.ksTest(df.repartition(1), "g", "s", "A", "B", "x")
+      .collect()
+    val b = Metrics.ksTest(df.repartition(13), "g", "s", "A", "B", "x")
+      .collect()
+    assert(a.map(_.getString(0)).toSet == Set("g"))
+    assert(a.map(_.getDouble(3)).toSeq == b.map(_.getDouble(3)).toSeq)
+  }
+
+  // ---- acf -----------------------------------------------------------------
+
+  test("acf: a strictly linear series has acf 1 at every lag") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => ("k", i, i * 10L)).toDF("k", "t", "v")
+    val out = TimeSeries.acf(df, "k", "t", "v", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out == Map(1 -> 1.0, 2 -> 1.0, 3 -> 1.0))
+  }
+
+  test("acf: a period-2 alternating series has acf -1 at lag 1, +1 at lag 2") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => ("k", i, if (i % 2 == 0) 100L else 0L))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.acf(df, "k", "t", "v", maxLag = 2)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out(1) == -1.0 && out(2) == 1.0)
+  }
+
+  test("acf counts pairs per lag and drops degenerate lags") {
+    import spark.implicits._
+    // 5 points → lag 1: 4 pairs, lag 4: 1 pair (dropped, n<2),
+    // constant tail variance-0 cases dropped
+    val df = Seq(("k", 1, 1L), ("k", 2, 5L), ("k", 3, 2L), ("k", 4, 8L),
+      ("k", 5, 3L)).toDF("k", "t", "v")
+    val out = TimeSeries.acf(df, "k", "t", "v", maxLag = 4)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out.get(4).isEmpty)
+    assert(out(1) == 4L && out(2) == 3L && out(3) == 2L)
+  }
+
+  test("acf is partitioning-invariant (integer moments)") {
+    import spark.implicits._
+    val df = (0 until 120).map(i => ("k" + (i % 3), i / 3,
+      ((i * 31) % 100).toLong)).toDF("k", "t", "v")
+    val a = TimeSeries.acf(df.repartition(1), "k", "t", "v", 5)
+      .orderBy("k", "lag").collect().toSeq
+    val b = TimeSeries.acf(df.repartition(11), "k", "t", "v", 5)
+      .orderBy("k", "lag").collect().toSeq
     assert(a == b)
   }
 
-  // ---- TimeSeries.twapPerKey -----------------------------------------------
+  // ---- zipfFit -------------------------------------------------------------
 
-  test("twapPerKey weights values by holding duration") {
+  test("zipfFit recovers the exponent of an exact power law") {
     import spark.implicits._
-    // v=10 held 1s, v=20 held 3s, v=99 terminal (no weight)
-    val df = Seq(("k", "2024-01-01 00:00:00", 10.0),
-        ("k", "2024-01-01 00:00:01", 20.0),
-        ("k", "2024-01-01 00:00:04", 99.0))
-      .toDF("k", "ts", "v").withColumn("ts", $"ts".cast("timestamp"))
-    val r = TimeSeries.twapPerKey(df, "k", "ts", "v").collect()(0)
-    assert(r.getLong(1) == 3)
-    assert(r.getDouble(2) == 4.0)                    // span 4 seconds
-    assert(r.getDouble(3) == (10.0 * 1 + 20.0 * 3) / 4)
+    // token w_r repeated floor(1000/r) times → ln(cnt) ≈ ln(1000) − ln r
+    val docs = (1 to 50).flatMap(r =>
+      Seq.fill(1000 / r)(s"w$r")).mkString(" ")
+    val df = Seq(Tuple1(docs)).toDF("text")
+    val out = TextAnalysis.zipfFit(df, "text", topN = 50).collect()(0)
+    assert(out.getLong(0) == 50)
+    // floor() perturbs the tail slightly; slope must sit near −1
+    assert(math.abs(out.getDouble(1) - (-1.0)) < 0.01)
+    assert(math.abs(out.getDouble(2) - math.log(1000.0)) < 0.05)
   }
 
-  test("twapPerKey drops single-event keys") {
+  test("zipfFit: a flat (uniform) corpus fits slope 0") {
     import spark.implicits._
-    val df = Seq(("a", "2024-01-01 00:00:00", 5.0),
-        ("b", "2024-01-01 00:00:00", 1.0),
-        ("b", "2024-01-01 00:01:00", 2.0))
-      .toDF("k", "ts", "v").withColumn("ts", $"ts".cast("timestamp"))
-    val out = TimeSeries.twapPerKey(df, "k", "ts", "v").collect()
-    assert(out.map(_.getString(0)).toSeq == Seq("b"))
+    val docs = (1 to 30).flatMap(r => Seq.fill(10)(s"w$r")).mkString(" ")
+    val df = Seq(Tuple1(docs)).toDF("text")
+    val out = TextAnalysis.zipfFit(df, "text", topN = 30).collect()(0)
+    assert(out.getDouble(1) == 0.0)
   }
 
-  // ---- Similarity.centroidSimilarity ---------------------------------------
-
-  test("centroidSimilarity matches hand-computed centroid cosines") {
+  test("zipfFit is partitioning-invariant (grid-snapped logs)") {
     import spark.implicits._
-    // label 0: vectors (1,0),(3,0) -> centroid (2,0)
-    // label 1: (0,2) -> centroid (0,2);  label 2: (4,4) -> (4,4)
-    val df = Seq((0, Seq(1f, 0f)), (0, Seq(3f, 0f)), (1, Seq(0f, 2f)),
-      (2, Seq(4f, 4f))).toDF("label", "embedding")
-    val m = Similarity.centroidSimilarity(df, "label", "embedding")
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3))
-      .toMap
-    assert(m((0, 1)) == 0.0)
-    assert(m((0, 2)) == BigDecimal(1.0 / math.sqrt(2))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    assert(m((1, 2)) == m((0, 2)))
-  }
-
-  test("centroidSimilarity keeps element order under partitioning") {
-    import spark.implicits._
-    val df = (1 to 100).map(i => (i % 4, Seq.tabulate(8)(j =>
-      ((i * 31 + j * 7) % 13).toFloat))).toDF("label", "embedding")
-    val a = Similarity.centroidSimilarity(df, "label", "embedding")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(3))).toSet
-    val b = Similarity
-      .centroidSimilarity(df.repartition(11), "label", "embedding")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(3))).toSet
-    assert(a == b)
+    val rows = (1 to 200).map(i => s"tok${i % 60} filler${i % 13} x")
+    val df = rows.toDF("text")
+    val a = TextAnalysis.zipfFit(df.repartition(1), "text", 40).collect()(0)
+    val b = TextAnalysis.zipfFit(df.repartition(17), "text", 40).collect()(0)
+    assert(a.getDouble(1) == b.getDouble(1)
+      && a.getDouble(2) == b.getDouble(2))
   }
 }
