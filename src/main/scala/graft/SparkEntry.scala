@@ -15,7 +15,8 @@ object SparkEntry {
       Round20.all ++ Round21.all ++ Round22.all ++ Round23.all ++
       Round24.all ++ Round25.all ++ Round26.all ++ Round27.all ++
       Round28.all ++ Round29.all ++ Round30.all ++ Round31.all ++
-      Round32.all ++ Round33.all ++ Round34.all ++ Round35.all
+      Round32.all ++ Round33.all ++ Round34.all ++ Round35.all ++
+      Round36.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -558,4 +558,60 @@ object Metrics {
         round(col("__num").cast("double")
           / (col("n_a") * col("n_b")).cast("double"), 6).as("d"))
   }
+
+  /** Decision-stump induction per group: the single threshold on an
+    * integer feature that maximizes Gini gain for a binary label — the
+    * 1-D split CART would pick, and the standard "is this feature
+    * predictive at all" screen next to [[chiSquareTokens]].
+    *
+    * Exactness: with integer counts the weighted child impurity is the
+    * rational score/(nL·nR·n) where score = (cL0²+cL1²)·nR +
+    * (cR0²+cR1²)·nL stays in LONG arithmetic — exact while n³ < 2⁶³,
+    * i.e. groups up to ~2M rows; beyond that pre-aggregate the feature
+    * into quantile bins first (the CART practice anyway). Both engines
+    * derive gains from identical exact integers through the identical
+    * double expression, so the argmax ordering — gain desc, threshold
+    * asc — is deterministic. One hash partitioning on `groupCol`
+    * carries the per-value reduce, the cumulative window, and the
+    * argmax.
+    *
+    * `labelCol` must be 0/1. Returns per group the best `threshold`
+    * (split: feature ≤ threshold), sizes and the rounded gain; groups
+    * with a single distinct feature value produce nothing (no valid
+    * split). */
+  def decisionStump(df: DataFrame, groupCol: String, featureCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.select(col(groupCol),
+      col(featureCol).cast("long").as("__f"),
+      col(labelCol).cast("long").as("__y"))
+    val perVal = base.groupBy(col(groupCol), col("__f"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col(groupCol))
+    val cum = perVal
+      .withColumn("__nl", sum(col("__n")).over(w))
+      .withColumn("__pl", sum(col("__p")).over(w))
+      .withColumn("__nt", sum(col("__n")).over(wg))
+      .withColumn("__pt", sum(col("__p")).over(wg))
+      .filter(col("__nl") < col("__nt")) // right side must be non-empty
+    val nl = col("__nl"); val nr = col("__nt") - col("__nl")
+    val cl1 = col("__pl"); val cl0 = col("__nl") - col("__pl")
+    val cr1 = col("__pt") - col("__pl")
+    val cr0 = nr - cr1
+    val score = (cl0 * cl0 + cl1 * cl1) * nr + (cr0 * cr0 + cr1 * cr1) * nl
+    val c1 = col("__pt"); val c0 = col("__nt") - col("__pt")
+    val gain = score.cast("double") /
+      (nl.cast("double") * nr.cast("double") * col("__nt").cast("double")) -
+      (c0 * c0 + c1 * c1).cast("double") /
+        (col("__nt").cast("double") * col("__nt").cast("double"))
+    val scored = cum.withColumn("__gain", gain)
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col(groupCol))
+        .orderBy(col("__gain").desc, col("__f").asc)))
+      .filter(col("__rn") === 1)
+    scored.select(col(groupCol), col("__nt").as("n"),
+      col("__f").as("threshold"), col("__nl").as("n_left"),
+      round(col("__gain"), 6).as("gain"))
+  }
 }

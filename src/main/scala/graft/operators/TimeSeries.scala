@@ -396,6 +396,65 @@ object TimeSeries {
         round(cov / sqrt(vx * vy), 6).as("acf"))
   }
 
+  /** k-step absorption probability of a first-order Markov chain
+    * estimated from event sequences: from each non-absorbing state s,
+    * the probability of reaching `absorbState` within `steps`
+    * transitions — q_k(s) = T[s,A] + Σ_{s'≠A} T[s,s']·q_{k−1}(s'),
+    * q_0 ≡ 0 — the "how close is this state to converting" read-out
+    * behind Markov funnel/attribution analyses.
+    *
+    * Spark shape: transition counts are ONE keyed reduce over
+    * lead-paired events (deterministic order: `tsCol` then `tieCol`);
+    * the k iterations run in-plan over the |states|²-sized probability
+    * table ([[graft.operators.Graph.pageRank]]'s discipline — no
+    * driver collect; with states in the dozens the per-iteration join
+    * is trivially broadcast). Probabilities are exact-integer ratios
+    * cast to double once; iteration sums follow q130's precedent
+    * (rounded output absorbs ulp noise). Returns
+    * `(state, n_out, p_absorb)` for non-absorbing states. */
+  def markovAbsorption(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCol: String, absorbState: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val tr = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("__from"), col("__next").as("__to"))
+      .agg(count(lit(1)).as("__cnt"))
+    val tot = tr.groupBy(col("__from")).agg(sum(col("__cnt")).as("__tc"))
+    val t = tr.join(tot, "__from")
+      .select(col("__from"), col("__to"),
+        (col("__cnt").cast("double") / col("__tc").cast("double"))
+          .as("__p"))
+      .cache()
+    val states = t.select(col("__from").as("state")).distinct()
+      .filter(col("state") =!= absorbState)
+    val direct = t.filter(col("__to") === absorbState)
+      .select(col("__from").as("state"), col("__p").as("__pd"))
+    var q = states.withColumn("__q", lit(0.0)).localCheckpoint()
+    (1 to steps).foreach { _ =>
+      val contrib = t.filter(col("__to") =!= absorbState)
+        .join(q.withColumnRenamed("state", "__to"), "__to")
+        .groupBy(col("__from"))
+        .agg(sum(col("__p") * col("__q")).as("__c"))
+        .withColumnRenamed("__from", "state")
+      q = states
+        .join(direct, Seq("state"), "left")
+        .join(contrib, Seq("state"), "left")
+        .select(col("state"),
+          (coalesce(col("__pd"), lit(0.0))
+            + coalesce(col("__c"), lit(0.0))).as("__q"))
+        .localCheckpoint()
+    }
+    val out = q.join(tot.withColumnRenamed("__from", "state"), "state")
+      .select(col("state"), col("__tc").as("n_out"),
+        round(col("__q"), 6).as("p_absorb"))
+    t.unpersist(blocking = false)
+    out
+  }
+
   /** Holt linear (double-exponential) smoothing per key with a
     * one-step-ahead forecast — the level+trend recursion
     * `l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})`,
