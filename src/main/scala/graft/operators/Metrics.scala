@@ -472,6 +472,45 @@ object Metrics {
           6).as("gini"))
   }
 
+  /** Lorenz decile curve per group — the distribution behind
+    * [[giniByGroup]]'s scalar: members ascending by value are cut into
+    * ten rank deciles and each decile reports the CUMULATIVE share of
+    * total mass, the "bottom d/10 of members hold share s" table.
+    *
+    * Decile assignment uses the explicit `⌊(i−1)·10/n⌋+1` formula on a
+    * tie-broken row_number — NOT `ntile`, whose remainder-distribution
+    * rules are a portability hazard — so membership is identical in
+    * any engine. Mass accumulates in decimal (exact); the share is one
+    * rounded double division per output row. Same single keyed
+    * partitioning as the Gini. */
+  def lorenzDeciles(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(v.asc, col(tieCol).asc)
+    val ranked = df.select(col(groupCol), v.as("__x"),
+        row_number().over(w).cast("long").as("__i"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))))
+      .withColumn("decile",
+        ((col("__i") - 1) * 10 / col("__n") + 1).cast("int"))
+    val perDec = ranked.groupBy(col(groupCol), col("decile"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__x")).cast("decimal(28,2)").as("__m"))
+    val wd = Window.partitionBy(col(groupCol)).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col(groupCol))
+    perDec
+      .withColumn("__cum", sum(col("__m")).over(wd)
+        .cast("decimal(28,2)"))
+      .withColumn("__tot", sum(col("__m")).over(wg)
+        .cast("decimal(28,2)"))
+      .filter(col("__tot") > 0)
+      .select(col(groupCol), col("decile"), col("n_members"),
+        round(col("__cum").cast("double") / col("__tot").cast("double"),
+          6).as("cum_share"))
+  }
+
   /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) per group:
     * does sample A's distribution of `valueCol` stochastically dominate
     * sample B's? Returns per `groupCol` the two sample sizes, U for the

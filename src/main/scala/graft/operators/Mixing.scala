@@ -377,6 +377,30 @@ object Mixing {
           .cast("long").as("alloc"))
   }
 
+  /** Temporal train/test split with an EMBARGO gap (the leakage control
+    * financial ML calls purging/embargoing, López de Prado 2018):
+    * rows at or before `trainEnd` train, rows strictly after
+    * `trainEnd + embargoDays` test, and the embargo window between them
+    * is DROPPED — so labels that leak across the boundary through
+    * lagged features or overlapping windows can't contaminate the test
+    * fold. The date-threshold complement of [[splitByHash]] (which
+    * protects against entity leakage, not temporal leakage).
+    *
+    * Pure map-side filter + tag — no shuffle, no state; composes with
+    * any downstream aggregate on its own partitioning. Returns the
+    * input rows with a `split` column ('train' | 'test'), embargoed
+    * rows absent. */
+  def embargoSplit(df: DataFrame, tsCol: String, trainEnd: String,
+      embargoDays: Int): DataFrame = {
+    require(embargoDays >= 0, s"embargoDays must be >= 0: $embargoDays")
+    val day = to_date(col(tsCol))
+    val end = to_date(lit(trainEnd))
+    df.withColumn("split",
+        when(day <= end, "train")
+          .when(day > date_add(end, embargoDays), "test"))
+      .filter(col("split").isNotNull)
+  }
+
   def lengthBuckets(df: DataFrame, lengthCol: String): DataFrame = {
     df.select(col(lengthCol).cast("long").as("__n"))
       .withColumn("bucket", when(col("__n") <= 1, lit(1L))

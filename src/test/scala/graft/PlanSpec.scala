@@ -388,4 +388,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("(event_type#") || p.contains("event_type = purchase")
       || p.contains("equals(event_type"), s"partition value missing:\n$p")
   }
+
+  test("q256: sorted-neighborhood blocking is join-free (lead, not self-join)") {
+    // the whole point of the method: ≤ w·n candidates from a window,
+    // never a pair join — any join node means the rewrite regressed
+    val p = plan("q256_sorted_neighborhood")
+    assert(!p.contains("Join"), s"sorted-neighborhood must not join:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"blocked window must stay keyed:\n$p")
+  }
+
+  test("q254/q261/q263/q267: rank/coverage/ECDF windows all stay keyed") {
+    // Gini ranks, top-p prefix sums, KS cumulative counts and the
+    // stump's split scan are per-group windows — a SinglePartition
+    // exchange would serialize the whole corpus through one task
+    for (q <- Seq("q254_gini", "q261_top_p", "q263_ks_test",
+        "q267_decision_stump")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q must distribute:\n$p")
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"), s"$q went quadratic:\n$p")
+    }
+  }
+
+  test("q262/q264: rolling slope and ACF build pairs from lead windows, no self-join") {
+    for (q <- Seq("q262_rolling_slope", "q264_acf")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not self-join:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q must stay keyed:\n$p")
+    }
+  }
+
+  test("q265: zipf vocab selection is a bounded TakeOrdered, not a full sort") {
+    // the only global stage allowed is the top-N selection itself —
+    // TakeOrdered ships N rows per partition, a range-partitioned Sort
+    // would shuffle the whole vocabulary
+    val p = plan("q265_zipf")
+    assert(p.contains("TakeOrdered"), s"expected TakeOrdered top-N:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"vocab selection must not range-shuffle:\n$p")
+  }
 }
