@@ -464,6 +464,51 @@ object Graph {
     labels
   }
 
+  /** Newman–Girvan modularity of a node partition: Q = Σ_c [e_c/m −
+    * (d_c/2m)²] — how much denser the communities are than a random
+    * graph with the same degrees; THE quality score for a community
+    * assignment (e.g. [[labelPropagation]]'s output).
+    *
+    * Exactness: rewritten over the common denominator as
+    * Q = (4m·Σe_c − Σd_c²) / 4m², every term is an exact integer
+    * (degree-sum squares in decimal), combined in double ONCE at the
+    * end (operands exact ⇒ deterministic). Shape: one canonical edge
+    * pass, a degree aggregate, two label joins, three 1-row folds —
+    * all keyed shuffles plus broadcast scalars, nothing global. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lab = labels.select(col(nodeCol).as("__n"),
+      col(labelCol).as("__l"))
+    val m = canon.agg(count(lit(1)).as("__m"))
+    val intra = canon
+      .join(lab.withColumnRenamed("__n", "a")
+        .withColumnRenamed("__l", "__la"), "a")
+      .join(lab.withColumnRenamed("__n", "b")
+        .withColumnRenamed("__l", "__lb"), "b")
+      .agg(sum(when(col("__la") === col("__lb"), 1L).otherwise(0L))
+        .as("__e"))
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val perC = deg
+      .join(lab.withColumnRenamed("__n", "node"), "node")
+      .groupBy(col("__l")).agg(sum(col("__d")).as("__dc"))
+    val fold = perC.agg(count(lit(1)).as("n_communities"),
+      sum(col("__dc").cast("decimal(18,0)")
+        * col("__dc").cast("decimal(18,0)")).as("__sd2"))
+    val mD = col("__m").cast("double")
+    fold.crossJoin(m).crossJoin(intra)
+      .select(col("__m").as("m"), col("n_communities"),
+        col("__e").as("intra_edges"),
+        round((lit(4.0) * mD * col("__e").cast("double")
+            - col("__sd2").cast("double"))
+          / (lit(4.0) * mD * mD), 6).as("modularity"))
+  }
+
   /** Hop-bounded single-source shortest paths over weighted directed
     * edges (Bellman–Ford 1958, the k-relaxation form): after `maxHops`
     * synchronous relaxation rounds, each node's dist is the exact

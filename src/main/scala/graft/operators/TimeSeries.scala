@@ -396,6 +396,37 @@ object TimeSeries {
         round(cov / sqrt(vx * vy), 6).as("acf"))
   }
 
+  /** Nelson–Aalen cumulative hazard estimator — [[kaplanMeier]]'s
+    * additive sibling: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over event times, the
+    * hazard-scale view survival analysis reads alongside the survival
+    * curve (H ≈ −ln S for small increments). Same right-censoring
+    * convention and the same reduced per-t risk-set machinery; the
+    * running sum accumulates per-t double ratios in ascending-t frame
+    * order — identical sequential order in any engine. The window runs
+    * over the DISTINCT-duration table like kaplanMeier's (bounded by
+    * the duration range, not the row count). */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+      observedCol: String): DataFrame = {
+    val perT = df.groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(col(observedCol).cast("long")).as("n_events"),
+        sum(lit(1L) - col(observedCol).cast("long")).as("n_censored_at_t"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("__gone",
+        coalesce(sum(col("n_events") + col("n_censored_at_t")).over(w),
+          lit(0L)))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+      .withColumn("n_risk", col("__n") - col("__gone"))
+      .withColumn("cum_hazard",
+        round(sum(col("n_events").cast("double") / col("n_risk"))
+          .over(wTot), 6))
+      .filter(col("n_events") > 0)
+      .select(col("t"), col("n_risk"), col("n_events"), col("cum_hazard"))
+  }
+
   /** k-step absorption probability of a first-order Markov chain
     * estimated from event sequences: from each non-absorbing state s,
     * the probability of reaching `absorbState` within `steps`
