@@ -20,7 +20,12 @@ object ScaleBench {
 
   private val RiskQueries = Seq("q66_dedup_groups", "q101_substring_dedup",
     "q129_fuzzy_join", "q130_pagerank", "q144_triangle_stats",
-    "q172_hits", "q188_adamic_adar", "q209_bfs_distances", "q220_kcore")
+    "q172_hits", "q188_adamic_adar", "q209_bfs_distances", "q220_kcore",
+    // round-6 second-half iterative additions: label propagation (two
+    // join+agg rounds), modularity (LPA + three folds), hop-bounded
+    // Bellman-Ford (nation graph is fixed-size — measures the
+    // edge-build), and frame-fingerprint dedup (inverted-index join)
+    "q259_label_prop", "q277_modularity", "q253_sssp", "q275_frame_dedup")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other
@@ -59,6 +64,18 @@ object ScaleBench {
         .withColumn("l_suppkey", $"l_suppkey" + lit(i.toLong * 10000000L))
         .withColumn("l_partkey", $"l_partkey" + lit(i.toLong * 10000000L))
     }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // suppliers offset in lockstep with lineitem's l_suppkey so the
+    // q253 supplier join resolves within each copy; nation/region are
+    // the fixed 25/5-row dimensions — one copy, shared by all
+    val supp = s.read.parquet(s"$src/supplier.parquet")
+    copies(supp) { (df, i) =>
+      df.withColumn("s_suppkey", $"s_suppkey" + lit(i.toLong * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    s.read.parquet(s"$src/nation.parquet")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+    s.read.parquet(s"$src/region.parquet")
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
   }
 
   def main(args: Array[String]): Unit = {

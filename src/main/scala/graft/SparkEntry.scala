@@ -16,7 +16,8 @@ object SparkEntry {
       Round24.all ++ Round25.all ++ Round26.all ++ Round27.all ++
       Round28.all ++ Round29.all ++ Round30.all ++ Round31.all ++
       Round32.all ++ Round33.all ++ Round34.all ++ Round35.all ++
-      Round36.all ++ Round37.all ++ Round38.all ++ Round39.all
+      Round36.all ++ Round37.all ++ Round38.all ++ Round39.all ++
+      Round40.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
