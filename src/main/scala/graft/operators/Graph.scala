@@ -509,6 +509,58 @@ object Graph {
           / (lit(4.0) * mD * mD), 6).as("modularity"))
   }
 
+  /** Hop-bounded earliest-arrival reachability on a TEMPORAL graph
+    * (Holme & Saramäki 2012): an edge `(src, dst, t)` is traversable
+    * only STRICTLY AFTER you arrived at `src`, and using it puts you at
+    * `dst` at time `t` — the time-respecting-path semantics behind
+    * "who could information/goods have reached, in causal order"
+    * questions that static reachability over-counts.
+    *
+    * Correctness of the frontier form: arrival-admission `t > arr(src)`
+    * is monotone (an earlier arrival admits a superset of edges), so
+    * relaxing only from each node's MINIMUM arrival is exactly
+    * equivalent to enumerating all ≤ maxHops time-respecting paths.
+    * Same Spark shape as [[weightedSssp]]: edges hash-partitioned once,
+    * per-round shuffle is the \|nodes\|-sized arrival table,
+    * localCheckpoint lineage cuts, limit(1) fixed-point probe.
+    *
+    * `seeds` start at arrival `Long.MinValue` (reported as arr = null);
+    * returns `(node, arr)` for every node reachable within the hop
+    * budget. */
+  def temporalEarliestArrival(edges: DataFrame, srcCol: String,
+      dstCol: String, tsCol: String, seeds: DataFrame, seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(tsCol).cast("long").as("__t"))
+      .distinct()
+      .repartition(col("__src")).cache()
+    var arr = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("arr", lit(Long.MinValue))
+      .localCheckpoint()
+    var hop = 0
+    var converged = false
+    while (hop < maxHops && !converged) {
+      hop += 1
+      val relaxed = e
+        .join(arr.withColumnRenamed("node", "__src"), "__src")
+        .filter(col("__t") > col("arr"))
+        .select(col("__dst").as("node"), col("__t").as("arr"))
+      val next = arr.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("arr")).as("arr"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(arr.as("p"), col("n.node") === col("p.node"), "left_outer")
+        .filter(col("p.node").isNull || col("n.arr") < col("p.arr"))
+        .limit(1).count() == 0
+      arr = next
+    }
+    e.unpersist(blocking = false)
+    arr.select(col("node"),
+      when(col("arr") === Long.MinValue, lit(null)).otherwise(col("arr"))
+        .as("arr"))
+  }
+
   /** Hop-bounded single-source shortest paths over weighted directed
     * edges (Bellman–Ford 1958, the k-relaxation form): after `maxHops`
     * synchronous relaxation rounds, each node's dist is the exact
