@@ -167,6 +167,56 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Prefix-filtered set-similarity join (PPJoin-lite; Xiao, Wang, Lin
+    * & Yu 2008): exact Jaccard pairs at threshold `tNum/tDen`, but the
+    * candidate space comes from joining only each set's PREFIX — the
+    * first `n − ⌈t·n⌉ + 1` tokens in a global (frequency asc, token)
+    * canonical order. The prefix-filter theorem guarantees any pair
+    * with J ≥ t shares at least one prefix token, so the result is
+    * IDENTICAL to [[shingleJaccardPairs]] while the index join carries
+    * a small fraction of the postings — and the rare-token-first order
+    * concentrates candidates on low-frequency postings, killing the
+    * hot-token skew the full inverted join suffers at scale.
+    *
+    * The threshold is a RATIONAL (tNum/tDen) so the prefix length is
+    * exact integer arithmetic; the final filter mirrors
+    * shingleJaccardPairs' rounded-sim convention. Verification joins
+    * the full postings of CANDIDATE pairs only (cost ∝ Σ_cand |a|,
+    * never the all-pairs product). */
+  def ppJoinPairs(docs: DataFrame, idCol: String, textCol: String,
+      tNum: Int, tDen: Int, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a fraction in (0,1]: $tNum/$tDen")
+    val sets = shingleSets(docs, idCol, textCol, shingleN)
+    val sizes = sets.select(col("id"), size(col("shingles")).as("n"))
+    val ex = sets.select(col("id"), explode(col("shingles")).as("sh"))
+    val freq = ex.groupBy(col("sh")).agg(count(lit(1)).as("__f"))
+    val prefix = ex.join(freq, "sh")
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("__f").asc, col("sh").asc)))
+      .join(sizes, "id")
+      // p = n − ceil(t·n) + 1, in exact integer arithmetic
+      .withColumn("__p",
+        col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .filter(col("__rnk") <= col("__p"))
+      .select(col("id"), col("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id")).distinct()
+    val common = cand
+      .join(ex.select(col("id").as("a_id"), col("sh")), "a_id")
+      .join(ex.select(col("id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("ni"))
+    common
+      .join(sizes.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("ni") / (col("na") + col("nb") - col("ni")), 6).as("sim"))
+      .filter(col("sim") >= lit(tNum.toDouble / tDen))
+  }
+
   /** Asymmetric shingle CONTAINMENT pairs: containment(a ⊆ b) =
     * |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold — the signal symmetric
     * Jaccard misses when the container is much larger than the
