@@ -167,6 +167,73 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** APPLY step for substring dedup (the Lee et al. 2022 removal pass
+    * [[duplicatedSpans]] only reports): delete every duplicated k-token
+    * window occurrence from the corpus EXCEPT its canonical first
+    * occurrence — canonical = lexicographically-minimal (doc, pos) per
+    * exact window text, so the choice is deterministic under any
+    * partitioning. A position survives unless covered by some removed
+    * occurrence; the cleaned document is its surviving tokens in
+    * original order.
+    *
+    * Spark shape: same slim rolling-hash pipeline as
+    * [[duplicatedPositions]] (token arrays never shuffle; only
+    * colliding windows are ever tokenized, exact-text verified), plus
+    * one gram-keyed canonical window, a span-bounded position explode,
+    * and one anti-join — all keyed shuffles. Returns
+    * `(id, n_tokens, n_removed, cleaned)` for EVERY doc (cleaned =
+    * single-space re-joined surviving tokens). */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val wins = raw.select(col("id"),
+      posexplode(graft.functions.Functions.token_window_hashes(col("__t"), k))
+        .as(Seq("pos", "__wh")))
+    val repeats = wins.select(col("__wh"))
+      .groupBy(col("__wh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    val candByDoc = wins.join(repeats, "__wh")
+      .groupBy(col("id")).agg(collect_list(col("pos")).as("__ps"))
+    val cand = raw.join(candByDoc, Seq("id"))
+      .select(col("id"), TextAnalysis.tokens(col("__t")).as("__ws"), col("__ps"))
+      .select(col("id"), explode(transform(col("__ps"), p =>
+        struct(p.as("pos"),
+          concat_ws(" ", slice(col("__ws"), p + lit(1), lit(k))).as("__gram"))))
+        .as("__pg"))
+      .select(col("id"), col("__pg.pos").as("pos"),
+        col("__pg.__gram").as("__gram"))
+    val verified = cand
+      .withColumn("__gn", count(lit(1)).over(Window.partitionBy(col("__gram"))))
+      .filter(col("__gn") >= 2)
+    val removed = verified
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col("__gram")).orderBy(col("id"), col("pos"))))
+      .filter(col("__rn") > 1) // canonical first occurrence survives
+    val covered = removed
+      .select(col("id"), explode(sequence(col("pos"),
+        col("pos") + lit(k - 1))).as("rp"))
+      .distinct()
+    val toks = raw.select(col("id"),
+        posexplode(TextAnalysis.tokens(col("__t"))).as(Seq("tp", "tok")))
+      .filter(col("tok") =!= "")
+    val kept = toks.join(covered,
+        toks("id") === covered("id") && col("tp") === col("rp"),
+        "left_anti")
+    val stats = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tokens"))
+    val keptAgg = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("__nk"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok"))).as("cleaned"))
+    // stats is the base: a fully-removed doc must still report, with an
+    // empty cleaned text, not vanish
+    stats.join(keptAgg, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Prefix-filtered set-similarity join (PPJoin-lite; Xiao, Wang, Lin
     * & Yu 2008): exact Jaccard pairs at threshold `tNum/tDen`, but the
     * candidate space comes from joining only each set's PREFIX — the
