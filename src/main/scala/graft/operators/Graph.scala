@@ -317,6 +317,43 @@ object Graph {
     visited
   }
 
+  /** Per-seed BFS distances for a SET of sources in one pass: like
+    * [[bfsDistances]] but the visited state is keyed `(seed, node)`, so
+    * every seed's frontier expands through the SAME cached edge
+    * artifact in the same level loop — one edge build and `maxDepth`
+    * joins total, instead of per-seed pipelines (the closeness/
+    * eccentricity sampling shape). Frontier width is Σ per-seed
+    * frontiers; the hot edge side never re-shuffles. Returns
+    * `(seed, node, dist)`. */
+  def bfsDistancesPerSeed(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct()
+      .repartition(col("__src")).cache()
+    var visited = seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"))
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    var frontier = visited.select(col("seed"), col("node"))
+    var depth = 0
+    while (depth < maxDepth && frontier.limit(1).count() > 0) {
+      depth += 1
+      val next = e
+        .join(frontier.withColumnRenamed("node", "__src"), "__src")
+        .select(col("seed"), col("__dst").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(depth))
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = visited.filter(col("dist") === depth)
+        .select(col("seed"), col("node"))
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
+
   /** k-core of an undirected graph (Seidman 1983): the unique maximal
     * subgraph in which every node has degree ≥ k, found by iterated
     * peeling — repeatedly delete nodes of degree < k until a fixed

@@ -87,6 +87,28 @@ object OpsLawsSpec extends Properties("graft.round6ops") {
       }
     }
 
+  // ---- bfsDistancesPerSeed ≡ per-seed bfsDistances -------------------------
+
+  property("bfsDistancesPerSeed equals per-seed bfsDistances") =
+    forAll(edges, Gen.chooseNum(1, 3)) { (es, depth) =>
+      val e = es.filter(x => x._1 != x._2).distinct
+      if (e.isEmpty) true
+      else {
+        val df = e.toDF("s", "d")
+        val seedVals = e.map(_._1).distinct.take(3)
+        val multi = Graph.bfsDistancesPerSeed(df, "s", "d",
+            seedVals.toDF("node"), "node", depth)
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2))
+          .toMap
+        val single = seedVals.flatMap { sd =>
+          Graph.bfsDistances(df, "s", "d", Seq(sd).toDF("node"), "node",
+              depth)
+            .collect().map(r => (sd, r.getInt(0)) -> r.getInt(1))
+        }.toMap
+        multi == single
+      }
+    }
+
   // ---- ksTest ≡ in-JVM ECDF max gap ----------------------------------------
 
   private val twoSamples: Gen[(List[Int], List[Int])] = for {
