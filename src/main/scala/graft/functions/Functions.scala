@@ -82,6 +82,13 @@ object Functions {
   def jaro_winkler(a: Column, b: Column): Column =
     Shims.column(JaroWinkler(Shims.expression(a), Shims.expression(b)))
 
+  /** Banded early-exit edit distance: exact when ≤ k, else k+1 — the
+    * O(k·n) verify primitive for fuzzy joins (see
+    * [[BoundedLevenshtein]]). */
+  def bounded_levenshtein(a: Column, b: Column, k: Int): Column =
+    Shims.column(BoundedLevenshtein(Shims.expression(a),
+      Shims.expression(b), k))
+
   /** BPE subword pieces of a string column under a trained merge table
     * (train with [[graft.operators.Bpe.train]]; not SQL-registered — the
     * merge table is a data-dependent artifact, not a literal). */

@@ -137,8 +137,13 @@ object Fuzzy {
   private def verify(strings: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val a = strings.select(col("__id").as("__ida"), col("__text").as("__ta"))
     val b = strings.select(col("__id").as("__idb"), col("__text").as("__tb"))
+    // banded O(k·n) distance with early exit — exact for dist ≤ k,
+    // sentinel k+1 above, so the filter semantics are identical to the
+    // full-matrix levenshtein while non-matching candidates (the vast
+    // majority) cost a length check plus a few band rows
     cand.join(a, "__ida").join(b, "__idb")
-      .withColumn("__dist", levenshtein(col("__ta"), col("__tb")))
+      .withColumn("__dist", graft.functions.Functions
+        .bounded_levenshtein(col("__ta"), col("__tb"), k))
       .filter(col("__dist") <= k)
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
         col("__dist").as("dist"))
@@ -207,7 +212,8 @@ object Fuzzy {
       .select(col(blockCol), col(idCol).as("id_a"),
         col(textCol).as("__ta"), explode(col("__nbrs")).as("__n"))
       .filter(col("__n.nid").isNotNull)
-      .withColumn("dist", levenshtein(col("__ta"), col("__n.ntext")))
+      .withColumn("dist", graft.functions.Functions
+        .bounded_levenshtein(col("__ta"), col("__n.ntext"), maxDist))
       .filter(col("dist") <= maxDist)
       .select(col(blockCol), col("id_a"), col("__n.nid").as("id_b"),
         col("dist"))

@@ -256,6 +256,29 @@ object OpsLawsSpec extends Properties("graft.round6ops") {
       }
     }
 
+  // ---- boundedLevenshtein ≡ capped full levenshtein ------------------------
+
+  private val strPair: Gen[(String, String)] = for {
+    a <- Gen.listOfN(12, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    // mix of near (edits of a) and far strings
+    b <- Gen.oneOf(
+      Gen.listOfN(12, Gen.oneOf('a', 'b', 'c')).map(_.mkString),
+      Gen.chooseNum(0, 11).map(i => a.take(i) + "x" + a.drop(i + 1)),
+      Gen.chooseNum(0, 11).map(i => a.take(i) + a.drop(i + 1)))
+  } yield (a, b)
+
+  property("bounded_levenshtein equals min(levenshtein, k+1)") =
+    forAll(Gen.listOfN(12, strPair), Gen.chooseNum(0, 6)) { (ps, k) =>
+      import org.apache.spark.sql.functions.{levenshtein, least, lit, col}
+      val df = ps.toDF("a", "b")
+      val out = df.select(
+          graft.functions.Functions.bounded_levenshtein(col("a"),
+            col("b"), k).as("bl"),
+          least(levenshtein(col("a"), col("b")), lit(k + 1)).as("full"))
+        .collect()
+      out.forall(r => r.getInt(0) == r.getInt(1))
+    }
+
   // ---- markovAbsorption ≡ in-JVM matrix recursion --------------------------
 
   private val chainSeqs: Gen[List[List[Int]]] =
