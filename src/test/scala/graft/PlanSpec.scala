@@ -419,6 +419,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q282/q275: prefix-filter and frame joins stay hash joins, never cartesian") {
+    // PPJoin's candidate and verify joins key on prefix tokens / frame
+    // fingerprints; a cartesian here means the blocking collapsed
+    for (q <- Seq("q282_ppjoin", "q275_frame_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"), s"$q went quadratic:\n$p")
+    }
+  }
+
+  test("q288: the span-dedup apply never shuffles token arrays") {
+    // q101's contract extended to the apply: wide exchanges carry only
+    // (id, pos, hash/gram) shapes; the rebuilt text appears only in the
+    // final doc-keyed aggregate
+    val p = plan("q288_span_dedup_apply")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SinglePartition"),
+      s"apply must stay distributed:\n$p")
+  }
+
+  test("q296/q299: path mining and growth accounting are lead/lag windows, no self-join") {
+    for (q <- Seq("q296_trigram_paths", "q299_growth_accounting")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"), s"$q went quadratic:\n$p")
+    }
+  }
+
+  test("q300: the corpus pipeline is one composed plan with keyed shuffles only") {
+    val p = plan("q300_corpus_pipeline")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SinglePartition"),
+      s"pipeline must stay distributed:\n$p")
+  }
+
   test("q265: zipf vocab selection is a bounded TakeOrdered, not a full sort") {
     // the only global stage allowed is the top-N selection itself —
     // TakeOrdered ships N rows per partition, a range-partitioned Sort
