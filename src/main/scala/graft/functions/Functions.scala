@@ -32,7 +32,10 @@ object Functions {
         HyperplaneSignature(es(0), if (es.length > 1) litInt(es(1), "bits") else 16)),
       "minhash_signature" -> ((es: Seq[Expression]) =>
         MinHashSignature(es(0), if (es.length > 1) litInt(es(1), "numHashes") else 64)),
-      "jaro_winkler" -> ((es: Seq[Expression]) => JaroWinkler(es(0), es(1)))
+      "jaro_winkler" -> ((es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
+      "bounded_levenshtein" -> ((es: Seq[Expression]) =>
+        BoundedLevenshtein(es(0), es(1),
+          if (es.length > 2) litInt(es(2), "k") else 2))
     )
   }
 
