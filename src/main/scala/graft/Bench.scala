@@ -41,6 +41,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // Untimed sacrificial query: session init, first-plan analysis, codegen
+    // compiler and noop-sink class loading otherwise land entirely on the
+    // first timed query (q01 measured 3.2x its own cost in r6 purely from
+    // suite position). A scan + shuffle agg touches all of those paths.
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy(col("r_name")).agg(count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val cold = sorted.map { case (name, fn) => name -> runOnce(name, fn) }
     // one further timed pass; per query report the MINIMUM of the two
     // executions — the noise floor. This machine shows bursty external

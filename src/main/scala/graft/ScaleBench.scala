@@ -25,7 +25,13 @@ object ScaleBench {
     // join+agg rounds), modularity (LPA + three folds), hop-bounded
     // Bellman-Ford (nation graph is fixed-size — measures the
     // edge-build), and frame-fingerprint dedup (inverted-index join)
-    "q259_label_prop", "q277_modularity", "q253_sssp", "q275_frame_dedup")
+    "q259_label_prop", "q277_modularity", "q253_sssp", "q275_frame_dedup",
+    // round-7 additions (the round-6-late heavy queries): multi-seed
+    // closeness BFS (seeds live in copy 0 — the per-level edge scan is
+    // the linear term), temporal reachability (seeds in every copy),
+    // and the window+exact-quantile seasonal residual pipeline on the
+    // K-copied events table
+    "q295_closeness", "q280_temporal_reach", "q297_seasonal_residuals")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other
@@ -72,6 +78,14 @@ object ScaleBench {
     copies(supp) { (df, i) =>
       df.withColumn("s_suppkey", $"s_suppkey" + lit(i.toLong * 10000000L))
     }.write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    // events for the time-series lanes: ids offset per copy, timestamps
+    // and the small event_type domain shared — per-key window/quantile
+    // work is row-proportional by construction
+    val ev = s.read.parquet(s"$src/events.parquet")
+    copies(ev) { (df, i) =>
+      df.withColumn("event_id", $"event_id" + lit(i.toLong * 1000000000L))
+        .withColumn("user_id", $"user_id" + lit(i.toLong * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/events.parquet")
     s.read.parquet(s"$src/nation.parquet")
       .write.mode("overwrite").parquet(s"$out/nation.parquet")
     s.read.parquet(s"$src/region.parquet")

@@ -17,18 +17,55 @@ object SparkEntry {
       Round28.all ++ Round29.all ++ Round30.all ++ Round31.all ++
       Round32.all ++ Round33.all ++ Round34.all ++ Round35.all ++
       Round36.all ++ Round37.all ++ Round38.all ++ Round39.all ++
-      Round40.all ++ Round41.all ++ Round42.all ++ Round43.all ++ Round44.all ++ Round45.all ++ Round46.all ++ Round47.all ++ Round48.all ++ Round49.all ++ Round50.all ++ Round51.all ++ Round52.all ++ Round53.all ++ Round54.all
+      Round40.all ++ Round41.all ++ Round42.all ++ Round43.all ++ Round44.all ++ Round45.all ++ Round46.all ++ Round47.all ++ Round48.all ++ Round49.all ++ Round50.all ++ Round51.all ++ Round52.all ++ Round53.all ++ Round54.all ++ Round55.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Hash-safe output-type contract: the driver's result hasher
+    * canonicalizes wide/narrow numerics differently per engine (DuckDB
+    * HUGEINT/DECIMAL finals went hash-red while value-identical), so every
+    * query's FINAL projection uses only BIGINT / DOUBLE / VARCHAR / DATE /
+    * TIMESTAMP / BOOLEAN. Internal arithmetic stays decimal-exact; only
+    * the last projection widens. The oracle SQL carries the same casts so
+    * both engines emit type-identical schemas. SchemaParitySpec pins this
+    * allowlist for every registered query.
+    */
+  private def hashSafe(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val needs = df.schema.fields.exists(f => f.dataType match {
+      case IntegerType | ShortType | ByteType | FloatType | _: DecimalType => true
+      case _ => false
+    })
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case IntegerType | ShortType | ByteType => df(f.name).cast("long").as(f.name)
+        case FloatType | (_: DecimalType)       => df(f.name).cast("double").as(f.name)
+        case _                                  => df(f.name)
+      }
+    }: _*)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    suites.map(q => q.name -> q.fn).toMap
+    suites.map(q => q.name ->
+      ((s: SparkSession, d: String) => hashSafe(q.fn(s, d)))).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted entries get a rows-only check. */
+    * the same parquet tables. Omitted entries get a rows-only check.
+    * OracleTypes.casts columns are wrapped so the oracle's result schema
+    * is type-identical to the engine's hashSafe projection. */
   def oracleSql: Map[String, String] =
-    suites.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+    suites.flatMap(q => q.oracle.map { o =>
+      val sql = OracleTypes.casts.get(q.name) match {
+        case None => o.trim
+        case Some(cs) =>
+          val repl = cs.map { case (c, t) => s"CAST($c AS $t) AS $c" }
+            .mkString(", ")
+          s"SELECT * REPLACE ($repl) FROM (\n${o.trim}\n) __hashsafe"
+      }
+      q.name -> sql
+    }).toMap
 }

@@ -10,8 +10,39 @@ object Verify {
     * so a red row is diffable against the oracle without a rerun. Reads
     * the parquet back so the dump reflects the exact on-disk round-trip
     * the oracle compare sees. */
+  /** Engine-vs-golden diff with no DuckDB in the loop: when a committed
+    * golden file (tools/compare.py --emit-golden, canonical oracle cells
+    * for this scale factor) exists, print MATCH or the exact missing /
+    * extra rows — a driver-red row becomes diffable from the driver log
+    * alone. Both sides are sorted here, so the golden's on-disk order is
+    * irrelevant. */
+  private def checkGolden(name: String, lines: Seq[String],
+      sfDir: String): Unit = {
+    val sfName = new java.io.File(sfDir).getName
+    val gdir = sys.env.getOrElse("SPARK_GRAFT_GOLDEN_DIR", "golden")
+    val p = Paths.get(s"$gdir/$sfName/$name.txt")
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val expected = Files.readAllLines(p).asScala.toSeq
+        .filterNot(_.startsWith("#")).sorted
+      val got = lines.sorted
+      if (expected == got)
+        System.err.println(s"[verify:golden] $name MATCH (${got.size} rows)")
+      else {
+        val miss = expected.diff(got)
+        val extra = got.diff(expected)
+        System.err.println(s"[verify:golden] $name MISMATCH " +
+          s"missing=${miss.size} extra=${extra.size}")
+        miss.take(20).foreach(l =>
+          System.err.println(s"[verify:golden] $name oracle-only $l"))
+        extra.take(20).foreach(l =>
+          System.err.println(s"[verify:golden] $name engine-only $l"))
+      }
+    }
+  }
+
   private def dumpDiagnostics(spark: SparkSession, name: String,
-      path: String): Unit = {
+      path: String, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.BinaryType
     try {
@@ -30,6 +61,7 @@ object Verify {
           .sorted
         System.err.println(s"[verify:cells] $name rows=$nRows cols=${cols.mkString(",")}")
         rows.foreach(r => System.err.println(s"[verify:cells] $name $r"))
+        checkGolden(name, rows.toSeq, sfDir)
       } else {
         // bit_xor, not sum: order-independent like sum, but closed over
         // Long — a summed hash overflows under ANSI mode at ~15k rows
@@ -69,7 +101,7 @@ object Verify {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
-          dumpDiagnostics(spark, name, s"$outDir/$name")
+          dumpDiagnostics(spark, name, s"$outDir/$name", sfDir)
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }

@@ -43,7 +43,102 @@ def cells_equal(a, b):
         pass
     return a == b
 
+def java_double_str(x):
+    """Replicate java.lang.Double.toString (what Verify's cast-to-string
+    dump prints): shortest round-trip digits, plain decimal when
+    1e-3 <= |x| < 1e7, else d.dddEn scientific."""
+    import math
+    from decimal import Decimal
+    if x != x:
+        return "NaN"
+    if x == float("inf"):
+        return "Infinity"
+    if x == float("-inf"):
+        return "-Infinity"
+    sign = "-" if math.copysign(1.0, x) < 0 else ""
+    if x == 0:
+        return sign + "0.0"
+    t = Decimal(repr(abs(x))).as_tuple()
+    digits = "".join(map(str, t.digits)).rstrip("0") or "0"
+    adj = t.exponent + len(t.digits) - 1  # x = d.igits * 10^adj
+    if -3 <= adj < 7:
+        if adj >= 0:
+            ip = digits.ljust(adj + 1, "0")[:adj + 1]
+            fp = digits[adj + 1:] or "0"
+            return f"{sign}{ip}.{fp}"
+        return sign + "0." + "0" * (-adj - 1) + digits
+    frac = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{frac}E{adj}"
+
+
+def golden_cell(v):
+    """Format one oracle cell exactly as Verify's [verify:cells] dump does
+    on the Spark side (cast-to-string semantics, NULL for null)."""
+    import datetime
+    from decimal import Decimal
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return java_double_str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex().upper()
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += ("%.6f" % (v.microsecond / 1e6))[1:].rstrip("0")
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        raise ValueError(f"decimal cell {v} violates the hash-safe contract")
+    return str(v)
+
+
+def emit_golden(con, oracles, golden_dir):
+    """Write <golden_dir>/<name>.txt with the oracle's canonical cells
+    (sorted columns, |-joined rows) for every oracle result <= 100 rows —
+    the same shape Verify dumps, so a driver-red row is diffable
+    engine-vs-golden from the driver log with no DuckDB in the loop."""
+    import os
+    os.makedirs(golden_dir, exist_ok=True)
+    n = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+        except Exception as e:
+            print(f"GOLDEN SKIP {name}: oracle failed: {e}")
+            continue
+        if len(rows) > 100:
+            continue
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        try:
+            lines = sorted("|".join(golden_cell(r[i]) for i in order)
+                           for r in rows)
+        except ValueError as e:
+            print(f"GOLDEN SKIP {name}: {e}")
+            continue
+        with open(f"{golden_dir}/{name}.txt", "w") as f:
+            f.write(f"# {name} cols={','.join(sorted(cols))}\n")
+            for ln in lines:
+                f.write(ln + "\n")
+        n += 1
+    print(f"== wrote {n} golden files to {golden_dir} ==")
+
+
 def main():
+    if sys.argv[1] == "--emit-golden":
+        sf_dir, out_dir, golden_dir = sys.argv[2], sys.argv[3], sys.argv[4]
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+        emit_golden(con, oracles, golden_dir)
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
