@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed hypothesis tests and sequential drift monitors.
+  *
+  * Complements [[Metrics]]' two-sample tests (Welch, Mann–Whitney, KS) with
+  * the k-sample / paired / survival-comparison family and adds the
+  * Page–Hinkley sequential drift detector and the Mann–Kendall trend test.
+  *
+  * Determinism discipline (the house parity contract): every data-sized
+  * reduction happens on exact values — integer counts, decimal sums, or
+  * half-integer midranks (exact in binary64 below 2^52) — and the only
+  * floating-point accumulations are ordered window cumsums (sequential,
+  * deterministic order in both engines) over calendar-bounded row counts.
+  * Final statistics are computed in double from those exact moments and
+  * rounded once, so results are bit-stable under any partitioning.
+  */
+object Hypothesis {
+
+  /** Kruskal–Wallis H (rank-based one-way ANOVA) per `groupCol` across the
+    * treatments in `treatCol`, with the standard tie correction.
+    *
+    * Midranks and the tie term Σ(t³−t) reuse [[Metrics.mannWhitney]]'s
+    * exact per-row forms: a row in a tied run of size t contributes
+    * (t²−1), so the run contributes t·(t²−1) = t³−t, with no distinct.
+    * Per-treatment rank sums are exact half-integer sums; the one
+    * fractional reduction Σ Rⱼ²/nⱼ runs as an ordered window cumsum over
+    * the ≤k treatment rows so both engines add in the same order.
+    * Everything shares one hash partitioning on `groupCol`.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val pool = df.filter(x.isNotNull)
+      .select(col(groupCol), col(treatCol).as("__treat"), x.as("__x"))
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(col("__x"))
+    val wTies = Window.partitionBy(col(groupCol), col("__x"))
+    val ranked = pool
+      .withColumn("__minrank", rank().over(wRank))
+      .withColumn("__t", count(lit(1)).over(wTies))
+      .withColumn("__midrank",
+        col("__minrank") + (col("__t") - 1).cast("double") / 2.0)
+    val perGroup = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum((col("__t") * col("__t") - 1).cast("long")).as("__tsum"))
+    val perTreat = ranked.groupBy(col(groupCol), col("__treat")).agg(
+      count(lit(1)).as("__nj"),
+      sum(col("__midrank")).as("__rj"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__treat"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perTreat
+      .withColumn("__term",
+        col("__rj") * col("__rj") / col("__nj").cast("double"))
+      .withColumn("__cum", sum(col("__term")).over(wCum))
+    val srn = cum.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__kk"),
+      max_by(col("__cum"), col("__treat")).as("__srn"))
+    val j = perGroup.join(srn, groupCol)
+    val n = col("__n").cast("double")
+    val h = lit(12.0) / (n * (n + 1.0)) * col("__srn") - lit(3.0) * (n + 1.0)
+    // Σ rows (t²−1) = Σ runs t³−t; correction C = 1 − Σ(t³−t)/(n³−n)
+    val c = lit(1.0) - col("__tsum").cast("double") / (n * n * n - n)
+    j.filter(col("__n") > col("__kk") && col("__kk") > 1 && c > 0)
+      .select(col(groupCol), col("__n").as("n"), col("__kk").as("k"),
+        round(h, 6).as("h"),
+        round(h / c, 6).as("h_adj"),
+        (col("__kk") - 1).as("df"))
+  }
+
+  /** Two-sample log-rank test on right-censored durations: is cohort
+    * `sideA`'s event hazard distinguishable from the rest of `sideCol`?
+    *
+    * Standard Mantel–Haenszel form over the distinct event times t:
+    * O₁ = Σ d₁ₜ, E₁ = Σ dₜ·n₁ₜ/nₜ, V = Σ dₜ(n₁ₜ/nₜ)(1−n₁ₜ/nₜ)(nₜ−dₜ)/(nₜ−1),
+    * z = (O₁−E₁)/√V. At-risk counts come from a reverse cumulative over
+    * the per-duration reduce, so the whole test reads the data once; the
+    * post-reduce table is calendar-bounded (one row per distinct
+    * duration), so the single-partition windows cost nothing at scale.
+    */
+  def logRank(df: DataFrame, durCol: String, eventCol: String,
+      sideCol: String, sideA: String): DataFrame = {
+    val byT = df
+      .select(col(durCol).cast("long").as("__t"),
+        col(eventCol).cast("long").as("__ev"),
+        (col(sideCol) === sideA).cast("long").as("__a"))
+      .groupBy(col("__t")).agg(
+        sum(col("__ev") * col("__a")).as("__d_a"),
+        sum(col("__ev")).as("__d"),
+        count(lit(1)).as("__c"),
+        sum(col("__a")).as("__c_a"))
+    val wRisk = Window.orderBy(col("__t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT
+      .withColumn("__n", sum(col("__c")).over(wRisk))
+      .withColumn("__n_a", sum(col("__c_a")).over(wRisk))
+    val nD = col("__n").cast("double")
+    val naD = col("__n_a").cast("double")
+    val dD = col("__d").cast("double")
+    val terms = risk
+      .withColumn("__e_a", dD * naD / nD)
+      .withColumn("__v",
+        when(col("__n") > 1,
+          dD * (naD / nD) * (lit(1.0) - naD / nD)
+            * (nD - dD) / (nD - 1.0)).otherwise(lit(0.0)))
+    val cum = terms
+      .withColumn("__o_cum", sum(col("__d_a")).over(wCum))
+      .withColumn("__e_cum", sum(col("__e_a")).over(wCum))
+      .withColumn("__v_cum", sum(col("__v")).over(wCum))
+      .withColumn("__na_tot", sum(col("__c_a")).over(wCum))
+      .withColumn("__n_tot", sum(col("__c")).over(wCum))
+    cum.agg(
+        max_by(col("__na_tot"), col("__t")).as("n_a"),
+        (max_by(col("__n_tot"), col("__t"))
+          - max_by(col("__na_tot"), col("__t"))).as("n_b"),
+        max_by(col("__o_cum"), col("__t")).as("o_a"),
+        round(max_by(col("__e_cum"), col("__t")), 6).as("e_a"),
+        round(max_by(col("__v_cum"), col("__t")), 6).as("v"),
+        round((max_by(col("__o_cum"), col("__t")).cast("double")
+            - max_by(col("__e_cum"), col("__t")))
+          / sqrt(max_by(col("__v_cum"), col("__t"))), 6).as("z"))
+      .filter(col("v").isNotNull && col("v") > 0)
+  }
+
+  /** Cohen's d and Hedges' g effect sizes per `groupCol` between the two
+    * sides of `sideCol`, on exact decimal moments: Σx as DECIMAL(28,2),
+    * Σx² as DECIMAL(38,4) (exact for 2-decimal inputs), with the pooled
+    * variance and the small-sample g correction applied in double at the
+    * end. One aggregate pass, one partitioning. */
+  def cohensD(df: DataFrame, groupCol: String, sideCol: String,
+      sideA: String, sideB: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,2)")
+    val pool = df.filter(col(sideCol).isin(sideA, sideB) && x.isNotNull)
+      .select(col(groupCol), col(sideCol).as("__side"), x.as("__x"),
+        (x * x).cast("decimal(38,4)").as("__x2"))
+    val z2 = lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)")
+    val z4 = lit(java.math.BigDecimal.ZERO).cast("decimal(38,4)")
+    val agg = pool.groupBy(col(groupCol)).agg(
+      sum(when(col("__side") === sideA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__side") === sideB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__side") === sideA, col("__x")).otherwise(z2))
+        .as("__sxa"),
+      sum(when(col("__side") === sideB, col("__x")).otherwise(z2))
+        .as("__sxb"),
+      sum(when(col("__side") === sideA, col("__x2")).otherwise(z4))
+        .as("__sxa2"),
+      sum(when(col("__side") === sideB, col("__x2")).otherwise(z4))
+        .as("__sxb2"))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val sxa = col("__sxa").cast("double")
+    val sxb = col("__sxb").cast("double")
+    val ssA = col("__sxa2").cast("double") - sxa * sxa / nA
+    val ssB = col("__sxb2").cast("double") - sxb * sxb / nB
+    val sp = sqrt((ssA + ssB) / (nA + nB - 2.0))
+    val d = (sxa / nA - sxb / nB) / sp
+    agg.filter(col("n_a") > 1 && col("n_b") > 1 && sp > 0)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round(d, 6).as("cohens_d"),
+        round(d * (lit(1.0) - lit(3.0) / (lit(4.0) * (nA + nB) - 9.0)), 6)
+          .as("hedges_g"))
+  }
+
+  /** McNemar's test for paired binary outcomes per `groupCol`: `aCol` and
+    * `bCol` are the two paired measurements (already one row per subject).
+    * Reports the discordant counts b (a without b) and c (b without a),
+    * the χ² statistic (b−c)²/(b+c) and its Edwards continuity-corrected
+    * form (|b−c|−1)²/(b+c). All-integer until the final division. */
+  def mcnemar(df: DataFrame, groupCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_pairs"),
+      sum((col(aCol) && !col(bCol)).cast("long")).as("b"),
+      sum((!col(aCol) && col(bCol)).cast("long")).as("c"))
+    val bD = col("b").cast("double")
+    val cD = col("c").cast("double")
+    val cc = greatest(abs(bD - cD) - 1.0, lit(0.0))
+    agg.filter(col("b") + col("c") > 0)
+      .select(col(groupCol), col("n_pairs"), col("b"), col("c"),
+        round((bD - cD) * (bD - cD) / (bD + cD), 6).as("chi2"),
+        round(cc * cc / (bD + cD), 6).as("chi2_cc"))
+  }
+
+  /** Mann–Kendall trend test with Kendall's τ_b per `keyCol` over the
+    * (timeCol, valueCol) series. Values are compared as exact decimals, so
+    * S = Σ sign(xⱼ−xᵢ) and the tie counts are exact integers; τ_b and the
+    * continuity-corrected z are the only double steps.
+    *
+    * The pair join is per-key over an already-reduced calendar-bounded
+    * series (one row per period), so the quadratic is bounded by
+    * (periods)² — independent of the raw data volume. Tie-run sizes for
+    * Var(S) come from a (key, value) reduce, not from the pairs. */
+  def mannKendall(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"),
+      col(timeCol).as("__i"), col(valueCol).cast("decimal(18,2)").as("__x"))
+    val pairs = base.as("l")
+      .join(base.as("r"), col("l.__k") === col("r.__k")
+        && col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__k").as("__k")).agg(
+        sum(signum(col("r.__x") - col("l.__x")).cast("long")).as("s"),
+        sum((col("l.__x") === col("r.__x")).cast("long")).as("__tpairs"))
+    val ties = base.groupBy(col("__k"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__k")).agg(
+        count(lit(1)).as("__nvals"),
+        sum(col("__t")).as("n"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5))
+          .as("__tvar"))
+    val j = pairs.join(ties, "__k")
+    val nD = col("n").cast("double")
+    val n0 = nD * (nD - 1.0) / 2.0
+    val sD = col("s").cast("double")
+    val tau = sD / sqrt((n0 - col("__tpairs").cast("double")) * n0)
+    val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0)
+      - col("__tvar").cast("double")) / 18.0
+    val zRaw = (sD - signum(sD)) / sqrt(varS)
+    j.filter(col("n") > 2 && col("__tpairs") < lit(1L) * col("n")
+        * (col("n") - 1) / 2 && varS > 0)
+      .select(col("__k").as(keyCol), col("n"), col("s"),
+        round(tau, 6).as("tau_b"),
+        round(when(col("s") === 0, lit(0.0)).otherwise(zRaw), 6).as("z"))
+  }
+
+  /** Page–Hinkley sequential drift detector per `keyCol` over the ordered
+    * (timeCol, xCol) series: mₜ = Σᵢ (xᵢ − x̄ᵢ − δ) with x̄ᵢ the running
+    * mean, PHₜ = mₜ − min_{i≤t} mᵢ, alarm when PHₜ > λ. Reports the final
+    * and peak PH and the first alarm time per key.
+    *
+    * All accumulations are ordered window cumsums over the per-period
+    * series (deterministic order), with the running mean derived from an
+    * exact decimal cumulative sum. */
+  def pageHinkley(df: DataFrame, keyCol: String, timeCol: String,
+      xCol: String, delta: Double, lambda: Double): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(xCol).cast("decimal(18,4)")
+    val stepped = df
+      .select(col(keyCol), col(timeCol), x.as("__x"))
+      .withColumn("__i", count(lit(1)).over(w))
+      .withColumn("__cumx", sum(col("__x")).over(w))
+      .withColumn("__term", col("__x").cast("double")
+        - col("__cumx").cast("double") / col("__i").cast("double")
+        - delta)
+      .withColumn("__m", sum(col("__term")).over(w))
+      .withColumn("__minm", min(col("__m")).over(w))
+      .withColumn("__ph", col("__m") - col("__minm"))
+    stepped.groupBy(col(keyCol)).agg(
+      max(col("__i")).as("n_points"),
+      round(max_by(col("__ph"), col(timeCol)), 6).as("ph_final"),
+      round(max(col("__ph")), 6).as("ph_max"),
+      min(when(col("__ph") > lambda, col(timeCol))).as("first_alarm"))
+  }
+}
