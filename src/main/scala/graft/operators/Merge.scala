@@ -883,4 +883,38 @@ object Merge {
     mergeAggregates(parts, Seq(groupCol),
       Map("total" -> "sum", "n_rows" -> "sum"))
   }
+
+  /** Write–audit–publish: the batch is STAGED to parquet next to the
+    * snapshot, AUDITED from the staged files (per-row `checks` predicates
+    * plus a duplicate-key check — the audit reads what would be
+    * published, not the in-memory plan), and only a fully clean batch is
+    * PUBLISHED into the bucketed snapshot via [[applyChangesBucketed]];
+    * any violation leaves the snapshot untouched. Returns the audit
+    * report `(check, n_violations, published)` — one row per check.
+    *
+    * Each audit pass is an aggregate over the staged batch (cost ∝ batch,
+    * never the snapshot); the publish inherits applyChangesBucketed's
+    * touched-buckets-only cost. The staging dir is left in place on
+    * rejection so the failed batch is inspectable — the quarantine half
+    * of the pattern. */
+  def writeAuditPublish(path: String, batch: DataFrame, keyCols: Seq[String],
+      opCol: String, seqCol: String, buckets: Int,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val spark = batch.sparkSession
+    val stagePath = path.stripSuffix("/") + ".staging"
+    batch.write.mode("overwrite").parquet(stagePath)
+    val staged = spark.read.parquet(stagePath)
+    val rowViolations = checks.map { case (name, pred) =>
+      name -> staged.filter(!coalesce(pred, lit(false))).count()
+    }
+    val dupKeys = staged.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    val report = rowViolations :+ ("unique_key" -> dupKeys)
+    val clean = report.forall(_._2 == 0L)
+    if (clean)
+      applyChangesBucketed(path, staged, keyCols, opCol, seqCol, buckets)
+    import spark.implicits._
+    report.map { case (name, v) => (name, v, clean) }
+      .toDF("check", "n_violations", "published")
+  }
 }

@@ -456,6 +456,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pipeline must stay distributed:\n$p")
   }
 
+  test("q308: Kruskal-Wallis dims broadcast, rank pool never cartesians") {
+    val p = plan("q308_kruskal_wallis")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q324: JT grid fan-out is a broadcast of the 5 groups, no cartesian") {
+    val p = plan("q324_jonckheere")
+    // the deliberate crossJoin(broadcast(groups)) is the ONLY nested-loop
+    // allowed: a 5-row build side fanning the value spine
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"grid completion should broadcast the group list:\n$p")
+  }
+
+  test("q327: JL sign table broadcasts; projection stays keyed") {
+    val p = plan("q327_jl_projection")
+    assert(p.contains("BroadcastHashJoin"),
+      s"64x16 sign table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q323: shingle novelty is keyed shuffles only — no cartesian, no funnel") {
+    val p = plan("q323_shingle_novelty")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SinglePartition"),
+      s"first-occurrence reduce must stay distributed:\n$p")
+  }
+
   test("q265: zipf vocab selection is a bounded TakeOrdered, not a full sort") {
     // the only global stage allowed is the top-N selection itself —
     // TakeOrdered ships N rows per partition, a range-partitioned Sort
