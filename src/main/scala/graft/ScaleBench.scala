@@ -31,7 +31,10 @@ object ScaleBench {
     // the linear term), temporal reachability (seeds in every copy),
     // and the window+exact-quantile seasonal residual pipeline on the
     // K-copied events table
-    "q295_closeness", "q280_temporal_reach", "q297_seasonal_residuals")
+    "q295_closeness", "q280_temporal_reach", "q297_seasonal_residuals",
+    // round-7 late addition: depth-4 per-seed eccentricity BFS — seeds
+    // live in copy 0, so the per-level edge scan is the linear term
+    "q335_eccentricity")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other
@@ -121,7 +124,15 @@ object ScaleBench {
       finally spark.catalog.clearCache()
     }
 
-    val rows = RiskQueries.map { q =>
+    // SPARK_GRAFT_SCALE_ONLY=q335,q295 spot-benches a subset without
+    // re-timing the whole risk set (synthesis still runs once)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(f) => RiskQueries.filter(q => f.exists(q.startsWith))
+      case None => RiskQueries
+    }
+    val rows = selected.map { q =>
       time(q, d1) // untimed warmup: codegen/JIT paid before either scale
       val t1 = time(q, d1)
       val tk = time(q, dk)
