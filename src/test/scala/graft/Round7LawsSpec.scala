@@ -152,4 +152,60 @@ class Round7LawsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.size == n * (n - 1) / 2, s"${r.size} pairs for $n sources")
     assert(doubles(r, "delta").forall(_ >= 0.0))
   }
+
+  test("q362 Deming slope lies between the two OLS extreme slopes") {
+    // with δ=1 the errors-in-variables slope is bracketed by the
+    // OLS(y|x) slope and the inverse OLS(x|y) slope
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("f"),
+        col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+    val moments = li.groupBy("f").agg(
+        count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .collect().map { r =>
+        def d(c: String) = r.getDouble(r.fieldIndex(c))
+        val (n, sx, sy) = (d("n"), d("sx"), d("sy"))
+        val sxxC = n * d("sxx") - sx * sx
+        val syyC = n * d("syy") - sy * sy
+        val sxyC = n * d("sxy") - sx * sy
+        r.getString(0) -> (sxyC / sxxC, syyC / sxyC)
+      }.toMap
+    val r = rows("q362_deming")
+    assert(r.size == 3)
+    r.foreach { x =>
+      val sl = x.getDouble(x.fieldIndex("slope"))
+      val (bYx, bInv) = moments(x.getString(0))
+      val (lo, hi) = (math.min(bYx, bInv), math.max(bYx, bInv))
+      assert(sl >= lo - 1e-6 * math.abs(lo) - 1e-9 &&
+        sl <= hi + 1e-6 * math.abs(hi) + 1e-9,
+        s"slope $sl outside OLS bracket [$lo, $hi] for ${x.getString(0)}")
+    }
+  }
+
+  test("q363 Durbin-Watson lands in [0, 4]") {
+    val r = rows("q363_durbin_watson")
+    assert(r.size == 5)
+    assert(doubles(r, "dw").forall(v => v >= 0.0 && v <= 4.0))
+  }
+
+  test("q364 Ljung-Box Q non-negative, r1 bounded by 1") {
+    val r = rows("q364_ljung_box")
+    assert(r.size == 5)
+    assert(doubles(r, "q_lb").forall(_ >= 0.0))
+    assert(doubles(r, "r1").forall(v => math.abs(v) <= 1.0))
+  }
+
+  test("q365 Grubbs G obeys the (n-1)/sqrt(n) sup bound") {
+    val r = rows("q365_grubbs")
+    assert(r.size == 5)
+    r.foreach { x =>
+      val n = x.getLong(x.fieldIndex("n")).toDouble
+      val g = x.getDouble(x.fieldIndex("g"))
+      assert(g > 0.0 && g <= (n - 1.0) / math.sqrt(n), s"G out of bound: $x")
+    }
+  }
 }
