@@ -30,3 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// a discarded non-Unit expression statement is almost always a broken
+// two-line arithmetic continuation (a leading `-`/`+` starts a NEW
+// statement in Scala) — warn so the q367-class bug can't slip through
+ThisBuild / scalacOptions += "-Wvalue-discard"

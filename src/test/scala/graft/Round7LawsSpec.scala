@@ -199,6 +199,50 @@ class Round7LawsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doubles(r, "r1").forall(v => math.abs(v) <= 1.0))
   }
 
+  test("q366 recursive schedule compounds monotonically over 25 rows/nation") {
+    val r = rows("q366_recursive_schedule")
+    val byNation = r.groupBy(_.getString(0))
+    assert(byNation.forall(_._2.size == 25), "each nation gets months 0..24")
+    byNation.foreach { case (nation, rs) =>
+      val sorted = rs.map(x => (x.getLong(x.fieldIndex("month")),
+        x.getLong(x.fieldIndex("balance_cents")))).sortBy(_._1).map(_._2)
+      if (sorted.head > 0)
+        assert(sorted.sliding(2).forall(p => p(1) >= p(0)),
+          s"positive balance must not shrink: $nation")
+      // 41bp compounding: each step adds exactly (bal*41) div 10000
+      sorted.sliding(2).foreach { p =>
+        assert(p(1) - p(0) == Math.floorDiv(p(0) * 41, 10000)
+          + (if (p(0) < 0 && (p(0) * 41) % 10000 != 0) 1 else 0),
+          s"step mismatch for $nation: ${p(0)} -> ${p(1)}")
+      }
+    }
+  }
+
+  test("q367 Brown-Forsythe F is positive with full group roster") {
+    val r = rows("q367_brown_forsythe")
+    assert(r.size == 1)
+    assert(r.head.getLong(r.head.fieldIndex("k")) == 5)
+    assert(r.head.getDouble(r.head.fieldIndex("f_bf")) > 0.0)
+  }
+
+  test("q368/q369 G-test and Theil U are mutually consistent") {
+    val g = rows("q368_g_test").head
+    val u = rows("q369_theils_u").head
+    val n = g.getLong(g.fieldIndex("n")).toDouble
+    val gStat = g.getDouble(g.fieldIndex("g_stat"))
+    val mi = u.getDouble(u.fieldIndex("mi"))
+    // G = 2·N·I up to the two queries' independent roundings
+    assert(math.abs(gStat - 2.0 * n * mi) <= 2.0 * n * 1e-9 + 1e-6,
+      s"G=$gStat vs 2nI=${2.0 * n * mi}")
+    val hb = u.getDouble(u.fieldIndex("h_brand"))
+    val hf = u.getDouble(u.fieldIndex("h_flag"))
+    assert(mi >= 0.0 && mi <= math.min(hb, hf) + 1e-9)
+    Seq("u_flag_given_brand", "u_brand_given_flag", "u_sym").foreach { c =>
+      val v = u.getDouble(u.fieldIndex(c))
+      assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+    }
+  }
+
   test("q365 Grubbs G obeys the (n-1)/sqrt(n) sup bound") {
     val r = rows("q365_grubbs")
     assert(r.size == 5)
