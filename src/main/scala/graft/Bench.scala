@@ -50,7 +50,11 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet")
         .groupBy(col("r_name")).agg(count(lit(1)))
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // never silent: a skipped warmup re-absorbs the ~3.2x session-init
+      // bias into the first timed query and skews bench comparisons
+      System.err.println(s"[bench] WARNING warmup skipped: $e")
+    }
     val cold = sorted.map { case (name, fn) => name -> runOnce(name, fn) }
     // one further timed pass; per query report the MINIMUM of the two
     // executions — the noise floor. This machine shows bursty external

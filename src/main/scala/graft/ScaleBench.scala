@@ -34,7 +34,11 @@ object ScaleBench {
     "q295_closeness", "q280_temporal_reach", "q297_seasonal_residuals",
     // round-7 late addition: depth-4 per-seed eccentricity BFS — seeds
     // live in copy 0, so the per-level edge scan is the linear term
-    "q335_eccentricity")
+    "q335_eccentricity",
+    // round-8: the distributed-rank rewrites — lineitem-sized midrank
+    // spines (Scale.groupedPrefixSum) must scale with the data, not
+    // serialize into per-group tasks
+    "q310_spearman", "q255_mann_whitney", "q360_ecod_outliers")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other

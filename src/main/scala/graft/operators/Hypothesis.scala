@@ -36,19 +36,26 @@ object Hypothesis {
     val x = col(valueCol).cast("double")
     val pool = df.filter(x.isNotNull)
       .select(col(groupCol), col(treatCol).as("__treat"), x.as("__x"))
-    val wRank = Window.partitionBy(col(groupCol)).orderBy(col("__x"))
-    val wTies = Window.partitionBy(col(groupCol), col("__x"))
-    val ranked = pool
-      .withColumn("__minrank", rank().over(wRank))
-      .withColumn("__t", count(lit(1)).over(wTies))
-      .withColumn("__midrank",
-        col("__minrank") + (col("__t") - 1).cast("double") / 2.0)
+    // per-(group, value, treatment) counts, then pooled midranks over the
+    // (group, value) spine via the range-partitioned grouped scan — no
+    // low-cardinality window partition ever sees data-sized input
+    val byTreat = pool.groupBy(col(groupCol), col("__x"), col("__treat"))
+      .agg(count(lit(1)).as("__ct"))
+    val spine = byTreat.groupBy(col(groupCol), col("__x"))
+      .agg(sum(col("__ct")).as("__t"))
+    val ranked = Scale.groupedPrefixSum(spine, Seq(groupCol), "__x",
+        "__t", "__cum")
+      // doubled midrank 2r = 2·cum − t + 1: an exact long
+      .withColumn("__rank2", col("__cum") * 2 - col("__t") + 1)
+      .join(byTreat, Seq(groupCol, "__x"))
     val perGroup = ranked.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("__n"),
-      sum((col("__t") * col("__t") - 1).cast("long")).as("__tsum"))
+      sum(col("__ct")).as("__n"),
+      // one spine row per tied run: weight the run term by __ct/__t to
+      // count it exactly once — (t²−1)·t·(ct/t) = (t²−1)·ct, exact longs
+      sum((col("__t") * col("__t") - 1) * col("__ct")).as("__tsum"))
     val perTreat = ranked.groupBy(col(groupCol), col("__treat")).agg(
-      count(lit(1)).as("__nj"),
-      sum(col("__midrank")).as("__rj"))
+      sum(col("__ct")).as("__nj"),
+      (sum(col("__ct") * col("__rank2")).cast("double") / 2.0).as("__rj"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__treat"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = perTreat

@@ -886,17 +886,22 @@ object Merge {
 
   /** Write–audit–publish: the batch is STAGED to parquet next to the
     * snapshot, AUDITED from the staged files (per-row `checks` predicates
-    * plus a duplicate-key check — the audit reads what would be
+    * plus a duplicate-(key, seq) check — the audit reads what would be
     * published, not the in-memory plan), and only a fully clean batch is
     * PUBLISHED into the bucketed snapshot via [[applyChangesBucketed]];
     * any violation leaves the snapshot untouched. Returns the audit
     * report `(check, n_violations, published)` — one row per check.
     *
-    * Each audit pass is an aggregate over the staged batch (cost ∝ batch,
-    * never the snapshot); the publish inherits applyChangesBucketed's
-    * touched-buckets-only cost. The staging dir is left in place on
-    * rejection so the failed batch is inspectable — the quarantine half
-    * of the pattern. */
+    * The whole audit is ONE scan of the staged batch: a per-(key, seq)
+    * aggregate carries every row-check violation tally alongside the
+    * duplicate count, then a single global fold — adding audit rules is
+    * free at 100 TB (the same shape as Profile.expectations). A batch
+    * may legitimately carry several sequenced ops for one key (that is
+    * what `seqCol` exists to resolve in the publish); only rows sharing
+    * the SAME (key, seq) — order-ambiguous — violate `unique_key`.
+    * Publish inherits applyChangesBucketed's touched-buckets-only cost
+    * and then clears the staging dir; on rejection staging is kept as
+    * the inspectable quarantine half of the pattern. */
   def writeAuditPublish(path: String, batch: DataFrame, keyCols: Seq[String],
       opCol: String, seqCol: String, buckets: Int,
       checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
@@ -904,15 +909,27 @@ object Merge {
     val stagePath = path.stripSuffix("/") + ".staging"
     batch.write.mode("overwrite").parquet(stagePath)
     val staged = spark.read.parquet(stagePath)
-    val rowViolations = checks.map { case (name, pred) =>
-      name -> staged.filter(!coalesce(pred, lit(false))).count()
-    }
-    val dupKeys = staged.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
-    val report = rowViolations :+ ("unique_key" -> dupKeys)
+    val perKey = staged.groupBy((keyCols :+ seqCol).map(col): _*).agg(
+      count(lit(1)).as("__nk"),
+      checks.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__v$i")
+      }: _*)
+    val totals = perKey.agg(
+      coalesce(sum(when(col("__nk") > 1, lit(1L)).otherwise(0L)), lit(0L))
+        .as("__dup"),
+      checks.indices.map(i =>
+        coalesce(sum(col(s"__v$i")), lit(0L)).as(s"__v$i")): _*)
+      .collect()(0)
+    val report = checks.zipWithIndex.map { case ((name, _), i) =>
+      name -> totals.getAs[Long](s"__v$i")
+    } :+ ("unique_key" -> totals.getAs[Long]("__dup"))
     val clean = report.forall(_._2 == 0L)
-    if (clean)
+    if (clean) {
       applyChangesBucketed(path, staged, keyCols, opCol, seqCol, buckets)
+      val hp = new org.apache.hadoop.fs.Path(stagePath)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+    }
     import spark.implicits._
     report.map { case (name, v) => (name, v, clean) }
       .toDF("check", "n_violations", "published")

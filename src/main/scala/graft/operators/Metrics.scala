@@ -531,22 +531,24 @@ object Metrics {
     val pool = df
       .filter(col(sideCol).isin(sideA, sideB) && x.isNotNull)
       .select(col(groupCol), col(sideCol).as("__side"), x.as("__x"))
-    val wRank = Window.partitionBy(col(groupCol)).orderBy(col("__x"))
-    val wTies = Window.partitionBy(col(groupCol), col("__x"))
-    val ranked = pool
-      .withColumn("__minrank", rank().over(wRank))
-      .withColumn("__t", count(lit(1)).over(wTies))
-      .withColumn("__midrank",
-        col("__minrank") + (col("__t") - 1).cast("double") / 2.0)
+    // value spine with per-side counts: one row per (group, value), so
+    // the rank pass never sorts raw data through a low-cardinality
+    // window partition — Scale.groupedPrefixSum range-partitions on
+    // (group, value) jointly and stays parallel at any group cardinality
+    val spine = pool.groupBy(col(groupCol), col("__x")).agg(
+      sum(when(col("__side") === sideA, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__side") === sideB, 1L).otherwise(0L)).as("__cb"),
+      count(lit(1)).as("__t"))
+    val ranked = Scale.groupedPrefixSum(spine, Seq(groupCol), "__x",
+        "__t", "__cum")
+      // doubled midrank 2r = 2·cum − t + 1 stays an exact long
+      .withColumn("__rank2", col("__cum") * 2 - col("__t") + 1)
     val agg = ranked.groupBy(col(groupCol)).agg(
-      sum(when(col("__side") === sideA, 1L).otherwise(0L)).as("n_a"),
-      sum(when(col("__side") === sideB, 1L).otherwise(0L)).as("n_b"),
-      sum(when(col("__side") === sideA, col("__midrank"))
-        .otherwise(lit(0.0))).as("__r_a"),
-      // each tied run of size t contributes t·(t³−t); dividing the
-      // per-row sum by the run size once more would need a distinct —
-      // instead sum (t³−t) weighted 1/t per row, exactly: (t²−1)
-      sum((col("__t") * col("__t") - 1).cast("long")).as("__tsum"))
+      sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"),
+      (sum(col("__ca") * col("__rank2")).cast("double") / 2.0).as("__r_a"),
+      // each tied run of size t contributes t³−t = t·(t²−1), exactly
+      sum((col("__t") * col("__t") - 1) * col("__t")).as("__tsum"))
     val nA = col("n_a").cast("double")
     val nB = col("n_b").cast("double")
     val n = nA + nB

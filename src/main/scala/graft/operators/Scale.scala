@@ -135,6 +135,96 @@ object Scale {
       .drop("__pid", "__v")
   }
 
+  /** Grouped distributed prefix sum: for each row, Σ `valueCol` over rows
+    * of the SAME group whose `orderCol` is before it (inclusive of the
+    * current row, or strictly before with `inclusive = false`) — the
+    * primitive behind distributed midranks, grouped ECDFs, and grouped
+    * medians when the group key has only a handful of distinct values.
+    *
+    * `Window.partitionBy(lowCardKey).orderBy(value)` plans ONE task per
+    * group — a single-task sort of the biggest table at 100 TB. Here the
+    * range exchange partitions on (groupCols, orderCol) jointly, so each
+    * group's rows spread over many partitions in global order and the
+    * per-partition windows stay task-sized; a tiny collected
+    * (partition × group) count table (bounded metadata, like
+    * [[prefixSum]]'s) supplies each partition its per-group offset.
+    *
+    * Requirements: at most one row per (groupCols, orderCol) — feed it a
+    * value SPINE (`groupBy(group, value).count`), never raw rows — so
+    * ties never straddle a partition boundary (the range partitioner
+    * sends equal keys to one partition, and within a partition the
+    * window order is total). `valueCol` is summed as LONG. Group columns
+    * must be non-null (spines from groupBy keep NULL groups; those rows
+    * pass through with a sentinel key). Same one-materialization
+    * discipline as [[prefixSum]]: `localCheckpoint(false)` pins both
+    * passes to one set of range bounds.
+    */
+  def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, valueCol: String, resultCol: String = "cumsum",
+      inclusive: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val gCols = groupCols.map(col)
+    // string-rendered group key for the driver-side offset map; 
+    // separates columns,  marks NULL (distinct from any rendering)
+    def gkey(pid: Column): Column = concat_ws("",
+      pid.cast("string") +: gCols.map(c =>
+        coalesce(c.cast("string"), lit(""))): _*)
+    val ranged = df
+      .repartitionByRange(gCols :+ col(orderCol): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", col(valueCol).cast("long"))
+      .localCheckpoint(false)
+    val partSums = ranged
+      .groupBy(col("__pid"), gkey(lit("")).as("__gk"))
+      .agg(coalesce(sum(col("__v")), lit(0L)).as("s"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // per group, exclusive running total across partitions in pid order
+    val offsets: Map[String, Long] = partSums
+      .groupBy(_._2).iterator.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map {
+          case ((pid, gk, _), before) => s"$pid$gk" -> before
+        }
+      }.filter(_._2 != 0L).toMap
+    val offset = if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), gkey(col("__pid"))), lit(0L))
+    val w = Window.partitionBy(col("__pid") +: gCols: _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
+    ranged
+      .withColumn(resultCol, coalesce(sum(col("__v")).over(w), lit(0L)) + offset)
+      .drop("__pid", "__v")
+  }
+
+  /** Distributed midranks per group over a value spine: reduces `df` to
+    * one row per (groupCols, valueCol) with
+    *
+    *  - `tieCol`: the number of input rows carrying this exact value,
+    *  - `cumCol`: inclusive ECDF count (# rows with value ≤ this one),
+    *  - `rank2Col`: the DOUBLED midrank 2·r = 2·cum − t + 1, an exact
+    *    integer (midranks are half-integers; doubling keeps every
+    *    data-sized reduction in exact long arithmetic).
+    *
+    * Join the spine back to the rows on (groupCols, valueCol) — a plain
+    * hash shuffle on a high-cardinality key — to rank the raw data. This
+    * replaces `rank().over(Window.partitionBy(group).orderBy(value))`,
+    * which plans one task per group, with [[groupedPrefixSum]]'s
+    * range-partitioned scan: correct and parallel at any group
+    * cardinality.
+    */
+  def groupedMidranks(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, tieCol: String = "ties", cumCol: String = "cum",
+      rank2Col: String = "rank2"): DataFrame = {
+    val spine = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as(tieCol))
+    groupedPrefixSum(spine, groupCols, valueCol, tieCol, cumCol)
+      .withColumn(rank2Col, col(cumCol) * 2 - col(tieCol) + 1)
+  }
+
   /** Persist as a bucketed, sorted table: repeated joins/aggregations on
     * the bucket key then run shuffle-free (bucket-to-bucket sort-merge).
     * The canonical layout for a 100 TB fact table that's joined on the

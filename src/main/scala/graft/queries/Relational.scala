@@ -29,36 +29,52 @@ object Relational {
     // --- scan / filter / project / aggregate -----------------------------
     Q("q01_agg", (s, d) => {
       import s.implicits._
+      // exact money arithmetic in integer CENTS (the q332/q355 pattern):
+      // the fixture's 2-dp doubles become exact longs via round(x·100),
+      // every sum is a codegen-primitive long reduction (no Decimal
+      // boxing on the suite's hottest aggregate), and one double
+      // division at the end restores dollars. Scaled units: price 1e-2;
+      // disc_price 1e-4 (cents × (100−d)); charge 1e-6 (× (100+t)).
+      // Headroom: |charge| ≈ 1e11/row, so the long accumulator is exact
+      // past 10⁷ rows per group per partial — beyond that, widen the
+      // charge lane to decimal(25,0) (same per-row longs, wider fold).
+      val cents = round($"l_extendedprice" * 100).cast("long")
+      val d100 = round($"l_discount" * 100).cast("long")
+      val t100 = round($"l_tax" * 100).cast("long")
       T.lineitem(s, d)
         .filter($"l_shipdate" <= ts("1998-09-01"))
+        .select($"l_returnflag", $"l_linestatus",
+          $"l_quantity".cast("long").as("__q"), cents.as("__c"),
+          d100.as("__d"), t100.as("__t"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          // money sums go through decimal so the reduction is exact and
-          // order-independent (double partial sums can flip a rounded
-          // cent depending on partitioning); per-row arithmetic stays in
-          // double (IEEE-deterministic), only the SUM is decimal.
-          // l_quantity is integral so its double sum is already exact.
-          round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice".cast("decimal(18,2)")).cast("double"), 2).as("sum_base_price"),
-          round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(24,8)")).cast("double"), 2).as("sum_disc_price"),
-          round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).cast("decimal(24,8)")).cast("double"), 2).as("sum_charge"),
-          round(avg($"l_quantity"), 4).as("avg_qty"),
-          round((sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") / count(lit(1))), 4).as("avg_price"),
-          round((sum($"l_discount".cast("decimal(18,6)")).cast("double") / count(lit(1))), 4).as("avg_disc"),
+          round(sum($"__q").cast("double"), 2).as("sum_qty"),
+          round(sum($"__c").cast("double") / 100.0, 2).as("sum_base_price"),
+          round(sum($"__c" * (lit(100L) - $"__d")).cast("double") / 1e4, 2).as("sum_disc_price"),
+          round(sum($"__c" * (lit(100L) - $"__d") * (lit(100L) + $"__t")).cast("double") / 1e6, 2).as("sum_charge"),
+          round(sum($"__q").cast("double") / count(lit(1)), 4).as("avg_qty"),
+          round(sum($"__c").cast("double") / 100.0 / count(lit(1)), 4).as("avg_price"),
+          round(sum($"__d").cast("double") / 100.0 / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }, Some("""
+      WITH c AS (SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_tax * 100) AS BIGINT) AS t
+             FROM lineitem
+             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00')
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 2) AS sum_disc_price,
-             round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,8))) AS DOUBLE), 2) AS sum_charge,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-             round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+             round(CAST(sum(q) AS DOUBLE), 2) AS sum_qty,
+             round(CAST(sum(c) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+             round(CAST(sum(c * (100 - d)) AS DOUBLE) / 1e4, 2) AS sum_disc_price,
+             round(CAST(sum(c * (100 - d) * (100 + t)) AS DOUBLE) / 1e6, 2) AS sum_charge,
+             round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS avg_qty,
+             round(CAST(sum(c) AS DOUBLE) / 100.0 / count(*), 4) AS avg_price,
+             round(CAST(sum(d) AS DOUBLE) / 100.0 / count(*), 4) AS avg_disc,
              count(*) AS count_order
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      FROM c
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")),
 

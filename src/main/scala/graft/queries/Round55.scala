@@ -20,19 +20,30 @@ object Round55 {
     // decimal-exact sums cast DOUBLE at the last step, DATE max.
     Q("q307_orc_roundtrip", (s, d) => {
       import s.implicits._
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q307"
-      Formats.writeOrc(T.lineitem(s, d), s"$base/orc")
-      Formats.readOrc(s, s"$base/orc")
-        .filter($"l_quantity" > 10)
-        .groupBy($"l_returnflag", $"l_linestatus")
-        .agg(
-          count(lit(1)).as("n"),
-          sum($"l_quantity".cast("decimal(18,2)"))
-            .cast("decimal(18,2)").cast("double").as("sum_qty"),
-          sum($"l_extendedprice".cast("decimal(18,2)"))
-            .cast("decimal(18,2)").cast("double").as("sum_price"),
-          max($"l_shipdate").as("last_ship"))
-        .orderBy($"l_returnflag", $"l_linestatus")
+      // per-run path (application id + nanoTime): two concurrent drivers
+      // (bench and verify) must never overwrite each other's ORC dir
+      // mid-scan; cleaned up after the aggregate materializes
+      val base = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q307_${s.sparkContext.applicationId}_${System.nanoTime()}"
+      try {
+        Formats.writeOrc(T.lineitem(s, d), s"$base/orc")
+        Formats.readOrc(s, s"$base/orc")
+          .filter($"l_quantity" > 10)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"l_quantity".cast("decimal(18,2)"))
+              .cast("decimal(18,2)").cast("double").as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,2)"))
+              .cast("decimal(18,2)").cast("double").as("sum_price"),
+            max($"l_shipdate").as("last_ship"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+          .localCheckpoint(true)
+      } finally {
+        val hp = new org.apache.hadoop.fs.Path(base)
+        hp.getFileSystem(s.sessionState.newHadoopConf()).delete(hp, true)
+        ()
+      }
     }, Some("""
       SELECT l_returnflag, l_linestatus, count(*) AS n,
              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))

@@ -144,16 +144,19 @@ object Round56 {
       val base = T.lineitem(s, d).select($"l_returnflag",
         $"l_quantity".cast("double").as("__x"),
         $"l_extendedprice".cast("double").as("__y"))
-      // doubled midrank 2r = 2·minrank + t − 1: an exact integer
-      def dblRank(c: String) = {
-        val w = Window.partitionBy($"l_returnflag").orderBy(col(c))
-        val wt = Window.partitionBy($"l_returnflag", col(c))
-        rank().over(w).cast("long") * 2 +
-          count(lit(1)).over(wt).cast("long") - 1
-      }
+      // doubled midranks 2r = 2·cum − t + 1 (exact integers) from the
+      // range-partitioned grouped scan — one spine per axis, joined back
+      // on the high-cardinality (flag, value) key; no low-cardinality
+      // window partition ever sorts the raw table
+      def spine(c: String, out: String) =
+        graft.operators.Scale
+          .groupedMidranks(base.select($"l_returnflag", col(c)),
+            Seq("l_returnflag"), c, tieCol = "__t", cumCol = "__cum",
+            rank2Col = out)
+          .select($"l_returnflag", col(c), col(out))
       val ranked = base
-        .withColumn("__a", dblRank("__x"))
-        .withColumn("__b", dblRank("__y"))
+        .join(spine("__x", "__a"), Seq("l_returnflag", "__x"))
+        .join(spine("__y", "__b"), Seq("l_returnflag", "__y"))
       val m = ranked.groupBy($"l_returnflag").agg(
         count(lit(1)).as("n"),
         sum($"__a".cast("decimal(28,0)")).as("__sa"),

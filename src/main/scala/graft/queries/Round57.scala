@@ -355,8 +355,14 @@ object Round57 {
         .select($"source", $"doc_id",
           split(trim($"text"), "\\s+").as("__ws"))
         .select($"source", $"doc_id",
+          // guard short docs: Spark's sequence(1, 0) DESCENDS ([1, 0] —
+          // step defaults to -1) and slice(ws, 0, 8) is a runtime error,
+          // while DuckDB's generate_series(1, 0) is empty — a <8-token
+          // doc must yield zero shingles on BOTH engines
           explode(array_distinct(transform(
-            sequence(lit(1), greatest(size($"__ws") - 7, lit(0))),
+            when(size($"__ws") >= 8,
+              sequence(lit(1), size($"__ws") - 7))
+              .otherwise(array().cast("array<int>")),
             i => array_join(slice($"__ws", i, lit(8)), " ")))).as("__sh"))
       val first = sh.groupBy($"source", $"__sh")
         .agg(min($"doc_id").as("__first"))

@@ -40,12 +40,16 @@ object Round58 {
       val grid = vals.crossJoin(broadcast(groups))
         .join(counts, Seq("r_name", "g", "x"), "left")
         .withColumn("c0", coalesce($"c", lit(0L)))
-      val wLess = Window.partitionBy($"r_name", $"g").orderBy($"x")
-        .rowsBetween(Window.unboundedPreceding, -1)
+      // strictly-less cumulative per (region, group) over the grid via
+      // the range-partitioned grouped scan — the grid is values×groups
+      // (data-sized), so a 25-partition window would serialize it;
+      // wPrev stays a window (its key (region, value) is high-card,
+      // ≤5 rows per partition)
       val wPrev = Window.partitionBy($"r_name", $"x").orderBy($"g")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val contrib = grid
-        .withColumn("__less", coalesce(sum($"c0").over(wLess), lit(0L)))
+      val contrib = graft.operators.Scale
+        .groupedPrefixSum(grid, Seq("r_name", "g"), "x", "c0", "__less",
+          inclusive = false)
         .withColumn("__a", coalesce(sum($"__less").over(wPrev), lit(0L)))
         .withColumn("__b", coalesce(sum($"c0").over(wPrev), lit(0L)))
         .withColumn("__jt2", $"c0" * ($"__a" * 2 + $"__b"))

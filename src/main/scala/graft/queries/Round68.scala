@@ -27,14 +27,15 @@ object Round68 {
         $"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
         $"l_quantity".cast("decimal(18,2)").as("q"),
         $"l_extendedprice".cast("decimal(18,2)").as("p"))
+      // per-flag totals: a 3-row aggregate, broadcast back — not a
+      // partition-spanning window over the data-sized spine
+      val totals = rows.groupBy($"l_returnflag").agg(count(lit(1)).as("__n"))
       def tails(vCol: String, out: String) = {
         val pv = rows.groupBy($"l_returnflag", col(vCol))
           .agg(count(lit(1)).as("__c"))
-        val wc = Window.partitionBy($"l_returnflag").orderBy(col(vCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wn = Window.partitionBy($"l_returnflag")
-        pv.withColumn("__cum", sum($"__c").over(wc))
-          .withColumn("__n", sum($"__c").over(wn))
+        graft.operators.Scale
+          .groupedPrefixSum(pv, Seq("l_returnflag"), vCol, "__c", "__cum")
+          .join(broadcast(totals), "l_returnflag")
           .select($"l_returnflag", col(vCol),
             least($"__cum", $"__n" - $"__cum" + $"__c").as(out))
       }
@@ -42,10 +43,12 @@ object Round68 {
         .join(tails("q", "tail_q"), Seq("l_returnflag", "q"))
         .join(tails("p", "tail_p"), Seq("l_returnflag", "p"))
         .withColumn("score_num", $"tail_q" * $"tail_p")
-      val wr = Window.partitionBy($"l_returnflag")
-        .orderBy($"score_num", $"l_orderkey", $"l_linenumber")
-      scored.withColumn("__rk", row_number().over(wr))
-        .filter($"__rk" <= 5)
+      // bounded-heap top-5 per flag (custom TopKPerGroup physical
+      // operator): partial heaps per partition → exchange on the flag →
+      // final heaps — never a full per-flag sort of the scored table
+      graft.operators.TopK.topKPerGroup(scored, Seq("l_returnflag"),
+          struct($"score_num", $"l_orderkey", $"l_linenumber"),
+          k = 5, desc = false)
         .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
           $"q".cast("double").as("quantity"),
           $"p".cast("double").as("price"),

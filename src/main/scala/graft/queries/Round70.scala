@@ -68,14 +68,25 @@ object Round70 {
       val rows = T.orders(s, d).select($"o_orderpriority",
         ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
           .as("x"))
-      val wg = Window.partitionBy($"o_orderpriority")
-      val ranked = rows
-        .withColumn("rn", row_number().over(wg.orderBy($"x")).cast("long"))
-        .withColumn("ng", count(lit(1)).over(wg))
-      val med = ranked.groupBy($"o_orderpriority").agg(
-        max($"ng").as("ng"),
-        sum(when($"rn" === expr("(ng + 1) div 2"), $"x")).as("xlo"),
-        sum(when($"rn" === expr("(ng + 2) div 2"), $"x")).as("xhi"))
+      // group medians from the (priority, value) spine: cumulative
+      // counts via the range-partitioned grouped scan pick the two
+      // middle order statistics — no row_number over a 5-partition
+      // window of the whole table
+      val spine = rows.groupBy($"o_orderpriority", $"x")
+        .agg(count(lit(1)).as("__t"))
+      val sizes = rows.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("ng"))
+      val med = graft.operators.Scale
+        .groupedPrefixSum(spine, Seq("o_orderpriority"), "x", "__t", "__cum")
+        .join(broadcast(sizes), "o_orderpriority")
+        .withColumn("__klo", expr("(ng + 1) div 2"))
+        .withColumn("__khi", expr("(ng + 2) div 2"))
+        .groupBy($"o_orderpriority").agg(
+          max($"ng").as("ng"),
+          sum(when($"__cum" - $"__t" < $"__klo" && $"__klo" <= $"__cum",
+            $"x")).as("xlo"),
+          sum(when($"__cum" - $"__t" < $"__khi" && $"__khi" <= $"__cum",
+            $"x")).as("xhi"))
         .withColumn("med2", $"xlo" + $"xhi")
       val z = rows.join(med, "o_orderpriority")
         .withColumn("z", abs($"x" * 2 - $"med2"))

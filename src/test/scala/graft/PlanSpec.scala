@@ -124,6 +124,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), "split assignment must not join")
   }
 
+  test("rank-based stats never window-sort data through a low-cardinality group key") {
+    // the scale-killer shape: Window.partitionBy(region|returnflag|priority)
+    // .orderBy(value) plans ONE task per group over the raw table. Every
+    // rank/ECDF/median in the stats family must instead ride
+    // Scale.groupedPrefixSum (windows keyed by __pid — task-sized range
+    // partitions) or key its windows on a high-cardinality column; the
+    // only group-keyed windows allowed are over inputs already reduced to
+    // ≤ (groups × treatments) rows by an aggregate.
+    def partSpecs(q: String): Seq[String] =
+      """Window \[[^\]]*\], \[([^\]]*)\], \[""".r
+        .findAllMatchIn(plan(q)).map(_.group(1)).toSeq
+    // pure spine machinery: every window keyed by the range partition id
+    for (q <- Seq("q255_mann_whitney", "q310_spearman", "q360_ecod_outliers")) {
+      val specs = partSpecs(q)
+      assert(specs.nonEmpty, s"$q should still use the grouped scan")
+      assert(specs.forall(_.contains("__pid")),
+        s"$q has a window not keyed by __pid: $specs")
+    }
+    // q360's top-5 runs on the bounded-heap operator, not a per-flag sort
+    assert(plan("q360_ecod_outliers").contains("TopKPerGroup"))
+    // kruskal–wallis: the one group-keyed window left combines the
+    // per-treatment rank sums — its input is the (group × treatment)
+    // aggregate (≤ k·groups rows), never raw data
+    val kwNonPid = partSpecs("q308_kruskal_wallis").filterNot(_.contains("__pid"))
+    assert(kwNonPid.forall(s => s.contains("r_name") && !s.contains("__x")),
+      s"q308 non-pid windows must ride the bounded per-treatment table: $kwNonPid")
+    // brown–forsythe: only the ≤5-row group-terms cumsum may be unkeyed
+    val bfNonPid = partSpecs("q367_brown_forsythe").filterNot(_.contains("__pid"))
+    assert(bfNonPid.forall(_.trim.isEmpty),
+      s"q367 non-pid windows must be the bounded group-terms cumsum: $bfNonPid")
+    // jonckheere: grid windows must key on the high-card value column
+    val jtNonPid = partSpecs("q324_jonckheere").filterNot(_.contains("__pid"))
+    assert(jtNonPid.nonEmpty && jtNonPid.forall(_.contains("x#")),
+      s"q324 grid windows must partition on (region, value): $jtNonPid")
+  }
+
   test("q101/q102: substring-dedup wide shuffles never carry token arrays") {
     // the repeat-test aggregate and its join must see only slim
     // (id, pos, hash) rows; token arrays stay map-side (the gram pass
@@ -463,13 +499,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q324: JT grid fan-out is a broadcast of the 5 groups, no cartesian") {
+  test("q324: JT grid fan-out stays cartesian-free and rides the grouped scan") {
+    // the deliberate crossJoin(broadcast(groups)) — a 5-row build side
+    // fanning the value spine — now materializes INSIDE
+    // Scale.groupedPrefixSum's one-exchange checkpoint (it shows as
+    // Scan ExistingRDD here); the visible plan must stay free of
+    // unbounded nested loops and key its data-sized windows on __pid
     val p = plan("q324_jonckheere")
-    // the deliberate crossJoin(broadcast(groups)) is the ONLY nested-loop
-    // allowed: a 5-row build side fanning the value spine
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"grid completion should broadcast the group list:\n$p")
+    assert(p.contains("__pid"),
+      s"strictly-less cumulative should use the range-partitioned scan:\n$p")
   }
 
   test("q327: JL sign table broadcasts; projection stays keyed") {

@@ -107,6 +107,59 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == df.count())
   }
 
+  test("groupedPrefixSum equals per-group window cumsums, inclusive and exclusive") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // spine shape: one row per (group, order key)
+    val df = (1 to 4000).map(i => (s"g${i % 3}", (i * 131) % 3989, i % 53))
+      .toDF("g", "k", "v").dropDuplicates("g", "k")
+    val w = Window.partitionBy($"g").orderBy($"k")
+    val expInc = df.withColumn("ce",
+      sum($"v".cast("long")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val expExc = df.withColumn("ce",
+      coalesce(sum($"v".cast("long")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val gotInc = Scale.groupedPrefixSum(df, Seq("g"), "k", "v", "cum")
+    val gotExc = Scale.groupedPrefixSum(df, Seq("g"), "k", "v", "cum", inclusive = false)
+    for ((got, exp) <- Seq((gotInc, expInc), (gotExc, expExc))) {
+      assert(got.join(exp, Seq("g", "k")).filter($"cum" =!= $"ce").count() == 0)
+      assert(got.count() == df.count())
+    }
+  }
+
+  test("groupedPrefixSum is invariant under input partitioning and handles null groups") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i =>
+      (if (i % 7 == 0) null else s"g${i % 4}", i, i % 11)).toDF("g", "k", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Scale.groupedPrefixSum(d, Seq("g"), "k", "v", "cum")
+        .select($"g", $"k", $"cum").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(df) == run(df.repartition(13)))
+    // the null group accumulates independently of "null"-the-string
+    val withNullStr = df.union(Seq(("null", 1, 5)).toDF("g", "k", "v"))
+    val out = run(withNullStr)
+    assert(out.exists(_._1 == null) && out.exists(_._1 == "null"))
+  }
+
+  test("groupedMidranks matches rank()-window doubled midranks on a multi-group pool") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 3000).map(i => (s"f${i % 3}", (i * 17) % 200))
+      .toDF("g", "x")
+    val spine = Scale.groupedMidranks(rows, Seq("g"), "x")
+    val w = Window.partitionBy($"g").orderBy($"x")
+    val wt = Window.partitionBy($"g", $"x")
+    val exp = rows
+      .withColumn("r2e", rank().over(w).cast("long") * 2 +
+        count(lit(1)).over(wt).cast("long") - 1)
+      .select($"g", $"x", $"r2e").distinct()
+    val joined = spine.join(exp, Seq("g", "x"))
+    assert(joined.count() == spine.count() && spine.count() > 0)
+    assert(joined.filter($"rank2" =!= $"r2e").count() == 0)
+    // ECDF count = cum; tie counts sum back to the row count
+    assert(spine.agg(sum($"ties")).collect()(0).getLong(0) == rows.count())
+  }
+
   test("writePartitioned produces prunable directory layout") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_part").toString
