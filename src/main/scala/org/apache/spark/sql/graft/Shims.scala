@@ -44,6 +44,16 @@ object Shims {
         classic.experimental.extraOptimizations :+ rule
   }
 
+  /** Build a DataFrame straight from an InternalRow RDD
+    * (`internalCreateDataFrame` is `private[sql]`): no Row/Catalyst
+    * converter pass — the producer hands over rows already in Catalyst
+    * physical form (UTF8String, epoch micros, epoch days). */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register a temp SQL function on an existing session (the
     * `FunctionRegistry` lives behind `sessionState`, also package-private).
     * For session-construction-time registration use
