@@ -104,9 +104,18 @@ object ScaleBench {
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // oversized shuffle partitions + AQE coalescing: the production
+    // posture for a data-size sweep. At ×1 AQE folds the extra reduce
+    // partitions away; at ×K the wide stages (wedge aggregates, pair
+    // joins) keep per-task state heap-sized instead of spilling through
+    // K×-fat fixed partitions — on a real cluster partitions scale with
+    // data, and a fixed count would misattribute spill cost as
+    // algorithmic superlinearity.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      (cpus.toInt * 8).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -263,16 +263,30 @@ object Graph {
       deg.filter(col("__deg") >= 2 && col("__deg") <= maxHubDegree), "w")
     val x = centers.select(col("w"), col("n").as("u"), col("__deg"))
     val y = centers.select(col("w"), col("n").as("v"))
-    val scored = x.join(y, "w").filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("common_neighbors"),
-        round(sum(lit(1.0) / log(col("__deg"))), 6).as("aa"))
+    // Existing edges fold INTO the pair aggregate as marker rows instead
+    // of a post-agg anti-join: the candidate pair set dwarfs the edge
+    // list (up to m·cap/2 rows vs m), so re-shuffling the aggregated
+    // pairs on (u, v) just to subtract edges was the plan's largest
+    // exchange. Marker rows (one per edge, zero weight) ride the SAME
+    // wedge shuffle — +m rows on an m·cap/2-row stage — and a map-side
+    // post-agg filter drops every pair any marker touched. One shuffle
+    // total after the wedge join; exactly the anti-join's semantics.
     // canon stays cached through the caller's action (it feeds adj,
-    // degrees, and the anti-join); freed by cache hygiene like
-    // triangleStats' edge cache
-    scored.join(
-      canon.select(col("a").as("u"), col("b").as("v")),
-      Seq("u", "v"), "left_anti")
+    // degrees, and the markers); freed by cache hygiene like
+    // triangleStats' edge cache.
+    val wedges = x.join(y, "w").filter(col("u") < col("v"))
+      .select(col("u"), col("v"),
+        (lit(1.0) / log(col("__deg"))).as("__aaw"), lit(0L).as("__edge"))
+    val markers = canon.select(col("a").as("u"), col("b").as("v"),
+      lit(0.0).as("__aaw"), lit(1L).as("__edge"))
+    wedges.unionAll(markers)
+      .groupBy(col("u"), col("v"))
+      .agg(sum(lit(1L) - col("__edge")).as("common_neighbors"),
+        // the markers' +0.0 terms leave the double sum bit-identical
+        round(sum(col("__aaw")), 6).as("aa"),
+        max(col("__edge")).as("__isEdge"))
+      .filter(col("__isEdge") === 0 && col("common_neighbors") > 0)
+      .drop("__isEdge")
   }
 
   /** Multi-source BFS hop distances: the minimum number of edges from

@@ -79,6 +79,34 @@ object Scale {
     large.filter(mightContain).join(small, key)
   }
 
+  /** Bloom-prefiltered ANTI join: `large` minus rows whose `keys` appear
+    * in `small`. The bloom (built over `small`'s key hash, no false
+    * negatives) splits `large` map-side: rows the filter has never seen
+    * are DEFINITELY not in `small` and pass through with no shuffle at
+    * all; only the might-contain sliver (true matches + fpp) takes the
+    * exact anti-join. When `large` is a generated candidate set orders
+    * of magnitude bigger than `small` (link-prediction pairs vs existing
+    * edges), this removes the single largest shuffle of the plan. */
+  def bloomPruneAntiJoin(large: DataFrame, small: DataFrame,
+      keys: Seq[String], expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.graft.Shims
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.types.BinaryType
+
+    def hashOf(cols: Seq[String]) =
+      XxHash64(cols.map(k => Shims.expression(col(k))), 42L)
+    val bloomAgg = Shims.column(
+      new BloomFilterAggregate(hashOf(keys), expectedItems)
+        .toAggregateExpression())
+    val bloom = small.select(bloomAgg.as("b")).head().getAs[Array[Byte]](0)
+    val mightContain = Shims.column(new BloomFilterMightContain(
+      Literal.create(bloom, BinaryType), hashOf(keys)))
+    large.filter(!mightContain)
+      .unionAll(large.filter(mightContain).join(small, keys, "left_anti"))
+  }
+
   /** Distributed inclusive prefix sum over a GLOBAL ordering — the
     * two-phase parallel scan, not a single-partition window (which is
     * what `Window.orderBy` without a partition key degrades to — the

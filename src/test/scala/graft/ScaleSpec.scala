@@ -107,6 +107,17 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() == df.count())
   }
 
+  test("bloomPruneAntiJoin equals a plain left_anti join") {
+    import spark.implicits._
+    val large = (1L to 5000L).map(i => (i % 997, i % 31, i)).toDF("a", "b", "payload")
+    val small = (1L to 300L).map(i => (i % 997, i % 31)).toDF("a", "b").distinct()
+    val got = Scale.bloomPruneAntiJoin(large, small, Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = large.join(small, Seq("a", "b"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp && got.nonEmpty && got.size < 5000)
+  }
+
   test("groupedPrefixSum equals per-group window cumsums, inclusive and exclusive") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
