@@ -262,4 +262,70 @@ object Hypothesis {
       round(max(col("__ph")), 6).as("ph_max"),
       min(when(col("__ph") > lambda, col(timeCol))).as("first_alarm"))
   }
+
+  /** Ansari–Bradley two-sample scale test per `groupCol`: are the two
+    * `treatCol` samples equally dispersed about a common center? Scores
+    * fold the pooled midranks from both ends — a(r) = min(r, n+1−r) —
+    * so extreme observations (either tail) score LOW and the rank-sum
+    * of one sample detects a spread difference without assuming
+    * normality (the nonparametric sibling of [[Metrics]]' variance
+    * tests; Ansari & Bradley 1960).
+    *
+    * Exactness: pooled midranks come off the (group, value) spine via
+    * [[Scale.groupedPrefixSum]] — never a data-sized sort through a
+    * low-cardinality window partition — and the DOUBLED score
+    * s2 = min(2r, 2(n+1)−2r) keeps every data-sized reduction in exact
+    * integer arithmetic (Σ t·s2 as longs, Σ t·s2² as DECIMAL(38,0) /
+    * HUGEINT). AB, its permutation-null mean/variance, and z are a
+    * per-group scalar formula over those exact moments — computed in
+    * double once, rounded once. The statistic is reported for the
+    * alphabetically FIRST treatment (deterministic on both engines).
+    * Requires exactly two treatments per group. */
+  def ansariBradley(df: DataFrame, groupCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val pool = df.filter(x.isNotNull)
+      .select(col(groupCol), col(treatCol).as("__treat"), x.as("__x"))
+    val byTreat = pool.groupBy(col(groupCol), col("__x"), col("__treat"))
+      .agg(count(lit(1)).as("__ct"))
+    val spine = byTreat.groupBy(col(groupCol), col("__x"))
+      .agg(sum(col("__ct")).as("__t"))
+    val sizes = pool.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val ranked = Scale.groupedPrefixSum(spine, Seq(groupCol), "__x",
+        "__t", "__cum")
+      .withColumn("__rank2", col("__cum") * 2 - col("__t") + 1)
+      .join(broadcast(sizes), Seq(groupCol))
+      // doubled from-both-ends score: min(2r, 2(n+1) − 2r), exact long
+      .withColumn("__s2",
+        least(col("__rank2"), (col("__n") + 1) * 2 - col("__rank2")))
+    val pooled = ranked.groupBy(col(groupCol)).agg(
+      sum(col("__t") * col("__s2")).as("__su"),
+      sum((col("__t") * col("__s2")).cast("decimal(38,0)") * col("__s2"))
+        .as("__su2"))
+    val perTreat = ranked.join(byTreat, Seq(groupCol, "__x"))
+      .groupBy(col(groupCol), col("__treat")).agg(
+        sum(col("__ct")).as("__nj"),
+        sum(col("__ct") * col("__s2")).as("__abj2"))
+    val first = perTreat.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__k"),
+      min(col("__treat")).as("treatment"),
+      min_by(col("__nj"), col("__treat")).as("__n1"),
+      max_by(col("__nj"), col("__treat")).as("__n2b"),
+      min_by(col("__abj2"), col("__treat")).as("__ab2"))
+    val nD = (col("__n1") + col("__n2b")).cast("double")
+    val n1D = col("__n1").cast("double")
+    val n2D = col("__n2b").cast("double")
+    val suD = col("__su").cast("double")
+    val su2D = col("__su2").cast("double")
+    val ab = col("__ab2").cast("double") / 2.0
+    val e = n1D * (suD / 2.0) / nD
+    val v = (n1D * n2D / (nD - 1.0)) *
+      ((nD * (su2D / 4.0) - (suD / 2.0) * (suD / 2.0)) / (nD * nD))
+    first.join(broadcast(pooled), Seq(groupCol))
+      .filter(col("__k") === 2)
+      .select(col(groupCol), col("treatment"),
+        col("__n1").as("n1"), col("__n2b").as("n2"),
+        round(ab, 6).as("ab_stat"),
+        round((ab - e) / sqrt(v), 6).as("z"))
+  }
 }

@@ -415,4 +415,61 @@ object Mixing {
         round(col("padding").cast("double") /
           (col("bucket") * col("n_rows")), 6).as("waste_frac"))
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each
+    * document by the log-likelihood ratio of a TARGET distribution vs
+    * the RAW corpus distribution over hashed unigram features,
+    *
+    *   log w(doc) = Σ_tokens [ ln p̂_target(h(t)) − ln p̂_raw(h(t)) ]
+    *
+    * with both distributions add-α smoothed over `buckets` hash slots.
+    * `targetPred` marks the rows whose text defines the target (e.g.
+    * the high-quality or in-domain slice); the raw distribution is the
+    * whole input. Documents whose feature profile looks more like the
+    * target than the background get log w > 0 — the resampling keep
+    * signal.
+    *
+    * The feature hash is engine-replayable integer arithmetic (no
+    * engine-native string hash): a mod-2³¹ polynomial over the token's
+    * code points, mixed by the Knuth multiplicative constant, reduced
+    * mod `buckets` — evaluated once per DISTINCT term, so the per-token
+    * work is a vocab-sized hash join, not per-occurrence arithmetic.
+    *
+    * Scale shape: one explode pass over the corpus (the only data-sized
+    * shuffle, keyed on the high-cardinality term), a `buckets`-row
+    * stats table and a 1-row total — both broadcast. The only float
+    * reduction is the per-doc sum of log-ratios over doc-bounded
+    * tokens. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column, buckets: Int = 1024,
+      alpha: Double = 0.5): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val toks = docs.select(col(idCol).as("__id"), targetPred.as("__tgt"),
+      explode(TextAnalysis.tokens(col(textCol))).as("__term"))
+    val vocabHash = toks.select(col("__term")).distinct()
+      .withColumn("__b", expr(
+        "aggregate(transform(sequence(1, length(__term)), " +
+          "i -> CAST(ascii(substr(__term, i, 1)) AS BIGINT)), 0L, " +
+          "(a, x) -> (a * 31 + x) % 2147483648L) " +
+          s"* 1000003 % 2147483648 % $buckets"))
+    val hashed = toks.join(vocabHash, "__term")
+    val bstats = hashed.groupBy(col("__b")).agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    val totals = bstats.agg(sum(col("__cr")).as("__nr"),
+      sum(col("__ct")).as("__nt"))
+    val aB = alpha * buckets
+    val logRatio =
+      log((col("__ct") + lit(alpha)) / (col("__nt") + lit(aB))) -
+      log((col("__cr") + lit(alpha)) / (col("__nr") + lit(aB)))
+    hashed.join(broadcast(bstats), "__b")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(logRatio), 6).as("log_w"))
+      .withColumn("keep", col("log_w") > 0.0)
+      .withColumnRenamed("__id", idCol)
+  }
 }

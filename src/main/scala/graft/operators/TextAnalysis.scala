@@ -230,6 +230,46 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * smoothing every serious n-gram LM quality filter uses in place of
+    * [[bigramLogProb]]'s add-α):
+    *
+    *   P(b|a) = (c(a,b) − D)/c(a) + (D·N₁₊(a,·)/c(a)) · N₁₊(·,b)/T
+    *
+    * with absolute discount D (default 0.75 = 3/4, exact in binary),
+    * N₁₊(a,·) the number of distinct continuations of context `a`,
+    * N₁₊(·,b) the number of distinct left-contexts of word `b`, and T
+    * the number of distinct bigram types. The lower-order model is the
+    * CONTINUATION distribution — "how many contexts precede b" — not
+    * raw unigram frequency; that is the whole point of KN (frequent but
+    * context-locked words like the second half of a collocation stop
+    * inflating backoff mass).
+    *
+    * Self-scored over its own corpus, so every scored bigram has
+    * c(a,b) ≥ 1 > D and the discounted term stays positive. Count
+    * tables are vocab-/bigram-type-sized; the corpus is scanned once
+    * for pairs; the only float reduction is the per-doc mean of ln P
+    * over doc-bounded bigrams (the [[bigramLogProb]] precedent). */
+  def kneserNeyLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val bi = bigramPairs(docs, idCol, textCol)
+    val c2 = bi.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("__a")).agg(sum(col("__c2")).as("__c1"),
+      count(lit(1)).as("__n1f"))
+    val cont = c2.groupBy(col("__b")).agg(count(lit(1)).as("__n1r"))
+    val types = c2.agg(count(lit(1)).as("__tt"))
+    bi.join(c2, Seq("__a", "__b")).join(c1, Seq("__a"))
+      .join(cont, Seq("__b"))
+      .crossJoin(broadcast(types))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("__c2") - lit(discount)) / col("__c1")
+          + (lit(discount) * col("__n1f") / col("__c1"))
+            * (col("__n1r").cast("double") / col("__tt")))), 6)
+          .as("avg_logp"))
+  }
+
   /** One-row corpus report — the data card a corpus release ships with:
     * document/token/vocabulary counts, exact-duplicate count, token-
     * length mean/median, mean stopword ratio, and the English share
