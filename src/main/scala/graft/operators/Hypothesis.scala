@@ -328,4 +328,66 @@ object Hypothesis {
         round(ab, 6).as("ab_stat"),
         round((ab - e) / sqrt(v), 6).as("z"))
   }
+
+  /** Energy distance (Székely & Rizzo 2004) between the two `treatCol`
+    * samples per `groupCol`:
+    *
+    *   E = 2·E|X−Y| − E|X−X′| − E|Y−Y′|
+    *
+    * the distribution-free two-sample statistic that is zero iff the
+    * distributions coincide — sensitive to ANY difference (location,
+    * scale, shape), where rank tests see only their own alternative.
+    *
+    * The naive form is quadratic. In 1-D every pairwise term linearizes
+    * over the sorted value spine: with per-value counts a, b and
+    * EXCLUSIVE prefix streams A⁻, B⁻, SA⁻, SB⁻ (counts and
+    * count-weighted values of strictly-smaller rows),
+    *
+    *   Σᵢⱼ|xᵢ−yⱼ| = Σ_v [ a·(v·B⁻ − SB⁻) + b·(v·A⁻ − SA⁻) ]
+    *
+    * and the within-sample sums are the one-sided halves doubled. All
+    * four prefix streams ride ONE [[Scale.groupedPrefixSums]] pass
+    * (one range exchange, one offset collect); per-spine-row products
+    * are exact longs escalated to DECIMAL(38,0) for the data-sized
+    * sums; the statistic is one double formula per group. `valueCol`
+    * must be integral (pass cents). The X sample is the
+    * alphabetically first treatment, as in [[ansariBradley]];
+    * requires exactly two treatments per group. */
+  def energyDistance(df: DataFrame, groupCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val pool = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(treatCol).as("__treat"),
+        col(valueCol).cast("long").as("__x"))
+    val t1 = pool.groupBy(col(groupCol)).agg(min(col("__treat")).as("__t1"),
+      countDistinct(col("__treat")).as("__k"))
+    val spine = pool.join(t1, Seq(groupCol))
+      .filter(col("__k") === 2)
+      .groupBy(col(groupCol), col("__x"))
+      .agg(sum(when(col("__treat") === col("__t1"), 1L).otherwise(0L)).as("__a"),
+        sum(when(col("__treat") =!= col("__t1"), 1L).otherwise(0L)).as("__b"))
+      .withColumn("__sa", col("__a") * col("__x"))
+      .withColumn("__sb", col("__b") * col("__x"))
+    val cums = Scale.groupedPrefixSums(spine, Seq(groupCol), "__x",
+      Seq("__a", "__b", "__sa", "__sb"), suffix = "_lt", inclusive = false)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val terms = cums
+      .withColumn("__cross",
+        dec(col("__a")) * (col("__x") * col("__b_lt") - col("__sb_lt")) +
+        dec(col("__b")) * (col("__x") * col("__a_lt") - col("__sa_lt")))
+      .withColumn("__wx",
+        dec(col("__a")) * (col("__x") * col("__a_lt") - col("__sa_lt")))
+      .withColumn("__wy",
+        dec(col("__b")) * (col("__x") * col("__b_lt") - col("__sb_lt")))
+    val g = terms.groupBy(col(groupCol)).agg(
+      sum(col("__a")).as("__n1"), sum(col("__b")).as("__n2"),
+      sum(col("__cross")).as("__sxy"),
+      sum(col("__wx")).as("__sxx2"), sum(col("__wy")).as("__syy2"))
+    val n1D = col("__n1").cast("double")
+    val n2D = col("__n2").cast("double")
+    g.select(col(groupCol), col("__n1").as("n1"), col("__n2").as("n2"),
+      round(lit(2.0) * col("__sxy").cast("double") / (n1D * n2D)
+        - lit(2.0) * col("__sxx2").cast("double") / (n1D * n1D)
+        - lit(2.0) * col("__syy2").cast("double") / (n2D * n2D), 6)
+        .as("e_dist"))
+  }
 }

@@ -226,6 +226,62 @@ object Scale {
       .drop("__pid", "__v")
   }
 
+  /** Multi-column [[groupedPrefixSum]]: one range exchange + one window
+    * pass computing the grouped running sum of SEVERAL value columns at
+    * once (each lands in `<name><suffix>`). The q384 energy-distance
+    * shape needs four aligned prefix streams (counts and count-weighted
+    * values for both samples) — four separate groupedPrefixSum calls
+    * would pay the range exchange and the offset-map collect four
+    * times over identical layouts. Same spine requirements as the
+    * single-column form; values are summed as LONG. */
+  def groupedPrefixSums(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, valueCols: Seq[String], suffix: String = "_cum",
+      inclusive: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val gCols = groupCols.map(col)
+    def gkey(pid: Column): Column = concat_ws("",
+      pid.cast("string") +: gCols.map(c =>
+        coalesce(c.cast("string"), lit(""))): _*)
+    def vc(c: String) = s"__v_$c"
+    val ranged = df
+      .repartitionByRange(gCols :+ col(orderCol): _*)
+      .withColumn("__pid", spark_partition_id())
+      .select(col("*") +: valueCols.map(c =>
+        col(c).cast("long").as(vc(c))): _*)
+      .localCheckpoint(false)
+    val sumExprs = valueCols.map(c =>
+      coalesce(sum(col(vc(c))), lit(0L)).as(vc(c)))
+    val partSums = ranged
+      .groupBy(col("__pid"), gkey(lit("")).as("__gk"))
+      .agg(sumExprs.head, sumExprs.tail: _*)
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        valueCols.indices.map(i => r.getLong(2 + i)).toArray))
+    // per group and column, exclusive running total across partitions
+    val offsetMaps: Seq[Map[String, Long]] = valueCols.indices.map { ci =>
+      partSums.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3(ci))).map {
+          case ((pid, gk, _), before) => s"$pid$gk" -> before
+        }
+      }.filter(_._2 != 0L).toMap
+    }
+    val w = Window.partitionBy(col("__pid") +: gCols: _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
+    val withCums = valueCols.zipWithIndex.foldLeft(ranged) {
+      case (acc, (c, ci)) =>
+        val offset = if (offsetMaps(ci).isEmpty) lit(0L)
+          else coalesce(
+            element_at(typedLit(offsetMaps(ci)), gkey(col("__pid"))), lit(0L))
+        acc.withColumn(s"$c$suffix",
+          coalesce(sum(col(vc(c))).over(w), lit(0L)) + offset)
+    }
+    withCums.drop("__pid" +: valueCols.map(vc): _*)
+  }
+
   /** Distributed midranks per group over a value spine: reduces `df` to
     * one row per (groupCols, valueCol) with
     *
