@@ -289,6 +289,60 @@ object Graph {
       .drop("__isEdge")
   }
 
+  /** The classical link-prediction score suite over the same capped
+    * wedge universe as [[adamicAdar]]: for every non-edge pair (u, v)
+    * sharing at least one center of degree ≤ `maxHubDegree`,
+    *
+    *  - common neighbors (among capped centers, as in adamicAdar),
+    *  - resource allocation  Σ_w 1/deg(w)  (Zhou, Lü & Zhang 2009 —
+    *    penalizes hub centers harder than AA's 1/ln deg),
+    *  - Jaccard  |Γu ∩ Γv| / (deg u + deg v − |Γu ∩ Γv|),
+    *  - preferential attachment  deg u · deg v.
+    *
+    * Same plan shape as [[adamicAdar]]: edge markers ride the wedge
+    * shuffle (no post-agg anti-join); the only additions are two hash
+    * joins of the ALREADY-AGGREGATED pair set against the |nodes|-sized
+    * degree table for the endpoint degrees — the pair set shrinks at
+    * the aggregate first, so the joins never touch the raw wedge
+    * stream. */
+  def linkPredictionScores(edges: DataFrame, srcCol: String,
+      dstCol: String, maxHubDegree: Int): DataFrame = {
+    require(maxHubDegree >= 2, s"maxHubDegree must be >= 2: $maxHubDegree")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache()
+    val adj = canon.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(canon.select(col("b"), col("a")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("__deg"))
+    val centers = adj.join(
+      deg.filter(col("__deg") >= 2 && col("__deg") <= maxHubDegree), "w")
+    val x = centers.select(col("w"), col("n").as("u"), col("__deg"))
+    val y = centers.select(col("w"), col("n").as("v"))
+    val wedges = x.join(y, "w").filter(col("u") < col("v"))
+      .select(col("u"), col("v"),
+        (lit(1.0) / col("__deg")).as("__raw"), lit(0L).as("__edge"))
+    val markers = canon.select(col("a").as("u"), col("b").as("v"),
+      lit(0.0).as("__raw"), lit(1L).as("__edge"))
+    val pairs = wedges.unionAll(markers)
+      .groupBy(col("u"), col("v"))
+      .agg(sum(lit(1L) - col("__edge")).as("common_neighbors"),
+        round(sum(col("__raw")), 6).as("ra"),
+        max(col("__edge")).as("__isEdge"))
+      .filter(col("__isEdge") === 0 && col("common_neighbors") > 0)
+      .drop("__isEdge")
+    pairs
+      .join(deg.select(col("w").as("u"), col("__deg").as("__du")), "u")
+      .join(deg.select(col("w").as("v"), col("__deg").as("__dv")), "v")
+      .select(col("u"), col("v"), col("common_neighbors"), col("ra"),
+        round(col("common_neighbors").cast("double")
+          / (col("__du") + col("__dv") - col("common_neighbors")), 6)
+          .as("jaccard"),
+        (col("__du") * col("__dv")).as("pa"))
+  }
+
   /** Multi-source BFS hop distances: the minimum number of edges from
     * any seed node, explored breadth-first to `maxDepth`. Returns
     * `(node, dist)` for every REACHED node (dist 0 = seed); unreached
