@@ -38,7 +38,13 @@ object ScaleBench {
     // round-8: the distributed-rank rewrites — lineitem-sized midrank
     // spines (Scale.groupedPrefixSum) must scale with the data, not
     // serialize into per-group tasks
-    "q310_spearman", "q255_mann_whitney", "q360_ecod_outliers")
+    "q310_spearman", "q255_mann_whitney", "q360_ecod_outliers",
+    // round-8 late additions: Kneser-Ney (bigram-type tables grow K x
+    // with the prefixed vocab), energy distance (grouped multi-column
+    // range scan over K-copied events), link-prediction wedges (same
+    // family as q188), RAKE (phrase/vocab tables K x )
+    "q376_kneser_ney", "q384_energy_distance", "q391_link_prediction",
+    "q388_rake_keyphrases")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other
