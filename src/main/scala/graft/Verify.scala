@@ -26,7 +26,11 @@ object Verify {
     * tokens pass through untouched. */
   private def canonLine(line: String): String =
     line.split("\\|", -1).map { tok =>
-      if (tok.isEmpty || !tok.matches("-?\\d*\\.\\d+([eE][-+]?\\d+)?")) tok
+      // a float token either has a decimal point or a bare exponent:
+      // Python's shortest repr emits dotless forms like `1e+20` that the
+      // engine renders as `1.0E20` — both must canonicalize
+      if (tok.isEmpty ||
+        !tok.matches("-?\\d+(\\.\\d+)?[eE][-+]?\\d+|-?\\d*\\.\\d+")) tok
       else java.lang.Double.toString(java.lang.Double.parseDouble(tok))
     }.mkString("|")
 
@@ -82,6 +86,24 @@ object Verify {
     }
   }
 
+  /** Some(true) = checksum golden, Some(false) = row golden, None = no
+    * golden committed. The compare must dispatch on the FILE's kind, not
+    * the live row count: a query whose cardinality drifts across 100
+    * between rounds would otherwise row-compare a checksum file (its
+    * `rows=...` payload read as a data row) or silently skip a row
+    * golden — spurious or missing verification either way. */
+  private def goldenKind(name: String, sfDir: String): Option[Boolean] = {
+    val sfName = new java.io.File(sfDir).getName
+    val gdir = sys.env.getOrElse("SPARK_GRAFT_GOLDEN_DIR", "golden")
+    val p = Paths.get(s"$gdir/$sfName/$name.txt")
+    if (!Files.exists(p)) None
+    else {
+      val src = scala.io.Source.fromFile(p.toFile)
+      try Some(src.getLines().nextOption().exists(_.startsWith("#checksum")))
+      finally src.close()
+    }
+  }
+
   private def dumpDiagnostics(spark: SparkSession, name: String,
       path: String, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -93,27 +115,42 @@ object Verify {
         case BinaryType => hex(col(c))
         case _          => col(c).cast("string")
       }
+      def cellLines(): Seq[String] = back
+        .select(cols.map(c => asStr(c).as(c)): _*)
+        .collect()
+        .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
+          .mkString("|"))
+        .sorted.toSeq
       val nRows = back.count()
-      if (nRows <= 100) {
-        val rows = back.select(cols.map(c => asStr(c).as(c)): _*)
-          .collect()
-          .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
-            .mkString("|"))
-          .sorted
-        System.err.println(s"[verify:cells] $name rows=$nRows cols=${cols.mkString(",")}")
-        rows.foreach(r => System.err.println(s"[verify:cells] $name $r"))
-        checkGolden(name, rows.toSeq, sfDir)
-      } else {
+      lazy val checksumLine: String = {
         // bit_xor, not sum: order-independent like sum, but closed over
         // Long — a summed hash overflows under ANSI mode at ~15k rows
         val sums = back
           .select(cols.map(c => bit_xor(xxhash64(asStr(c))).as(c)): _*)
           .collect()(0)
-        val line = s"rows=$nRows " +
+        s"rows=$nRows " +
           cols.zipWithIndex.map { case (c, i) => s"$c=${sums.get(i)}" }
             .mkString(" ")
-        System.err.println(s"[verify:checksum] $name $line")
-        checkGoldenChecksum(name, line, sfDir)
+      }
+      // diagnostics dump: small results print full cells, large ones the
+      // per-column checksum — enough to diff a driver-red from the log
+      val smallCells = if (nRows <= 100) Some(cellLines()) else None
+      smallCells match {
+        case Some(rows) =>
+          System.err.println(s"[verify:cells] $name rows=$nRows cols=${cols.mkString(",")}")
+          rows.foreach(r => System.err.println(s"[verify:cells] $name $r"))
+        case None =>
+          System.err.println(s"[verify:checksum] $name $checksumLine")
+      }
+      // golden compare: kind comes from the committed file's header
+      goldenKind(name, sfDir) match {
+        case Some(true) => checkGoldenChecksum(name, checksumLine, sfDir)
+        case Some(false) if nRows <= 100000 =>
+          checkGolden(name, smallCells.getOrElse(cellLines()), sfDir)
+        case Some(false) =>
+          System.err.println(s"[verify:golden] $name row golden but " +
+            s"rows=$nRows — cardinality drifted; regenerate the golden")
+        case None => ()
       }
     } catch { case e: Throwable =>
       System.err.println(s"[verify:diag] $name diagnostics failed: ${e.getMessage}")

@@ -101,6 +101,10 @@ object Scale {
       new BloomFilterAggregate(hashOf(keys), expectedItems)
         .toAggregateExpression())
     val bloom = small.select(bloomAgg.as("b")).head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate over zero rows is NULL, and might-contain on a
+    // NULL bloom is NULL — both branches would drop every row. An anti
+    // join against an empty right side keeps all of `large`.
+    if (bloom == null) return large
     val mightContain = Shims.column(new BloomFilterMightContain(
       Literal.create(bloom, BinaryType), hashOf(keys)))
     large.filter(!mightContain)

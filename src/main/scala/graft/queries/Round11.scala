@@ -120,9 +120,12 @@ object Round11 {
         .join(T.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
         .select(($"o_custkey" * 2).as("src"),
           ($"l_suppkey" * 2 + 1).as("dst"))
+      // exact integer decode (u div 2 for either parity): float `/` +
+      // cast truncates even ids while DuckDB's CAST rounds — latent
+      // cross-engine divergence whenever a customer id reaches the top-k
       Graph.adamicAdar(edges, "src", "dst", maxHubDegree = 100)
-        .select((($"u" - 1) / 2).cast("long").as("s1"),
-          (($"v" - 1) / 2).cast("long").as("s2"),
+        .select(expr("u div 2").as("s1"),
+          expr("v div 2").as("s2"),
           $"common_neighbors", $"aa")
         .orderBy($"aa".desc, $"s1", $"s2").limit(25)
     }, Some("""
@@ -143,8 +146,8 @@ object Round11 {
              WHERE NOT EXISTS (SELECT 1 FROM canon
                                WHERE canon.a = scored.u
                                  AND canon.b = scored.v))
-      SELECT CAST((u - 1) / 2 AS BIGINT) AS s1,
-             CAST((v - 1) / 2 AS BIGINT) AS s2, common_neighbors, aa
+      SELECT CAST(u // 2 AS BIGINT) AS s1,
+             CAST(v // 2 AS BIGINT) AS s2, common_neighbors, aa
       FROM nk ORDER BY aa DESC, s1, s2 LIMIT 25""")),
 
     // referential-integrity audit over the star schema's FK relations —

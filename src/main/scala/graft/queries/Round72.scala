@@ -83,7 +83,10 @@ object Round72 {
                 WHERE (b * nn + 255) // 256 > pcum - c
                   AND (b * nn + 255) // 256 <= pcum
                 GROUP BY 1),
-      m AS (SELECT event_type, (cum * 256 + ng - 1) // ng AS b, t
+      m AS (SELECT event_type,
+              -- cum is a DuckDB window sum -> HUGEINT; BIGINT keeps the
+              -- final b inside the hash-safe output-type contract
+              CAST((cum * 256 + ng - 1) // ng AS BIGINT) AS b, t
             FROM gc)
       SELECT event_type, b, CAST(sum(t) AS BIGINT) AS n_rows, edge_value
       FROM m JOIN edges USING (b)

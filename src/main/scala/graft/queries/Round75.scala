@@ -102,13 +102,15 @@ object Round75 {
           min($"n").as("min_k"),
           sum(when($"n" < 10, $"n").otherwise(0L)).as("rows_lt10"),
           min($"l").as("min_l"))
-        .select($"c_nationkey", $"n_rows", $"n_groups", $"min_k",
+        .select($"c_nationkey".cast("long").as("c_nationkey"),
+          $"n_rows", $"n_groups", $"min_k",
           round($"rows_lt10".cast("double") / $"n_rows".cast("double"), 6)
             .as("frac_below_k10"),
           $"min_l")
         .orderBy($"c_nationkey")
     }, Some("""
-      WITH qig AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+      WITH qig AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+              c_mktsegment, count(*) AS n,
               count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
                 WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END) AS l
             FROM customer GROUP BY 1, 2)
@@ -135,11 +137,17 @@ object Round75 {
       val scored = TextAnalysis.bigramLogProbHeldOut(train, test,
           "doc_id", "text", alpha = 0.5)
         .join(docs.select($"doc_id".as("id"), $"source"), "id")
+      // avg_logp arrives rounded to 6 dp, so n_bigrams·avg_logp·10⁶ is
+      // an exact integer (up to fp noise round() snaps away): the
+      // data-sized reduction sums exact longs — order-independent under
+      // any partitioning — and only the per-source scalar math is float
       val perSource = scored.groupBy($"source").agg(
         count(lit(1)).as("n_docs"),
         sum($"n_bigrams").as("nb"),
-        sum($"n_bigrams" * $"avg_logp").as("slp"))
-        .withColumn("mean_logp", $"slp" / $"nb".cast("double"))
+        sum(round($"n_bigrams" * $"avg_logp" * lit(1000000.0))
+          .cast("long")).as("slp6"))
+        .withColumn("mean_logp",
+          $"slp6".cast("double") / lit(1000000.0) / $"nb".cast("double"))
         .withColumn("term", exp(lit(0.1) * -$"mean_logp"))
       val wCum = Window.orderBy($"source")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -174,10 +182,14 @@ object Round75 {
              CROSS JOIN v
              GROUP BY doc_id, source),
       ps AS (SELECT source, count(*) AS n_docs, sum(n_bigrams) AS nb,
-               sum(n_bigrams * avg_logp) AS slp
+               sum(CAST(round(n_bigrams * avg_logp * 1000000) AS BIGINT))
+                 AS slp6
              FROM sc GROUP BY source),
-      tm AS (SELECT source, n_docs, slp / CAST(nb AS DOUBLE) AS mean_logp,
-               exp(0.1 * -(slp / CAST(nb AS DOUBLE))) AS term
+      tm AS (SELECT source, n_docs,
+               CAST(slp6 AS DOUBLE) / 1000000.0 / CAST(nb AS DOUBLE)
+                 AS mean_logp,
+               exp(0.1 * -(CAST(slp6 AS DOUBLE) / 1000000.0
+                 / CAST(nb AS DOUBLE))) AS term
              FROM ps),
       cm AS (SELECT source, n_docs, mean_logp, term,
                sum(term) OVER (ORDER BY source
@@ -200,9 +212,12 @@ object Round75 {
         .join(T.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
         .select(($"o_custkey" * 2).as("src"),
           ($"l_suppkey" * 2 + 1).as("dst"))
+      // exact integer decode: u div 2 maps both parities to their key
+      // (2k -> k, 2k+1 -> k); float `/` + cast truncates 2k to k-1 while
+      // DuckDB's CAST rounds — the engines would diverge on even ids
       Graph.linkPredictionScores(edges, "src", "dst", maxHubDegree = 100)
-        .select((($"u" - 1) / 2).cast("long").as("s1"),
-          (($"v" - 1) / 2).cast("long").as("s2"),
+        .select(expr("u div 2").as("s1"),
+          expr("v div 2").as("s2"),
           $"common_neighbors", $"ra", $"jaccard", $"pa")
         .orderBy($"ra".desc, $"s1", $"s2").limit(25)
     }, Some("""
@@ -223,8 +238,8 @@ object Round75 {
              WHERE NOT EXISTS (SELECT 1 FROM canon
                                WHERE canon.a = scored.u
                                  AND canon.b = scored.v))
-      SELECT CAST((u - 1) / 2 AS BIGINT) AS s1,
-             CAST((v - 1) / 2 AS BIGINT) AS s2, common_neighbors, ra,
+      SELECT CAST(u // 2 AS BIGINT) AS s1,
+             CAST(v // 2 AS BIGINT) AS s2, common_neighbors, ra,
              round(CAST(common_neighbors AS DOUBLE)
                / (du.deg + dv.deg - common_neighbors), 6) AS jaccard,
              CAST(du.deg * dv.deg AS BIGINT) AS pa

@@ -118,6 +118,16 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == exp && got.nonEmpty && got.size < 5000)
   }
 
+  test("bloomPruneAntiJoin against an EMPTY right side keeps all rows") {
+    import spark.implicits._
+    // BloomFilterAggregate over zero rows is a NULL bloom; without the
+    // guard both branches filter to nothing and the anti join lies
+    val large = (1L to 500L).map(i => (i % 97, i % 13, i)).toDF("a", "b", "payload")
+    val small = large.filter($"payload" < 0).select($"a", $"b")
+    assert(small.isEmpty)
+    assert(Scale.bloomPruneAntiJoin(large, small, Seq("a", "b")).count() == 500L)
+  }
+
   test("groupedPrefixSum equals per-group window cumsums, inclusive and exclusive") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
