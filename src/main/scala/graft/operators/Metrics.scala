@@ -280,10 +280,16 @@ object Metrics {
     * keeping the ranking.
     *
     * Scale shape: scores reduce to `bins` quantile bins per group
-    * first (one keyed ntile window — the same bounded-metadata move
-    * every calibration implementation makes), so the sequential PAV
-    * fold runs over ≤`bins` pooled points per group, applied to the
-    * collected bin array post-aggregate — bounded, never data-sized.
+    * first, so the sequential PAV fold runs over ≤`bins` pooled points
+    * per group, applied to the collected bin array post-aggregate —
+    * bounded, never data-sized. Bin membership replicates `ntile`'s
+    * remainder rule (first n mod bins buckets get one extra row) from
+    * EXACT ranks on [[graft.operators.Scale.groupedPrefixSumOrd]]'s
+    * range-partitioned scan, keyed on the composite (score, tieCols)
+    * ordering — a keyed ntile window here would sort all rows of a
+    * ≤7-value group through one task. `(scoreCol, tieCols)` must be
+    * unique per row within a group (the usual tiebreaker-id contract)
+    * or bin membership is not well defined in ANY engine.
     * A SQL oracle cannot express the pooling recursion → queries on
     * this are rows-only, pinned by Round24OpsSpec (textbook PAV hand
     * cases + monotonicity/mean-preservation laws).
@@ -294,13 +300,26 @@ object Metrics {
       scoreCol: String, labelCol: String, tieCols: Seq[String],
       bins: Int = 20): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000]: $bins")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol) +: tieCols.map(col): _*)
-    val binned = df
-      .withColumn("__bin", ntile(bins).over(w))
+    val rows = df.select(col(groupCol) +: col(scoreCol) +:
+      tieCols.map(col) :+ col(labelCol).cast("long").as("__y"): _*)
+      .withColumn("__one", lit(1L))
+    val sizes = rows.groupBy(col(groupCol)).agg(sum(col("__one")).as("__n"))
+    val ranked = Scale.groupedPrefixSumOrd(rows, Seq(groupCol),
+        scoreCol +: tieCols, "__one", "__rank")
+      .join(broadcast(sizes), groupCol)
+    // ntile(bins) over n rows: q = n div bins rows per bucket, the
+    // first r = n mod bins buckets take one extra
+    val binned = ranked
+      .withColumn("__q", expr(s"__n div $bins"))
+      .withColumn("__r", expr(s"__n % $bins"))
+      .withColumn("__bin", when(
+          col("__rank") <= col("__r") * (col("__q") + 1),
+          expr("CAST((__rank - 1) div (__q + 1) + 1 AS INT)"))
+        .otherwise(expr(
+          "CAST(__r + (__rank - __r * (__q + 1) - 1) div __q + 1 AS INT)")))
       .groupBy(col(groupCol), col("__bin"))
       .agg(count(lit(1)).as("n"),
-        sum(col(labelCol).cast("long")).as("__pos"))
+        sum(col("__y")).as("__pos"))
     val pavUdf = udf((ns: Seq[Long], ps: Seq[Long]) =>
       Metrics.pav(ns.map(_.toDouble).toArray,
         ns.zip(ps).map { case (n, p) => p.toDouble / n }.toArray))
@@ -448,21 +467,33 @@ object Metrics {
     *
     * Determinism: values are cast to decimal before any sum (the rank-
     * weighted sum and the total are both exact and order-independent),
-    * ranks tie-break on `tieCol`, and the only double math is the final
-    * per-group scalar division, rounded. One keyed shuffle: the
-    * row_number window and both aggregates share the hash partitioning
-    * on `groupCol` — groups spread across executors, nothing global. */
+    * and the only double math is the final per-group scalar division,
+    * rounded. Because tied values contribute x·Σ(ranks of the run)
+    * regardless of how the tie is ordered, the rank-weighted sum comes
+    * off the (group, value) SPINE: a run of t equal values ending at
+    * inclusive ECDF count c has rank sum t·c − t·(t−1)/2 — exact longs
+    * while group sizes stay below ~3·10⁹ (t·c < 2⁶³); `tieCol` is
+    * accepted for signature stability but no longer affects the result.
+    *
+    * Scale shape: the ECDF rides
+    * [[graft.operators.Scale.groupedPrefixSum]]'s range-partitioned
+    * scan — a `Window.partitionBy(groupCol).orderBy(value)` here plans
+    * ONE task per group when the group key is a handful of segments. */
   def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
       tieCol: String): DataFrame = {
     val v = col(valueCol).cast("decimal(18,2)")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(v.asc, col(tieCol).asc)
-    df.select(col(groupCol), v.as("__x"),
-        row_number().over(w).cast("long").as("__i"))
+    val spine = df.select(col(groupCol), v.as("__x"))
+      .groupBy(col(groupCol), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+    Scale.groupedPrefixSum(spine, Seq(groupCol), "__x", "__t", "__cum")
+      // Σ of ranks over the tied run [cum−t+1 .. cum]; t·(t−1) is even,
+      // so integer div keeps the weight an exact long
+      .withColumn("__w",
+        expr("__t * __cum - (__t * (__t - 1)) div 2"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__x")).cast("decimal(28,2)").as("__sx"),
-        sum(col("__x") * col("__i")).cast("decimal(28,2)").as("__six"))
+      .agg(sum(col("__t")).as("n"),
+        sum(col("__x") * col("__t")).cast("decimal(28,2)").as("__sx"),
+        sum(col("__x") * col("__w")).cast("decimal(28,2)").as("__six"))
       .filter(col("__sx") > 0)
       .select(col(groupCol), col("n"),
         round(
@@ -477,36 +508,63 @@ object Metrics {
     * ten rank deciles and each decile reports the CUMULATIVE share of
     * total mass, the "bottom d/10 of members hold share s" table.
     *
-    * Decile assignment uses the explicit `⌊(i−1)·10/n⌋+1` formula on a
-    * tie-broken row_number — NOT `ntile`, whose remainder-distribution
-    * rules are a portability hazard — so membership is identical in
-    * any engine. Mass accumulates in decimal (exact); the share is one
-    * rounded double division per output row. Same single keyed
-    * partitioning as the Gini. */
+    * Decile assignment uses the explicit `⌊(i−1)·10/n⌋+1` formula on
+    * ascending ranks — NOT `ntile`, whose remainder-distribution rules
+    * are a portability hazard — so membership is identical in any
+    * engine. Mass accumulates in decimal (exact); the share is one
+    * rounded double division per output row.
+    *
+    * Scale shape: decile membership only needs each value run's rank
+    * INTERVAL, so everything derives from the (group, value) spine +
+    * [[graft.operators.Scale.groupedPrefixSum]]'s range-partitioned
+    * ECDF — a tied run of t values ending at inclusive count c spans
+    * ranks [c−t+1, c] and splits across the ≤10 deciles it overlaps
+    * (tie ordering never matters: tied rows carry equal mass). The
+    * cumulative share then folds the ≤10 per-decile rows per group
+    * inside a collected array — no group-keyed window anywhere, at any
+    * group cardinality. `tieCol` is accepted for signature stability
+    * but no longer affects the result. */
   def lorenzDeciles(df: DataFrame, groupCol: String, valueCol: String,
       tieCol: String): DataFrame = {
     val v = col(valueCol).cast("decimal(18,2)")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(v.asc, col(tieCol).asc)
-    val ranked = df.select(col(groupCol), v.as("__x"),
-        row_number().over(w).cast("long").as("__i"))
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col(groupCol))))
-      .withColumn("decile",
-        ((col("__i") - 1) * 10 / col("__n") + 1).cast("int"))
-    val perDec = ranked.groupBy(col(groupCol), col("decile"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(col("__x")).cast("decimal(28,2)").as("__m"))
-    val wd = Window.partitionBy(col(groupCol)).orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wg = Window.partitionBy(col(groupCol))
+    val spine = df.select(col(groupCol), v.as("__x"))
+      .groupBy(col(groupCol), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+    val sizes = spine.groupBy(col(groupCol))
+      .agg(sum(col("__t")).as("__n"))
+    val perDec = Scale.groupedPrefixSum(spine, Seq(groupCol), "__x",
+        "__t", "__cum")
+      .join(broadcast(sizes), groupCol)
+      .withColumn("__lo", col("__cum") - col("__t") + 1)
+      // deciles overlapped by the run's rank interval [__lo, __cum]
+      .withColumn("decile", explode(sequence(
+        expr("CAST((__lo - 1) * 10 div __n + 1 AS INT)"),
+        expr("CAST((__cum - 1) * 10 div __n + 1 AS INT)"))))
+      // decile d covers ranks [ceil((d−1)n/10)+1, ceil(dn/10)]
+      .withColumn("__dlo",
+        expr("((decile - 1) * __n + 9) div 10 + 1"))
+      .withColumn("__dhi", expr("(decile * __n + 9) div 10"))
+      .withColumn("__ov",
+        least(col("__cum"), col("__dhi"))
+          - greatest(col("__lo"), col("__dlo")) + 1)
+      .groupBy(col(groupCol), col("decile"))
+      .agg(sum(col("__ov")).as("n_members"),
+        sum(col("__x") * col("__ov")).cast("decimal(28,2)").as("__m"))
+    // cumulative share over the ≤10 deciles per group: a bounded array
+    // fold after the aggregate — never a data-sized ordered window
     perDec
-      .withColumn("__cum", sum(col("__m")).over(wd)
-        .cast("decimal(28,2)"))
-      .withColumn("__tot", sum(col("__m")).over(wg)
-        .cast("decimal(28,2)"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(
+          struct(col("decile"), col("n_members"), col("__m")))).as("__cells"),
+        sum(col("__m")).cast("decimal(28,2)").as("__tot"))
       .filter(col("__tot") > 0)
-      .select(col(groupCol), col("decile"), col("n_members"),
+      .select(col(groupCol), col("__tot"), col("__cells"),
+        posexplode(col("__cells")).as(Seq("__i", "__c")))
+      .withColumn("__cum", expr(
+        "aggregate(slice(__cells, 1, __i + 1), CAST(0 AS DECIMAL(28,2))," +
+          " (acc, y) -> CAST(acc + y.__m AS DECIMAL(28,2)))"))
+      .select(col(groupCol), col("__c.decile").as("decile"),
+        col("__c.n_members").as("n_members"),
         round(col("__cum").cast("double") / col("__tot").cast("double"),
           6).as("cum_share"))
   }
@@ -571,8 +629,13 @@ object Metrics {
     * |cumA·n_B − cumB·n_A| over per-value cumulative counts — so the
     * argmax and the numerator are exact under any partitioning; the
     * single double division happens on two exact longs, then rounds.
-    * One hash partitioning on `groupCol` carries the per-value
-    * reduce, the cumulative window, and the final max. */
+    *
+    * Scale shape: the ECDF cumulatives ride
+    * [[graft.operators.Scale.groupedPrefixSums]]'s range-partitioned
+    * scan — a `Window.partitionBy(groupCol)` here would sort the whole
+    * value spine through ONE task per group when `groupCol` has a
+    * handful of values (market segments). Group totals are a bounded
+    * broadcast (one row per output group). */
   def ksTest(df: DataFrame, groupCol: String, sideCol: String,
       sideA: String, sideB: String, valueCol: String): DataFrame = {
     val x = col(valueCol).cast("double")
@@ -582,18 +645,15 @@ object Metrics {
       .groupBy(col(groupCol), col("__x"))
       .agg(sum(when(col("__side") === sideA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__side") === sideB, 1L).otherwise(0L)).as("__cb"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wg = Window.partitionBy(col(groupCol))
-    perVal
-      .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
-      .withColumn("__na", sum(col("__ca")).over(wg))
-      .withColumn("__nb", sum(col("__cb")).over(wg))
+    val totals = perVal.groupBy(col(groupCol))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    Scale.groupedPrefixSums(perVal, Seq(groupCol), "__x",
+        Seq("__ca", "__cb"), suffix = "_cum")
+      .join(broadcast(totals), groupCol)
       .groupBy(col(groupCol))
-      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
-        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
-          .as("__num"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("__ca_cum") * col("n_b")
+          - col("__cb_cum") * col("n_a"))).as("__num"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
       .select(col(groupCol), col("n_a"), col("n_b"),
         round(col("__num").cast("double")
@@ -612,9 +672,11 @@ object Metrics {
     * into quantile bins first (the CART practice anyway). Both engines
     * derive gains from identical exact integers through the identical
     * double expression, so the argmax ordering — gain desc, threshold
-    * asc — is deterministic. One hash partitioning on `groupCol`
-    * carries the per-value reduce, the cumulative window, and the
-    * argmax.
+    * asc — is deterministic. The feature-spine cumulatives ride
+    * [[graft.operators.Scale.groupedPrefixSums]]'s range-partitioned
+    * scan (a group-keyed window would sort the spine through one task
+    * per group) and the argmax is a partial-aggregated `max_by` — no
+    * ordered window anywhere.
     *
     * `labelCol` must be 0/1. Returns per group the best `threshold`
     * (split: feature ≤ threshold), sizes and the rounded gain; groups
@@ -627,14 +689,16 @@ object Metrics {
       col(labelCol).cast("long").as("__y"))
     val perVal = base.groupBy(col(groupCol), col("__f"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__f"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wg = Window.partitionBy(col(groupCol))
-    val cum = perVal
-      .withColumn("__nl", sum(col("__n")).over(w))
-      .withColumn("__pl", sum(col("__p")).over(w))
-      .withColumn("__nt", sum(col("__n")).over(wg))
-      .withColumn("__pt", sum(col("__p")).over(wg))
+    // cumulatives ride the range-partitioned grouped scan (a group-keyed
+    // window would sort the whole feature spine through one task per
+    // group); totals are a bounded broadcast, one row per group
+    val totals = perVal.groupBy(col(groupCol))
+      .agg(sum(col("__n")).as("__nt"), sum(col("__p")).as("__pt"))
+    val cum = Scale.groupedPrefixSums(perVal, Seq(groupCol), "__f",
+        Seq("__n", "__p"), suffix = "_cum")
+      .withColumnRenamed("__n_cum", "__nl")
+      .withColumnRenamed("__p_cum", "__pl")
+      .join(broadcast(totals), groupCol)
       .filter(col("__nl") < col("__nt")) // right side must be non-empty
     val nl = col("__nl"); val nr = col("__nt") - col("__nl")
     val cl1 = col("__pl"); val cl0 = col("__nl") - col("__pl")
@@ -646,13 +710,16 @@ object Metrics {
       (nl.cast("double") * nr.cast("double") * col("__nt").cast("double")) -
       (c0 * c0 + c1 * c1).cast("double") /
         (col("__nt").cast("double") * col("__nt").cast("double"))
-    val scored = cum.withColumn("__gain", gain)
-      .withColumn("__rn", row_number().over(Window
-        .partitionBy(col(groupCol))
-        .orderBy(col("__gain").desc, col("__f").asc)))
-      .filter(col("__rn") === 1)
-    scored.select(col(groupCol), col("__nt").as("n"),
-      col("__f").as("threshold"), col("__nl").as("n_left"),
-      round(col("__gain"), 6).as("gain"))
+    // argmax (gain desc, threshold asc) as ONE partial-aggregated
+    // max_by — no ordered window over the spine; the ordering struct
+    // (gain, −f) is unique per group because __f is
+    val best = cum.withColumn("__gain", gain)
+      .groupBy(col(groupCol))
+      .agg(max_by(
+        struct(col("__nt"), col("__f"), col("__nl"), col("__gain")),
+        struct(col("__gain"), (-col("__f")).as("__nf"))).as("__b"))
+    best.select(col(groupCol), col("__b.__nt").as("n"),
+      col("__b.__f").as("threshold"), col("__b.__nl").as("n_left"),
+      round(col("__b.__gain"), 6).as("gain"))
   }
 }

@@ -193,9 +193,25 @@ object Scale {
     */
   def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
       orderCol: String, valueCol: String, resultCol: String = "cumsum",
+      inclusive: Boolean = true): DataFrame =
+    groupedPrefixSumOrd(df, groupCols, Seq(orderCol), valueCol, resultCol,
+      inclusive)
+
+  /** [[groupedPrefixSum]] under a COMPOSITE ordering: the running sum
+    * follows the lexicographic order of `orderCols` within each group —
+    * what exact per-row ranks need when the value column alone has ties
+    * broken by a tiebreaker column (isotonic binning's
+    * (score, event_id)). Same spine contract, extended to the composite
+    * key: at most one row per (groupCols, orderCols) — the range
+    * partitioner keeps equal composite keys in one partition, so the
+    * result stays partition-invariant. */
+  def groupedPrefixSumOrd(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], valueCol: String,
+      resultCol: String = "cumsum",
       inclusive: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
     val gCols = groupCols.map(col)
     // string-rendered group key for the driver-side offset map; 
     // separates columns,  marks NULL (distinct from any rendering)
@@ -203,7 +219,7 @@ object Scale {
       pid.cast("string") +: gCols.map(c =>
         coalesce(c.cast("string"), lit(""))): _*)
     val ranged = df
-      .repartitionByRange(gCols :+ col(orderCol): _*)
+      .repartitionByRange(gCols ++ orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", col(valueCol).cast("long"))
       .localCheckpoint(false)
@@ -222,7 +238,7 @@ object Scale {
     val offset = if (offsets.isEmpty) lit(0L)
       else coalesce(element_at(typedLit(offsets), gkey(col("__pid"))), lit(0L))
     val w = Window.partitionBy(col("__pid") +: gCols: _*)
-      .orderBy(col(orderCol))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding,
         if (inclusive) Window.currentRow else -1)
     ranged

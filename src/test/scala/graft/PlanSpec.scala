@@ -158,6 +158,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val jtNonPid = partSpecs("q324_jonckheere").filterNot(_.contains("__pid"))
     assert(jtNonPid.nonEmpty && jtNonPid.forall(_.contains("x#")),
       s"q324 grid windows must partition on (region, value): $jtNonPid")
+    // the round-9 rewrites: KS / Gini / Lorenz / isotonic / stump ride
+    // the grouped scan — the ONLY windows left are groupedPrefixSum's
+    // own __pid-keyed running sums; cumulative shares / argmaxes are
+    // array folds or max_by aggregates, never group-keyed windows
+    for (q <- Seq("q263_ks_test", "q254_gini", "q269_lorenz",
+        "q233_isotonic", "q267_decision_stump")) {
+      val specs = partSpecs(q)
+      assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
+        s"$q has a window not keyed by __pid: $specs")
+    }
   }
 
   test("q101/q102: substring-dedup wide shuffles never carry token arrays") {

@@ -104,6 +104,10 @@ def main():
             n_bad += 1
             print(f"BAD  {name}: " + "; ".join(probs))
     print(f"\n{n_bad} queries flagged of {len(oracles)}")
+    # non-zero exit so the verify loop fails loudly on any leak — a
+    # hand-written oracle that returns HUGEINT/DECIMAL/width-skewed
+    # finals must die here, not in the driver's hash compare
+    sys.exit(1 if n_bad else 0)
 
 
 if __name__ == "__main__":
