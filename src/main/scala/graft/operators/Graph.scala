@@ -244,7 +244,9 @@ object Graph {
     * degree is the standard production trade (cost becomes
     * Σ_{deg≤cap} C(deg,2) ≤ m·cap/2, linear in edges) and is part of
     * this operator's CONTRACT — an oracle replaying the same cap
-    * matches exactly. Existing edges are anti-joined out. Degrees are
+    * matches exactly. Existing edges are subtracted by zero-weight
+    * marker rows riding the wedge shuffle (never a post-aggregate
+    * anti-join of the far larger candidate set). Degrees are
     * computed over the FULL graph (the cap limits which centers
     * expand, not what a center's weight is). */
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,

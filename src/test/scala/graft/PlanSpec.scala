@@ -398,6 +398,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("wedge-family edge subtraction rides markers, never a post-agg anti-join") {
+    // existing edges fold into the wedge aggregate as zero-weight
+    // marker rows; an anti-join of the candidate-pair set (orders of
+    // magnitude larger than the edge list) against the edges would
+    // re-shuffle the biggest intermediate of the plan
+    for (q <- Seq("q188_adamic_adar", "q391_link_prediction",
+        "q144_triangle_stats")) {
+      val p = plan(q)
+      assert(!p.contains("LeftAnti"),
+        s"$q: edge subtraction must ride the wedge shuffle:\n$p")
+    }
+  }
+
   test("q205: the naive range join plans as a binned hash join, not a nested loop") {
     val p = plan("q205_range_join_auto")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
