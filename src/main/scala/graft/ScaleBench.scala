@@ -44,7 +44,11 @@ object ScaleBench {
     // range scan over K-copied events), link-prediction wedges (same
     // family as q188), RAKE (phrase/vocab tables K x )
     "q376_kneser_ney", "q384_energy_distance", "q391_link_prediction",
-    "q388_rake_keyphrases")
+    "q388_rake_keyphrases",
+    // round-9: the largest of the five straggler rewrites — the KS
+    // value spine (orders x customer) now rides the grouped scan and
+    // must grow with the data, not serialize into 5 segment tasks
+    "q263_ks_test")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other
