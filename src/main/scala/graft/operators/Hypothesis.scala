@@ -390,4 +390,190 @@ object Hypothesis {
         - lit(2.0) * col("__syy2").cast("double") / (n2D * n2D), 6)
         .as("e_dist"))
   }
+
+  /** Friedman test (blocked rank ANOVA; Friedman 1937) per `groupCol`:
+    * do the `treatCol` treatments differ, controlling for the
+    * `blockCol` blocks? The repeated-measures complement of
+    * [[kruskalWallis]] — KW pools all rows into one ranking, Friedman
+    * ranks WITHIN each block, so between-block level differences
+    * cancel instead of drowning the treatment signal.
+    *
+    * Reported as Conover's F-form statistic, which absorbs midrank ties
+    * without a separate correction:
+    *
+    *   T₁ = (k−1) · Σⱼ (Rⱼ − n(k+1)/2)² / (A₂ − C₂),
+    *   A₂ = Σᵢⱼ r²ᵢⱼ,  C₂ = n·k·(k+1)²/4
+    *
+    * computed entirely from DOUBLED midranks d = 2r (exact longs, the
+    * [[Metrics.mannWhitney]] discipline): 4·Σⱼ(Rⱼ−n(k+1)/2)² =
+    * Σⱼ(R2ⱼ−n(k+1))² and 4(A₂−C₂) = Σd² − nk(k+1)², so the 4s cancel
+    * and T₁ is one double division of two exact DECIMAL(38,0) moments.
+    *
+    * Only COMPLETE blocks — blocks containing every treatment observed
+    * in their group — enter the test (the classical design; incomplete
+    * blocks would need Durbin's variant). Requires at most one row per
+    * (group, block, treatment): pre-aggregate replicates first. The
+    * in-block ranking window is keyed on (group, block) — block count
+    * grows with the data while each partition holds ≤ k rows, so no
+    * data-sized single-task sort exists at any scale. Groups need
+    * k ≥ 2 and at least one unequal in-block ranking (A₂ > C₂).
+    *
+    * Returns `(groupCol, n, k, t1, df1, df2)` with T₁ ~ F(df1, df2)
+    * under H₀, df1 = k−1, df2 = (n−1)(k−1). */
+  def friedman(df: DataFrame, groupCol: String, blockCol: String,
+      treatCol: String, valueCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(blockCol).as("__blk"),
+        col(treatCol).as("__treat"), col(valueCol).cast("double").as("__x"))
+    // k treatments per group (bounded — one row per group, broadcast)
+    val kPer = rows.groupBy(col("__g"))
+      .agg(countDistinct(col("__treat")).as("__k"))
+    val complete = rows.groupBy(col("__g"), col("__blk"))
+      .agg(countDistinct(col("__treat")).as("__bt"))
+      .join(broadcast(kPer), "__g")
+      .filter(col("__bt") === col("__k"))
+      .select(col("__g"), col("__blk"))
+    val inBlocks = rows.join(complete, Seq("__g", "__blk"))
+    // doubled in-block midrank 2r = 2·rank + t − 1: exact longs; the
+    // window key (group, block) has data-growing cardinality with
+    // ≤ k rows per partition — the scale-safe window shape
+    val wR = Window.partitionBy(col("__g"), col("__blk"))
+      .orderBy(col("__x"))
+    val wT = Window.partitionBy(col("__g"), col("__blk"), col("__x"))
+    val ranked = inBlocks.withColumn("__d",
+      lit(2L) * rank().over(wR) + count(lit(1)).over(wT) - 1)
+    val perGroup = ranked.groupBy(col("__g")).agg(
+      countDistinct(col("__blk")).as("__n"),
+      sum((col("__d").cast("decimal(38,0)") * col("__d"))).as("__a4"))
+    val perTreat = ranked.groupBy(col("__g"), col("__treat"))
+      .agg(sum(col("__d")).as("__r2"))
+    val sdev = perTreat
+      .join(broadcast(kPer), "__g")
+      .join(perGroup.select(col("__g"), col("__n")), "__g")
+      .withColumn("__dev", col("__r2").cast("decimal(38,0)")
+        - col("__n").cast("decimal(38,0)") * (col("__k") + 1))
+      .groupBy(col("__g")).agg(sum(col("__dev") * col("__dev")).as("__s"))
+    val joined = perGroup.join(sdev, "__g").join(broadcast(kPer), "__g")
+    val nD = col("__n").cast("double")
+    val kD = col("__k").cast("double")
+    val denom = col("__a4").cast("double") -
+      nD * kD * (kD + 1.0) * (kD + 1.0)
+    val t1 = (kD - 1.0) * col("__s").cast("double") / denom
+    joined.filter(col("__k") > 1 && denom > 0)
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        col("__k").as("k"), round(t1, 6).as("t1"),
+        (col("__k") - 1).as("df1"),
+        ((col("__n") - 1) * (col("__k") - 1)).as("df2"))
+  }
+
+  /** Wilcoxon signed-rank test per `groupCol` over PAIRED differences
+    * (one row per pair in `diffCol`, integral — pass cents): is the
+    * within-pair shift symmetric about zero? The paired complement of
+    * [[Metrics.mannWhitney]]'s independent-samples test — differencing
+    * removes the between-pair variance that MW must carry.
+    *
+    * Standard normal approximation with the tie correction:
+    *
+    *   W⁺ = Σ_{d>0} rank(|d|),  z = (W⁺ − n(n+1)/4) /
+    *        √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    *
+    * Zero differences are dropped (the classical Wilcoxon treatment).
+    * |d|-midranks come off [[Scale.groupedMidranks]]' range-partitioned
+    * grouped scan — `groupCol` is typically low-cardinality, and a
+    * group-keyed ranking window would serialize each group into one
+    * task at scale. Per-value positive counts join the spine, so W⁺ is
+    * a doubled-midrank sum (2W⁺ = Σ rank2·pos, exact DECIMAL) and the
+    * tie term Σ(t³−t) accumulates per spine run — nothing data-sized is
+    * ever fractional.
+    *
+    * Returns `(groupCol, n, w_plus, z)`. */
+  def wilcoxonSignedRank(df: DataFrame, groupCol: String,
+      diffCol: String): DataFrame = {
+    val rows = df
+      .filter(col(diffCol).isNotNull && col(diffCol) =!= 0)
+      .select(col(groupCol), col(diffCol).cast("long").as("__d"))
+      .withColumn("__ad", abs(col("__d")))
+    val byCell = rows.groupBy(col(groupCol), col("__ad"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__pos"))
+    val ranked = Scale.groupedPrefixSum(byCell, Seq(groupCol), "__ad",
+        "__t", "__cum")
+      .withColumn("__rank2", col("__cum") * 2 - col("__t") + 1)
+    val g = ranked.groupBy(col(groupCol)).agg(
+      sum(col("__t")).as("__n"),
+      sum(col("__rank2").cast("decimal(38,0)") * col("__pos")).as("__w2"),
+      // one spine row per tied run of size t contributes t³−t exactly
+      sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+        - col("__t")).as("__ties"))
+    val nD = col("__n").cast("double")
+    val w = col("__w2").cast("double") / 2.0
+    val mu = nD * (nD + 1.0) / 4.0
+    val v = nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 24.0 -
+      col("__ties").cast("double") / 48.0
+    g.filter(col("__n") > 0 && v > 0)
+      .select(col(groupCol), col("__n").as("n"),
+        round(w, 6).as("w_plus"),
+        round((w - mu) / sqrt(v), 6).as("z"))
+  }
+
+  /** Kendall's τ-b rank correlation per `groupCol` between two
+    * BOUNDED-CARDINALITY integral columns (grades, star ratings,
+    * bucketed quantities — pass cents/codes). The concordance
+    * complement of q310's Spearman: τ counts pairwise order agreement
+    * directly, so it is interpretable as P(concordant) − P(discordant)
+    * and more robust to extreme midrank gaps; τ-b's denominator
+    * corrects both tie margins.
+    *
+    * The naive form is O(n²) over rows. Over the (x, y) CONTINGENCY
+    * table it is exact and bounded: with cell counts n_xy,
+    *
+    *   C = Σ_cells n_xy · Σ_{x'>x, y'>y} n_x'y'  (D likewise, y'<y)
+    *   τ-b = (C−D) / √((n₀−n₁)(n₀−n₂)),
+    *   n₀ = n(n−1)/2, n₁ = Σₓ tₓ(tₓ−1)/2, n₂ = Σ_y t_y(t_y−1)/2
+    *
+    * The cell table is |X|·|Y|-bounded metadata, so the pair pass is a
+    * broadcast nested-loop self-join over cells, never over rows; cell
+    * products are exact DECIMAL(38,0) (row counts can make C ~ n²
+    * overflow longs at scale). One double division at the end.
+    *
+    * Returns `(groupCol, n, n_cells, tau_b)`. */
+  def kendallTauB(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val b = cells.select(col("__g").as("__g2"), col("__x").as("__x2"),
+      col("__y").as("__y2"), col("__c").as("__c2"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val pairs = cells.join(broadcast(b),
+        col("__g") === col("__g2") && col("__x2") > col("__x"))
+      .groupBy(col("__g")).agg(
+        coalesce(sum(when(col("__y2") > col("__y"),
+          dec(col("__c")) * col("__c2"))), lit(0).cast("decimal(38,0)"))
+          .as("__conc"),
+        coalesce(sum(when(col("__y2") < col("__y"),
+          dec(col("__c")) * col("__c2"))), lit(0).cast("decimal(38,0)"))
+          .as("__disco"))
+    def margin(kc: String, out: String) = cells
+      .groupBy(col("__g"), col(kc)).agg(sum(col("__c")).as("__t"))
+      .groupBy(col("__g")).agg(sum(col("__t")).as(s"__n_$out"),
+        sum(dec(col("__t")) * (col("__t") - 1)).as(s"__$out"))
+    val xm = margin("__x", "tx2")
+    val ym = margin("__y", "ty2").drop("__n_ty2")
+    val j = pairs.join(xm, "__g").join(ym, "__g")
+      .withColumnRenamed("__n_tx2", "__n")
+    val nD = col("__n").cast("double")
+    val tau = (col("__conc").cast("double") - col("__disco").cast("double")) /
+      sqrt((nD * (nD - 1.0) - col("__tx2").cast("double"))
+        * (nD * (nD - 1.0) - col("__ty2").cast("double")) / 4.0)
+    val nCells = cells.groupBy(col("__g")).agg(count(lit(1)).as("n_cells"))
+    j.join(nCells, "__g")
+      .filter(col("__n") > 1
+        && nD * (nD - 1.0) - col("__tx2").cast("double") > 0
+        && nD * (nD - 1.0) - col("__ty2").cast("double") > 0)
+      .select(col("__g").as(groupCol), col("__n").as("n"), col("n_cells"),
+        round(tau, 6).as("tau_b"))
+  }
 }

@@ -86,7 +86,14 @@ object Scale {
     * all; only the might-contain sliver (true matches + fpp) takes the
     * exact anti-join. When `large` is a generated candidate set orders
     * of magnitude bigger than `small` (link-prediction pairs vs existing
-    * edges), this removes the single largest shuffle of the plan. */
+    * edges), this removes the single largest shuffle of the plan.
+    *
+    * The two branches each evaluate `large` once: a parquet-backed
+    * `large` pays two pushed-filter scans (map-side, no shuffle — the
+    * intended trade), but a COMPUTED `large` re-runs its whole upstream
+    * plan twice — cache or localCheckpoint it first, or fold the
+    * subtraction into the producing aggregate as marker rows (the
+    * q188 wedge pattern) instead of calling this at all. */
   def bloomPruneAntiJoin(large: DataFrame, small: DataFrame,
       keys: Seq[String], expectedItems: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.graft.Shims

@@ -526,6 +526,64 @@ object TimeSeries {
         round(expr("__st[0] + __st[1]"), 6).as("forecast"))
   }
 
+  /** Additive Holt–Winters triple-exponential smoothing per key: level +
+    * trend + a `period`-slot seasonal cycle, folded over the key's
+    * ordered series as ONE aggregate HOF — [[holtForecast]] extended
+    * with the seasonal recurrence (Winters 1960):
+    *
+    *   ℓₜ = α(xₜ − s_{t−m}) + (1−α)(ℓ_{t−1} + b_{t−1})
+    *   bₜ = β(ℓₜ − ℓ_{t−1}) + (1−β)b_{t−1}
+    *   sₜ = γ(xₜ − ℓₜ) + (1−γ)s_{t−m}
+    *
+    * The state vector is an array `[level, trend, s₁ … s_m]` with the
+    * seasonal slots kept as a ROTATING QUEUE — s₁ is always the slot the
+    * CURRENT step consumes, and each step drops it, shifts, and appends
+    * the refreshed value. That makes the update a slice+concat (no
+    * indexed in-place write, which array HOFs can't express) and keeps
+    * the fold a single `aggregate(...)` the oracle can replay verbatim
+    * with `list_reduce`. Zero-initialized: ℓ₀ = x₁, b₀ = 0, s = 0⃗ —
+    * deterministic, no decomposition pre-pass. Smoothing constants
+    * enter as `(1.0 − α)` SUBEXPRESSIONS so both engines constant-fold
+    * the identical double (the [[holtForecast]] parity rule).
+    *
+    * Sequential by construction (the fold follows the sorted order), so
+    * the doubles are bit-stable under any partitioning; per-key state is
+    * `period + 2` doubles and the collected series is calendar-bounded
+    * for daily keys. Keys need ≥ `period` + 2 points.
+    *
+    * Returns `(keyCol, n_points, level, trend, season_next, forecast)`
+    * where `forecast = level + trend + season_next` is the one-step-
+    * ahead prediction, rounded to 6. */
+  def holtWinters(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, alpha: Double = 0.3, beta: Double = 0.1,
+      gamma: Double = 0.2, period: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1): $beta")
+    require(gamma > 0 && gamma < 1, s"gamma must be in (0,1): $gamma")
+    require(period >= 2, s"period must be >= 2: $period")
+    val a = alpha.toString; val b = beta.toString; val g = gamma.toString
+    val zeros = Seq.fill(period)("cast(0.0 as double)").mkString(", ")
+    // acc[2] is s₁, the seasonal slot consumed by the current step
+    val nl = s"($a * (x - acc[2]) + (1.0 - $a) * (acc[0] + acc[1]))"
+    val nt = s"($b * ($nl - acc[0]) + (1.0 - $b) * acc[1])"
+    val ns = s"($g * (x - $nl) + (1.0 - $g) * acc[2])"
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__s"))
+      .withColumn("__vals", expr("transform(__s, x -> x.v)"))
+      .filter(size(col("__vals")) >= period + 2)
+      .withColumn("__st", expr(
+        s"""aggregate(slice(__vals, 2, size(__vals) - 1),
+           array(element_at(__vals, 1), cast(0.0 as double), $zeros),
+           (acc, x) -> concat(array($nl, $nt),
+             slice(acc, 4, ${period - 1}), array($ns)))"""))
+      .select(col(keyCol), size(col("__vals")).as("n_points"),
+        round(expr("__st[0]"), 6).as("level"),
+        round(expr("__st[1]"), 6).as("trend"),
+        round(expr("__st[2]"), 6).as("season_next"),
+        round(expr("__st[0] + __st[1] + __st[2]"), 6).as("forecast"))
+  }
+
   /** Per-key burstiness (Fano factor) of daily activity: variance of
     * the key's daily event count over the GLOBAL observed-day range
     * (zero days count — a key active once in a 30-day corpus is

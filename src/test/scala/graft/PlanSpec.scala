@@ -168,6 +168,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(specs.nonEmpty && specs.forall(_.contains("__pid")),
         s"$q has a window not keyed by __pid: $specs")
     }
+    // wilcoxon signed-rank: |d|-midranks ride the grouped scan — no
+    // window keyed solely on the 5-value segment column
+    val wsrSpecs = partSpecs("q400_wilcoxon_signed_rank")
+    assert(wsrSpecs.nonEmpty && wsrSpecs.forall(_.contains("__pid")),
+      s"q400 has a window not keyed by __pid: $wsrSpecs")
+    // friedman: in-block ranking windows key on (dow, user) — the block
+    // column grows with the data while each partition holds ≤ k rows
+    val frSpecs = partSpecs("q399_friedman")
+    assert(frSpecs.nonEmpty && frSpecs.forall(_.contains("__blk")),
+      s"q399 windows must be keyed on the data-growing block column: $frSpecs")
   }
 
   test("q101/q102: substring-dedup wide shuffles never carry token arrays") {
