@@ -48,7 +48,12 @@ object ScaleBench {
     // round-9: the largest of the five straggler rewrites — the KS
     // value spine (orders x customer) now rides the grouped scan and
     // must grow with the data, not serialize into 5 segment tasks
-    "q263_ks_test")
+    "q263_ks_test",
+    // round-9 wave: Friedman's in-block ranking windows key on the
+    // (dow, user) block — user count grows K x in the synthesized
+    // corpus, so the partition count must grow with the data while
+    // each partition stays <= k rows
+    "q399_friedman")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other

@@ -182,6 +182,100 @@ class Round77OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 0)
   }
 
+  // ---- randomized brute-force laws -----------------------------------------
+
+  test("kendallTauB matches the O(n²) pair count on random data ×10") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    for (trial <- 1 to 10) {
+      val n = 20 + rng.nextInt(60)
+      val rows = Vector.fill(n)((rng.nextInt(6).toLong, rng.nextInt(4).toLong))
+      var c = 0L; var dsc = 0L; var tx = 0L; var ty = 0L
+      for (i <- rows.indices; j <- (i + 1) until n) {
+        val ((x1, y1), (x2, y2)) = (rows(i), rows(j))
+        if (x1 != x2 && y1 != y2) {
+          if ((x2 - x1) * (y2 - y1) > 0) c += 1 else dsc += 1
+        }
+        if (x1 == x2) tx += 1
+        if (y1 == y2) ty += 1
+      }
+      val n0 = n.toLong * (n - 1) / 2
+      val expected = (c - dsc).toDouble /
+        math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+      val df = rows.map { case (x, y) => ("g", x, y) }.toDF("k","x","y")
+      val got = Hypothesis.kendallTauB(df, "k", "x", "y")
+        .collect()(0).getAs[Double]("tau_b")
+      assert(math.abs(got - expected) < 1e-6,
+        s"trial $trial: got $got expected $expected (n=$n)")
+    }
+  }
+
+  test("wilcoxonSignedRank matches a direct midrank computation ×10") {
+    import spark.implicits._
+    val rng = new scala.util.Random(78)
+    for (trial <- 1 to 10) {
+      val n = 15 + rng.nextInt(50)
+      val ds = Vector.fill(n)((rng.nextInt(21) - 10).toLong).filter(_ != 0L)
+      val ads = ds.map(math.abs).sorted
+      def midrank(a: Long): Double = {
+        val lo = ads.count(_ < a); val t = ads.count(_ == a)
+        lo + (t + 1) / 2.0
+      }
+      val wPlus = ds.filter(_ > 0).map(d => midrank(math.abs(d))).sum
+      val m = ds.size
+      val ties = ads.distinct.map { a =>
+        val t = ads.count(_ == a).toLong; t * t * t - t
+      }.sum
+      val mu = m.toLong * (m + 1) / 4.0
+      val v = m.toLong * (m + 1) * (2L * m + 1) / 24.0 - ties / 48.0
+      val df = ds.map(("g", _)).toDF("k","d")
+      val r = Hypothesis.wilcoxonSignedRank(df, "k", "d").collect()(0)
+      assert(r.getAs[Double]("w_plus") == wPlus,
+        s"trial $trial: W+ ${r.getAs[Double]("w_plus")} expected $wPlus")
+      if (v > 0)
+        assert(math.abs(r.getAs[Double]("z")
+          - math.rint((wPlus - mu) / math.sqrt(v) * 1e6) / 1e6) < 1e-9,
+          s"trial $trial: z mismatch")
+    }
+  }
+
+  test("friedman matches a direct in-block midrank computation ×10") {
+    import spark.implicits._
+    val rng = new scala.util.Random(79)
+    for (trial <- 1 to 10) {
+      val k = 3 + rng.nextInt(3)
+      val nb = 5 + rng.nextInt(10)
+      val data = for (b <- 1 to nb; t <- 0 until k)
+        yield (s"b$b", s"t$t", rng.nextInt(8).toDouble)
+      // direct: midranks within each block
+      val byBlock = data.groupBy(_._1)
+      var a2 = 0.0
+      val rSums = scala.collection.mutable.Map.empty[String, Double]
+        .withDefaultValue(0.0)
+      for ((_, rows) <- byBlock) {
+        val vals = rows.map(_._3).sorted
+        for ((_, t, v) <- rows) {
+          val lo = vals.count(_ < v); val ties = vals.count(_ == v)
+          val r = lo + (ties + 1) / 2.0
+          a2 += r * r; rSums(t) += r
+        }
+      }
+      val c2 = nb.toDouble * k * (k + 1) * (k + 1) / 4.0
+      val s = (0 until k).map(t =>
+        math.pow(rSums(s"t$t") - nb * (k + 1) / 2.0, 2)).sum
+      val df = data.map { case (b, t, v) => ("g", b, t, v) }
+        .toDF("k","blk","t","x")
+      val rows = Hypothesis.friedman(df, "k", "blk", "t", "x").collect()
+      if (a2 > c2) {
+        val expected = (k - 1) * s / (a2 - c2)
+        val got = rows(0).getAs[Double]("t1")
+        assert(rows(0).getAs[Long]("n") == nb.toLong)
+        assert(math.abs(got - expected) < 1e-5,
+          s"trial $trial: got $got expected $expected (n=$nb k=$k)")
+      } else assert(rows.isEmpty)
+    }
+  }
+
   test("holtWinters on a pure repeating cycle learns near-zero trend") {
     import spark.implicits._
     // strict period-3 cycle: seasonal slots absorb the pattern, trend → ~0
