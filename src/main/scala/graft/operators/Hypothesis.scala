@@ -576,4 +576,142 @@ object Hypothesis {
       .select(col("__g").as(groupCol), col("__n").as("n"), col("n_cells"),
         round(tau, 6).as("tau_b"))
   }
+
+  /** Pettitt changepoint test per `keyCol` over the ordered
+    * (orderCol, valueCol) series: the rank-based (Mann–Whitney-flavored)
+    * single-changepoint detector (Pettitt 1979). With midranks rᵢ of the
+    * values within the series,
+    *
+    *   Uₜ = 2·Σ_{i≤t} rᵢ − t(n+1),   K = max_{1≤t<n} |Uₜ|,
+    *   p ≈ 2·exp(−6K² / (n³ + n²))
+    *
+    * and the changepoint estimate is the FIRST index attaining K (ties
+    * broken by `orderCol` ascending — deterministic on both engines).
+    *
+    * Exactness: Σ 2rᵢ is a doubled-midrank cumsum (exact longs), so Uₜ
+    * is exactly integral and K is a plain integer max; only the p-value
+    * approximation touches floating point, once, at the end.
+    *
+    * Input contract: one row per (key, order) — the PRE-AGGREGATED
+    * series (e.g. a daily rollup), calendar-bounded per key, so the
+    * per-key ranking window holds a bounded row count (the q401/Friedman
+    * bounded-series window shape, not a data-sized sort).
+    *
+    * Returns `(keyCol, n, k_stat, changepoint orderCol value, p_approx)`. */
+  def pettitt(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(orderCol).as("__i"),
+        col(valueCol).cast("long").as("__v"))
+    val wRank = Window.partitionBy(col("__k")).orderBy(col("__v"))
+    val wTies = Window.partitionBy(col("__k"), col("__v"))
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__k"))
+    val stepped = rows
+      // doubled midrank 2r = 2·rank + t − 1 (exact longs)
+      .withColumn("__r2",
+        lit(2L) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+      .withColumn("__t", row_number().over(
+        Window.partitionBy(col("__k")).orderBy(col("__i"))))
+      .withColumn("__s2", sum(col("__r2")).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // U_t = Σ_{i≤t} 2r_i − t(n+1): exactly integral
+      .withColumn("__u", col("__s2") - col("__t") * (col("__n") + 1))
+    val kMax = stepped.filter(col("__t") < col("__n"))
+      .groupBy(col("__k")).agg(
+        max(col("__n")).as("n"),
+        max(abs(col("__u"))).as("k_stat"))
+    val nD = col("n").cast("double")
+    val kD = col("k_stat").cast("double")
+    val km2 = kMax.select(col("__k").as("__kk"), col("n").as("__nn"),
+      col("k_stat").as("__ks"))
+    val cp = stepped.join(km2, col("__k") === col("__kk"))
+      .filter(col("__t") < col("__nn") && abs(col("__u")) === col("__ks"))
+      .groupBy(col("__k").as("__k2"))
+      .agg(min(col("__i")).as("changepoint"))
+    kMax.join(cp, col("__k") === col("__k2"))
+      .filter(col("n") > 2)
+      .select(col("__k").as(keyCol), col("n"), col("k_stat"),
+        col("changepoint"),
+        round(lit(2.0) * exp(lit(-6.0) * kD * kD
+          / (nD * nD * nD + nD * nD)), 6).as("p_approx"))
+  }
+
+  /** Lag-1 Granger causality per `keyCol`: does yesterday's `xCol` add
+    * predictive power for today's `yCol` beyond yesterday's `yCol`?
+    * Fits the restricted AR(1) model  yₜ = a₀ + a₁·yₜ₋₁  and the
+    * unrestricted  yₜ = b₀ + b₁·yₜ₋₁ + b₂·xₜ₋₁  in closed form from the
+    * normal equations ([[Metrics.ols2]]'s Cramer solve), then
+    *
+    *   F = (RSS_r − RSS_u) / (RSS_u / (n − 3)),   F ~ F(1, n−3) under H₀
+    *
+    * with RSS computed from the same moments
+    * (RSS = Σy² − b₀Σy − b₁Σx₁y − b₂Σx₂y).
+    *
+    * Determinism contract: `yCol`/`xCol` must be INTEGER-valued (pass
+    * cents / counts) so all ten moment sums are exact (longs and
+    * DECIMAL(38,0) for the squares/cross-products); the coefficients,
+    * RSS, and F then combine those exact values in double with one
+    * fixed expression shape, replayable verbatim in any engine.
+    *
+    * Input contract: one row per (key, order) — the pre-aggregated,
+    * calendar-bounded series per key (the bounded-series lag-window
+    * shape). Groups with a singular normal matrix, n ≤ 3, or RSS_u ≤ 0
+    * are dropped explicitly.
+    *
+    * Returns `(keyCol, n, b_ylag, b_xlag, rss_r, rss_u, f_stat, df2)`. */
+  def grangerLag1(df: DataFrame, keyCol: String, orderCol: String,
+      yCol: String, xCol: String): DataFrame = {
+    val wLag = Window.partitionBy(col("__k")).orderBy(col("__i"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val lagged = df
+      .select(col(keyCol).as("__k"), col(orderCol).as("__i"),
+        col(yCol).cast("long").as("__y"), col(xCol).cast("long").as("__x"))
+      .withColumn("__a", lag(col("__y"), 1).over(wLag))
+      .withColumn("__b", lag(col("__x"), 1).over(wLag))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val m = lagged.groupBy(col("__k")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__a")).as("__p"), sum(col("__b")).as("__q"),
+      sum(col("__y")).as("__sy"),
+      sum(dec(col("__a")) * col("__a")).as("__saa"),
+      sum(dec(col("__a")) * col("__b")).as("__sab"),
+      sum(dec(col("__b")) * col("__b")).as("__sbb"),
+      sum(dec(col("__a")) * col("__y")).as("__say"),
+      sum(dec(col("__b")) * col("__y")).as("__sby"),
+      sum(dec(col("__y")) * col("__y")).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val (p, q, sy) = (d("__p"), d("__q"), d("__sy"))
+    val (a, b, c0) = (d("__saa"), d("__sab"), d("__sbb"))
+    val (s1y, s2y, syy) = (d("__say"), d("__sby"), d("__syy"))
+    // unrestricted: Cramer on the 3×3 moment matrix (ols2's shape)
+    val det = nD * (a * c0 - b * b) - p * (p * c0 - b * q) +
+      q * (p * b - a * q)
+    val d0 = sy * (a * c0 - b * b) - p * (s1y * c0 - b * s2y) +
+      q * (s1y * b - s2y * a)
+    val d1 = nD * (s1y * c0 - b * s2y) - sy * (p * c0 - b * q) +
+      q * (p * s2y - s1y * q)
+    val d2 = nD * (a * s2y - s1y * b) - p * (p * s2y - s1y * q) +
+      sy * (p * b - a * q)
+    val b0u = d0 / det; val b1u = d1 / det; val b2u = d2 / det
+    val rssU = syy - b0u * sy - b1u * s1y - b2u * s2y
+    // restricted: one-regressor OLS in closed form
+    val sxx = nD * a - p * p
+    val b1r = (nD * s1y - p * sy) / sxx
+    val b0r = (sy - b1r * p) / nD
+    val rssR = syy - b0r * sy - b1r * s1y
+    val f = (rssR - rssU) * (nD - 3.0) / rssU
+    m.withColumn("__det", det).withColumn("__rssu", rssU)
+      .filter(col("n") > 3 && col("__det") =!= 0.0 && sxx =!= 0.0
+        && col("__rssu") > 0.0)
+      .select(col("__k").as(keyCol), col("n"),
+        round(b1u, 6).as("b_ylag"), round(b2u, 6).as("b_xlag"),
+        // RSS stays unrounded: round(x, d) on a ~1e16 double resolves
+        // the half-way case differently across engines (one-ulp skew);
+        // the raw double is bit-identical and canonicalizes cleanly
+        rssR.as("rss_r"), rssU.as("rss_u"),
+        round(f, 6).as("f_stat"), (col("n") - 3).as("df2"))
+  }
 }

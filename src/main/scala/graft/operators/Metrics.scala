@@ -722,4 +722,63 @@ object Metrics {
       col("__b.__f").as("threshold"), col("__b.__nl").as("n_left"),
       round(col("__b.__gain"), 6).as("gain"))
   }
+
+  /** Empirical tail-dependence coefficients per group — the copula
+    * diagnostic correlation can't see: do `xCol` and `yCol` land in
+    * their EXTREME deciles together?  With m = ⌊n/tailDenom⌋,
+    *
+    *   λ̂_U = #{xrank > n−m ∧ yrank > n−m} / m   (upper tail)
+    *   λ̂_L = #{xrank ≤ m   ∧ yrank ≤ m}   / m   (lower tail)
+    *
+    * where a value's rank-count is the number of rows ≤ it (ties count
+    * whole runs — a run straddling the cut is in the upper tail and out
+    * of the lower one, deterministically on both engines; with
+    * near-continuous inputs like cents the sets are within a run of
+    * exactly m rows).
+    *
+    * Plan shape: per-variable rank-counts come off the (group, value)
+    * spine via [[Scale.groupedMidranks]]' range-partitioned grouped scan
+    * (groupCol is typically low-cardinality — a group-keyed cume window
+    * would serialize each group into one task); rows join the two spines
+    * on (group, value) — distinct-value-sized, never quadratic — and the
+    * tail flags reduce in one exact integer aggregate. m uses INTEGER
+    * division, exact on both engines.
+    *
+    * Returns `(groupCol, n, m, n_upper, lambda_u, n_lower, lambda_l)`. */
+  def tailDependence(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, tailDenom: Int = 10): DataFrame = {
+    require(tailDenom >= 2, s"tailDenom must be >= 2: $tailDenom")
+    val rows = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    val xSpine = Scale.groupedMidranks(rows, Seq("__g"), "__x",
+        tieCol = "__tx", cumCol = "__cx")
+      .select(col("__g"), col("__x"), col("__cx"))
+    val ySpine = Scale.groupedMidranks(rows, Seq("__g"), "__y",
+        tieCol = "__ty", cumCol = "__cy")
+      .select(col("__g"), col("__y"), col("__cy"))
+    // floor, not a bare cast: Spark casts double→long by truncation but
+    // DuckDB CAST rounds — floor() and `//` agree (the q391 lesson)
+    val totals = rows.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+      .withColumn("m", floor(col("n") / tailDenom).cast("long"))
+    val flagged = rows
+      .join(xSpine, Seq("__g", "__x"))
+      .join(ySpine, Seq("__g", "__y"))
+      .join(broadcast(totals), "__g")
+    val agg = flagged.groupBy(col("__g")).agg(
+      max(col("n")).as("n"), max(col("m")).as("m"),
+      sum((col("__cx") > col("n") - col("m")
+        && col("__cy") > col("n") - col("m")).cast("long")).as("n_upper"),
+      sum((col("__cx") <= col("m")
+        && col("__cy") <= col("m")).cast("long")).as("n_lower"))
+    agg.filter(col("m") > 0)
+      .select(col("__g").as(groupCol), col("n"), col("m"),
+        col("n_upper"),
+        round(col("n_upper").cast("double") / col("m").cast("double"), 6)
+          .as("lambda_u"),
+        col("n_lower"),
+        round(col("n_lower").cast("double") / col("m").cast("double"), 6)
+          .as("lambda_l"))
+  }
 }

@@ -447,4 +447,54 @@ object Quantiles {
       .filter(abs(col("z")) > threshold)
       .drop("__n", "__mean", "__ss")
   }
+
+  /** Hill estimator of the Pareto tail index per group (Hill 1975): with
+    * the k+1 largest POSITIVE values x₍₁₎ ≥ … ≥ x₍ₖ₊₁₎,
+    *
+    *   H = (1/k) Σ_{i=1..k} ln(x₍ᵢ₎ / x₍ₖ₊₁₎),   α̂ = 1/H
+    *
+    * — the standard heavy-tail diagnostic (α ≲ 2 means infinite
+    * variance; small α = heavier tail).
+    *
+    * Plan shape: the top-(k+1) rows per group come off the bounded-heap
+    * [[TopK.topKPerGroup]] physical operator — O(n log k) map-side work
+    * and a shuffle of at most groups·(k+1)·partitions rows, never a
+    * data-sized sort through a group-keyed window. The k+1 survivors per
+    * group collapse to ONE bounded array row; the only floating-point
+    * reduction is the fold of k log-ratio terms over that
+    * descending-sorted bounded array — a fixed sequential order both
+    * engines replay verbatim (`aggregate` here, `list_reduce` in SQL).
+    *
+    * Ties at the heap boundary are value-ties only: the estimator
+    * consumes the VALUE multiset, which is deterministic even when the
+    * bounded heap keeps an arbitrary row among boundary-tied rows.
+    *
+    * `valueCol` must be integer-valued (pass cents). Groups with fewer
+    * than k+1 positive values, or with x₍ₖ₊₁₎ = x₍₁₎ (H = 0), are
+    * dropped explicitly.
+    *
+    * Returns `(groupCols*, k, x_k BIGINT, hill, alpha)`. */
+  def hillTailIndex(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val v = col(valueCol).cast("long")
+    val top = TopK.topKPerGroup(
+      df.filter(v > 0).select((groupCols.map(col) :+ v.as("__v")): _*),
+      groupCols, col("__v"), k = k + 1, desc = true)
+    val packed = top.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"),
+        reverse(array_sort(collect_list(col("__v")))).as("__lst"))
+      .filter(col("__cnt") === (k + 1))
+      .withColumn("__xk", element_at(col("__lst"), k + 1))
+    val hill = aggregate(
+      slice(col("__lst"), 1, k), lit(0.0),
+      (acc, x) => acc + log(x.cast("double") / col("__xk").cast("double"))
+    ) / k.toDouble
+    packed.withColumn("__h", hill)
+      .filter(col("__h") > 0.0)
+      .select(groupCols.map(col) ++ Seq(lit(k.toLong).as("k"),
+        col("__xk").as("x_k"), round(col("__h"), 6).as("hill"),
+        round(lit(1.0) / col("__h"), 6).as("alpha")): _*)
+  }
 }

@@ -178,6 +178,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val frSpecs = partSpecs("q399_friedman")
     assert(frSpecs.nonEmpty && frSpecs.forall(_.contains("__blk")),
       s"q399 windows must be keyed on the data-growing block column: $frSpecs")
+    // hill tail index: the top-(k+1) comes off the bounded-heap
+    // operator — no window (and so no per-segment sort) anywhere
+    val hillPlan = plan("q403_hill_tail")
+    assert(hillPlan.contains("TopKPerGroup"), "q403 must use the bounded heap")
+    assert(partSpecs("q403_hill_tail").isEmpty,
+      s"q403 should have no windows: ${partSpecs("q403_hill_tail")}")
+    // tail dependence: rank-counts ride the grouped scan — every window
+    // __pid-keyed, never a segment-keyed cume over customer rows
+    val tdSpecs = partSpecs("q404_tail_dependence")
+    assert(tdSpecs.nonEmpty && tdSpecs.forall(_.contains("__pid")),
+      s"q404 has a window not keyed by __pid: $tdSpecs")
   }
 
   test("q101/q102: substring-dedup wide shuffles never carry token arrays") {
