@@ -53,7 +53,11 @@ object ScaleBench {
     // (dow, user) block — user count grows K x in the synthesized
     // corpus, so the partition count must grow with the data while
     // each partition stays <= k rows
-    "q399_friedman")
+    "q399_friedman",
+    // round-9 wave #2: Hill tail index — the bounded-heap top-(k+1)
+    // over the K x orders-customer join must stay map-side-dominated
+    // (the shuffle moves only groups*(k+1)*partitions rows at any K)
+    "q403_hill_tail")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other
