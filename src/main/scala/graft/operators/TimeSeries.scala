@@ -987,4 +987,148 @@ object TimeSeries {
             / datediff(col("__nd"), col("__pd")).cast("double")),
         6).as("value"))
   }
+
+  /** Engle–Granger two-step cointegration test per `keyCol`: do the two
+    * integrated series `yCol` and `xCol` share a long-run equilibrium?
+    * Step 1 fits yₜ = α + β·xₜ by OLS (closed form from exact moments);
+    * step 2 runs the Dickey–Fuller regression Δeₜ = γ·eₜ₋₁ on the
+    * residuals and reports its t-statistic (compare against the
+    * Engle–Granger critical values, ≈ −3.34 at 5%; no intercept, the
+    * residuals are mean-zero by construction).
+    *
+    * Determinism: the OLS moments are exact (longs + DECIMAL(38,0) —
+    * pass integer cents); the residual reductions Σe²ₜ₋₁, Σeₜ₋₁Δeₜ and
+    * the SSR are floating-point but run as TWO SEQUENTIAL FOLDS over the
+    * day-sorted residual array — a fixed order both engines replay
+    * verbatim (`aggregate` here, seeded `list_reduce` in SQL), never an
+    * unordered data-sized float sum.
+    *
+    * Input contract: one row per (key, order) — the pre-aggregated,
+    * calendar-bounded series per key, so the per-key array is bounded.
+    * Groups with n ≤ 3, a constant regressor, or degenerate residuals
+    * are dropped explicitly.
+    *
+    * Returns `(keyCol, n, beta, alpha, gamma, adf_t)`. */
+  def engleGranger(df: DataFrame, keyCol: String, orderCol: String,
+      yCol: String, xCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val y = col(yCol).cast("long"); val x = col(xCol).cast("long")
+    val g = df
+      .select(col(keyCol).as("__k"), col(orderCol).as("__i"),
+        y.as("__y"), x.as("__x"))
+      .groupBy(col("__k")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(dec(col("__x")) * col("__x")).as("__sxx"),
+        sum(dec(col("__x")) * col("__y")).as("__sxy"),
+        array_sort(collect_list(struct(col("__i"), col("__y"), col("__x"))))
+          .as("__lst"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val denom = nD * d("__sxx") - d("__sx") * d("__sx")
+    val beta = (nD * d("__sxy") - d("__sx") * d("__sy")) / denom
+    val alpha = (d("__sy") - beta * d("__sx")) / nD
+    val fitted = g
+      .filter(col("n") > 3 && denom =!= 0.0)
+      .withColumn("__b", beta).withColumn("__a", alpha)
+      .withColumn("__es", transform(col("__lst"), p =>
+        p("__y").cast("double") - col("__a")
+          - col("__b") * p("__x").cast("double")))
+    // fold 1: s11 = Σ e²ₜ₋₁, s12 = Σ eₜ₋₁(eₜ − eₜ₋₁); state
+    // [s11, s12, prev, seen] — float step shape mirrored by the oracle
+    val f1 = aggregate(col("__es"),
+      array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+      (acc, e) => when(element_at(acc, 4) === 0.0,
+        array(element_at(acc, 1), element_at(acc, 2), e, lit(1.0)))
+        .otherwise(array(
+          element_at(acc, 1) + element_at(acc, 3) * element_at(acc, 3),
+          element_at(acc, 2)
+            + element_at(acc, 3) * (e - element_at(acc, 3)),
+          e, lit(1.0))))
+    // materialization barrier: without it Catalyst collapses the
+    // projections and fold 2's per-step reference to __g re-inlines the
+    // ENTIRE fold-1 expression — one O(series) fold per DP step turns
+    // the operator quadratic in the series length (405 s at sf0.01).
+    // The checkpoint is |groups| rows, each one bounded array.
+    val staged = fitted.withColumn("__f1", f1)
+      .withColumn("__s11", element_at(col("__f1"), 1))
+      .withColumn("__s12", element_at(col("__f1"), 2))
+      .filter(col("__s11") > 0.0)
+      .withColumn("__g", col("__s12") / col("__s11"))
+      .localCheckpoint(false)
+    // fold 2: SSR of the DF regression; state [ssr, prev, seen]
+    val f2 = aggregate(col("__es"),
+      array(lit(0.0), lit(0.0), lit(0.0)),
+      (acc, e) => when(element_at(acc, 3) === 0.0,
+        array(element_at(acc, 1), e, lit(1.0)))
+        .otherwise(array(
+          element_at(acc, 1)
+            + (e - element_at(acc, 2) - col("__g") * element_at(acc, 2))
+              * (e - element_at(acc, 2) - col("__g") * element_at(acc, 2)),
+          e, lit(1.0))))
+    val nPairs = (col("n") - 1).cast("double")
+    staged.withColumn("__ssr", element_at(f2, 1))
+      .filter(col("__ssr") > 0.0 && col("n") > 3)
+      .select(col("__k").as(keyCol), col("n"),
+        round(col("__b"), 6).as("beta"), round(col("__a"), 6).as("alpha"),
+        round(col("__g"), 6).as("gamma"),
+        round(col("__g") / sqrt((col("__ssr") / (nPairs - 1.0))
+          / col("__s11")), 6).as("adf_t"))
+  }
+
+  /** Dynamic-time-warping distance per `keyCol` between each key's
+    * ordered series and ONE broadcast reference series — the alignment
+    * distance Euclidean point-wise comparison can't see (shifted or
+    * locally stretched trajectories still match).
+    *
+    * Full DP over the (n×m) grid as one nested fold: the outer
+    * `aggregate` walks the key's day-sorted values carrying the previous
+    * DP row (m+1 doubles); the inner fold builds the new row left to
+    * right (dp[i][j] = min(dp[i−1][j−1], dp[i−1][j], dp[i][j−1]) +
+    * |sᵢ − rⱼ|), with a large-sentinel boundary (1e300) instead of ∞ so
+    * both engines stay in plain double arithmetic. With integer-valued
+    * inputs (cents) every DP cell is exactly integral below 2⁵³, so the
+    * distance is deterministic under any partitioning and is returned
+    * as BIGINT; `dtw_norm` = dtw/(n+m) is the one float division.
+    *
+    * Scale shape: the reference is ONE bounded array row broadcast to
+    * every group; per-group cost is the n·m fold over a calendar-bounded
+    * array — groups never interact and distribute freely. Keys with
+    * empty series produce no row; an empty reference yields none.
+    *
+    * Returns `(keyCol, n, m, dtw_cents, dtw_norm)`. */
+  def dtwDistance(series: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, ref: DataFrame, refOrderCol: String,
+      refValueCol: String): DataFrame = {
+    val big = lit(1e300)
+    val s = series.groupBy(col(keyCol)).agg(
+      transform(array_sort(collect_list(struct(col(orderCol).as("__o"),
+        col(valueCol).cast("long").as("__v")))), p =>
+        p("__v").cast("double")).as("__s"))
+    val r = ref.agg(
+      transform(array_sort(collect_list(struct(col(refOrderCol).as("__o"),
+        col(refValueCol).cast("long").as("__v")))), p =>
+        p("__v").cast("double")).as("__r"))
+    val withRef = s.join(broadcast(r))
+      .filter(size(col("__s")) > 0 && size(col("__r")) > 0)
+    val initRow = concat(array(lit(0.0)),
+      transform(col("__r"), _ => big))
+    val dp = aggregate(col("__s"), initRow,
+      (prev, si) => aggregate(
+        sequence(lit(1), size(col("__r"))),
+        array(big),
+        (rw, j) => concat(rw, array(
+          least(element_at(prev, j.cast("int")),
+            element_at(prev, (j + 1).cast("int")),
+            element_at(rw, j.cast("int")))
+            + abs(si - element_at(col("__r"), j.cast("int")))))))
+    withRef.withColumn("__dp", dp)
+      .withColumn("__dtw", element_at(col("__dp"), size(col("__r")) + 1))
+      .filter(col("__dtw") < big)
+      .select(col(keyCol), size(col("__s")).cast("long").as("n"),
+        size(col("__r")).cast("long").as("m"),
+        col("__dtw").cast("long").as("dtw_cents"),
+        (col("__dtw") / (size(col("__s")) + size(col("__r")))
+          .cast("double")).as("dtw_norm"))
+  }
 }
