@@ -988,6 +988,109 @@ object TimeSeries {
         6).as("value"))
   }
 
+  /** Cross-correlation function per `keyCol`: Pearson correlation between
+    * `xCol` at time t and `yCol` at time t+k for every lead/lag
+    * k ∈ −maxLag..maxLag — which side LEADS, and by how much
+    * ([[acf]]'s two-series sibling; Granger's q405 F-test says "x-lag
+    * helps", the CCF profile says WHERE the alignment peaks).
+    *
+    * Exactness: pairs come off one lead-window pass over the
+    * pre-aggregated per-key series (bounded rows per key — the
+    * bounded-series window shape) exploded over the 2·maxLag+1 lags;
+    * all five moments per (key, lag) are exact (longs + DECIMAL(38,0)
+    * products — pass integer cents/counts), and the one double formula
+    * runs per (key, lag) row. Degenerate lags (either side constant)
+    * are dropped explicitly.
+    *
+    * Returns `(keyCol, lag, n_pairs, ccf)`. */
+  def ccf(df: DataFrame, keyCol: String, orderCol: String,
+      xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__i"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pairs = df
+      .select(col(keyCol).as("__k"), col(orderCol).as("__i"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .select(col("__k"), col("__x"),
+        array((-maxLag to maxLag).map(k =>
+          struct(lit(k).as("lag"), lead(col("__y"), k).over(w).as("y"))): _*)
+          .as("__ls"))
+      .select(col("__k"), col("__x"), explode(col("__ls")).as("__p"))
+      .filter(col("__p.y").isNotNull)
+      .select(col("__k"), col("__p.lag").as("lag"), col("__x"),
+        col("__p.y").as("__yy"))
+    val m = pairs.groupBy(col("__k"), col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__x")).as("__sx"), sum(col("__yy")).as("__sy"),
+      sum(dec(col("__x")) * col("__yy")).as("__sxy"),
+      sum(dec(col("__x")) * col("__x")).as("__sxx"),
+      sum(dec(col("__yy")) * col("__yy")).as("__syy"))
+    def d(c: String) = col(c).cast("double")
+    val nD = col("n_pairs").cast("double")
+    val cov = nD * d("__sxy") - d("__sx") * d("__sy")
+    val vx = nD * d("__sxx") - d("__sx") * d("__sx")
+    val vy = nD * d("__syy") - d("__sy") * d("__sy")
+    m.filter(col("n_pairs") >= 2 && vx > 0 && vy > 0)
+      .select(col("__k").as(keyCol), col("lag").cast("long").as("lag"),
+        col("n_pairs"), round(cov / sqrt(vx * vy), 6).as("ccf"))
+  }
+
+  /** Low-frequency periodogram per `keyCol`: spectral power of the
+    * ordered (orderCol, valueCol) series at whole-series frequencies
+    * k = 1..maxFreq —
+    *
+    *   P(k) = (C²ₖ + S²ₖ)/n,  Cₖ = Σₜ v′ₜ·cos(2πkt/n),  Sₖ = Σ v′ₜ·sin(·)
+    *
+    * with v′ₜ = (vₜ − v̄)·valueScale (mean-centered so P(0) mass doesn't
+    * leak; scaled so powers stay O(1) and round(·,6) is exact on both
+    * engines — the q405 huge-round lesson).
+    *
+    * Determinism: the trig sums run as ONE SEQUENTIAL FOLD per (key,
+    * frequency) over the day-sorted bounded array — fixed order both
+    * engines replay (`aggregate` here, seeded `list_reduce` in SQL); the
+    * 2π literal is spelled as the same decimal in both so the cos/sin
+    * arguments are bit-identical. (cos/sin themselves are the platform
+    * libm's ≤1-ulp implementations — the same exposure class as the
+    * suite's exp/ln usage, absorbed by the single terminal rounding.)
+    *
+    * Input contract: pre-aggregated bounded series per key; t is the
+    * 0-based day index within the sorted series.
+    *
+    * Returns `(keyCol, k, n, power)`. */
+  def periodogram(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, maxFreq: Int, valueScale: Double): DataFrame = {
+    require(maxFreq >= 1, s"maxFreq must be >= 1: $maxFreq")
+    val g = df
+      .select(col(keyCol).as("__k"), col(orderCol).as("__i"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__k")).agg(
+        count(lit(1)).as("n"), sum(col("__v")).as("__sv"),
+        transform(array_sort(collect_list(struct(col("__i").as("__o"),
+          col("__v").as("__val")))), p => p("__val").cast("double"))
+          .as("__vs"))
+      .filter(col("n") > 1)
+      .withColumn("__mu", col("__sv").cast("double") / col("n").cast("double"))
+      .withColumn("__kf", explode(array((1 to maxFreq).map(lit): _*)))
+      .localCheckpoint(false) // __mu/__kf must not re-inline per fold step
+    val nD = col("n").cast("double")
+    val ang = lit(6.283185307179586) * col("__kf").cast("double")
+    val fold = aggregate(col("__vs"),
+      array(lit(0.0), lit(0.0), lit(0.0)),
+      (acc, v) => array(
+        element_at(acc, 1) + (v - col("__mu")) * valueScale
+          * cos(ang * element_at(acc, 3) / nD),
+        element_at(acc, 2) + (v - col("__mu")) * valueScale
+          * sin(ang * element_at(acc, 3) / nD),
+        element_at(acc, 3) + 1.0))
+    g.withColumn("__f", fold)
+      .withColumn("__c", element_at(col("__f"), 1))
+      .withColumn("__s", element_at(col("__f"), 2))
+      .select(col("__k").as(keyCol), col("__kf").cast("long").as("k"),
+        col("n"),
+        round((col("__c") * col("__c") + col("__s") * col("__s")) / nD, 6)
+          .as("power"))
+  }
+
   /** Engle–Granger two-step cointegration test per `keyCol`: do the two
     * integrated series `yCol` and `xCol` share a long-run equilibrium?
     * Step 1 fits yₜ = α + β·xₜ by OLS (closed form from exact moments);
