@@ -638,6 +638,50 @@ object Hypothesis {
           / (nD * nD * nD + nD * nD)), 6).as("p_approx"))
   }
 
+  /** Cochran's Q test per `groupCol` over BINARY repeated measures: did
+    * the success rate differ across the k treatments when every block
+    * (subject) is its own control? The dichotomous sibling of q399's
+    * Friedman (Cochran 1950):
+    *
+    *   Q = (k−1)·(k·ΣⱼCⱼ² − N²) / (k·N − ΣᵢRᵢ²),  Q ~ χ²(k−1) under H₀
+    *
+    * with Cⱼ the per-treatment success totals, Rᵢ the per-block totals,
+    * N the grand total. All three moments are exact integer sums
+    * (DECIMAL(38,0) for the squares); Q is one double expression per
+    * group. Blocks must be complete (every treatment observed — build
+    * the input that way); all-0/all-k blocks cancel in both numerator
+    * and denominator, and groups where the denominator is ≤ 0 (every
+    * block uninformative) are dropped explicitly.
+    *
+    * Returns `(groupCol, n_blocks, k, q_stat, df)`. */
+  def cochranQ(df: DataFrame, groupCol: String, blockCol: String,
+      treatCol: String, xCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val rows = df.select(col(groupCol).as("__g"), col(blockCol).as("__b"),
+      col(treatCol).as("__t"), col(xCol).cast("long").as("__x"))
+    val kPer = rows.groupBy(col("__g"))
+      .agg(countDistinct(col("__t")).as("k"))
+    val colTot = rows.groupBy(col("__g"), col("__t"))
+      .agg(sum(col("__x")).as("__c"))
+      .groupBy(col("__g")).agg(
+        sum(col("__c")).as("__n"),
+        sum(dec(col("__c")) * col("__c")).as("__sc2"))
+    val rowTot = rows.groupBy(col("__g"), col("__b"))
+      .agg(sum(col("__x")).as("__r"))
+      .groupBy(col("__g")).agg(
+        count(lit(1)).as("n_blocks"),
+        sum(dec(col("__r")) * col("__r")).as("__sr2"))
+    val j = colTot.join(rowTot, "__g").join(broadcast(kPer), "__g")
+    val kD = col("k").cast("double")
+    val nD = col("__n").cast("double")
+    val q = (kD - 1.0) * (kD * col("__sc2").cast("double") - nD * nD) /
+      (kD * nD - col("__sr2").cast("double"))
+    j.filter(col("k") > 1
+        && kD * nD - col("__sr2").cast("double") > 0.0)
+      .select(col("__g").as(groupCol), col("n_blocks"), col("k"),
+        round(q, 6).as("q_stat"), (col("k") - 1).as("df"))
+  }
+
   /** Lag-1 Granger causality per `keyCol`: does yesterday's `xCol` add
     * predictive power for today's `yCol` beyond yesterday's `yCol`?
     * Fits the restricted AR(1) model  yₜ = a₀ + a₁·yₜ₋₁  and the
