@@ -57,7 +57,11 @@ object ScaleBench {
     // round-9 wave #2: Hill tail index — the bounded-heap top-(k+1)
     // over the K x orders-customer join must stay map-side-dominated
     // (the shuffle moves only groups*(k+1)*partitions rows at any K)
-    "q403_hill_tail")
+    "q403_hill_tail",
+    // round-9 wave #5: Katz centrality — three walk-count join+agg
+    // rounds over the K x'd edge artifact (copies are disconnected, so
+    // walk counts stay copy-local and work must scale ~linearly)
+    "q411_katz")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other
