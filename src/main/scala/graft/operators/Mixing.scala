@@ -355,9 +355,12 @@ object Mixing {
       valueCol: String, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
     val x = col(valueCol).cast("long")
+    // the square sum MUST be decimal: cents² ~ 3e15 per row crosses
+    // Long.Max within ~3k rows per stratum — sf0.01 sat just under the
+    // edge and sf0.1 overflowed (caught by the round-9 full bench)
     val m = df.groupBy(col(stratumCol)).agg(
       count(lit(1)).as("n_rows"), sum(x).as("__sx"),
-      sum(x * x).as("__sxx"))
+      sum(x.cast("decimal(38,0)") * x).as("__sxx"))
     val nD = col("n_rows").cast("double")
     val sigma = when(col("n_rows") >= 2,
       sqrt(greatest(lit(0.0),

@@ -383,6 +383,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q411: katz walk rounds never re-shuffle the edge side") {
+    // same loop-invariant-artifact contract as q130: the distinct edge
+    // list is hash-partitioned on the per-round join key once and
+    // cached — an Exchange whose input reaches the edge cache through
+    // partitioning-preserving nodes means every walk round would pay
+    // an edge-sized shuffle
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (1L to 300L).map(i => (i % 30, (i * 11) % 30))
+        .filter(e => e._1 != e._2).toDF("s", "t")
+      val out = operators.Graph.katzCentrality(edges, "s", "t",
+        iterations = 3, alpha = 0.2)
+      val plan = out.queryExecution.executedPlan
+      def cls(p: SparkPlan) = p.getClass.getSimpleName
+      def isEdgeCacheScan(p: SparkPlan) =
+        cls(p) == "InMemoryTableScanExec" &&
+          Set("__src", "__dst").subsetOf(p.output.map(_.name).toSet)
+      val preserving = Set("ProjectExec", "FilterExec", "SortExec",
+        "WholeStageCodegenExec", "InputAdapter", "ColumnarToRowExec")
+      def reachesEdgeCache(p: SparkPlan): Boolean =
+        isEdgeCacheScan(p) ||
+          (preserving.contains(cls(p)) && p.children.exists(reachesEdgeCache))
+      val offending = plan.collect {
+        case ex if cls(ex) == "ShuffleExchangeExec" &&
+          ex.children.exists(reachesEdgeCache) => ex
+      }
+      assert(plan.toString.contains("InMemoryTableScan"),
+        s"edge artifact must serve from cache:\n$plan")
+      assert(offending.isEmpty,
+        s"edge cache re-shuffled beneath ${offending.size} Exchange(s):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("q182: co-occurrence pairs build map-side — no join, one explode") {
     val p = plan("q182_cooccurrence")
     assert(!p.contains("Join"), s"pairs must not come from a join:\n$p")
