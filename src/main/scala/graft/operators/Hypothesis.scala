@@ -638,6 +638,121 @@ object Hypothesis {
           / (nD * nD * nD + nD * nD)), 6).as("p_approx"))
   }
 
+  /** Page's trend test per `groupCol` (Page 1963): in a complete blocked
+    * design with ORDINALLY ORDERED treatments, is there a monotone trend
+    * — the ordered-alternative sharpening of [[friedman]] (which only
+    * asks "any difference?"). With in-block midranks rᵢⱼ and the
+    * treatment's ordinal position cⱼ (1..k, ascending `treatCol` order),
+    *
+    *   L = Σⱼ cⱼ·Rⱼ,   z = (L − n·k(k+1)²/4) / √(n·k²(k+1)(k²−1)/144)
+    *
+    * Exactness: L is accumulated DOUBLED (L2 = Σ cⱼ·2rᵢⱼ — exact longs,
+    * no distinct-then-sum), and the z formula uses the doubled moments
+    * (μ·2, σ²·4) so only the final expression touches double. The
+    * normal approximation assumes no in-block ties (the classical
+    * treatment); ties make z conservative. Complete blocks only,
+    * incomplete blocks dropped like [[friedman]]'s.
+    *
+    * The treatment ordinal comes from a per-group dense index over the
+    * DISTINCT treatment spine (bounded — k rows per group), never a
+    * data-sized window.
+    *
+    * Returns `(groupCol, n, k, l2, z)` — `l2` = 2L, exactly integral. */
+  def pageTrend(df: DataFrame, groupCol: String, blockCol: String,
+      treatCol: String, valueCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(blockCol).as("__blk"),
+        col(treatCol).as("__treat"), col(valueCol).cast("double").as("__x"))
+    val kPer = rows.groupBy(col("__g"))
+      .agg(countDistinct(col("__treat")).as("k"))
+    val complete = rows.groupBy(col("__g"), col("__blk"))
+      .agg(countDistinct(col("__treat")).as("__bt"))
+      .join(broadcast(kPer), "__g")
+      .filter(col("__bt") === col("k"))
+      .select(col("__g"), col("__blk"))
+    val inBlocks = rows.join(complete, Seq("__g", "__blk"))
+    val wR = Window.partitionBy(col("__g"), col("__blk"))
+      .orderBy(col("__x"))
+    val wT = Window.partitionBy(col("__g"), col("__blk"), col("__x"))
+    val ranked = inBlocks.withColumn("__d",
+      lit(2L) * rank().over(wR) + count(lit(1)).over(wT) - 1)
+    // ordinal position of each treatment within its group: a dense
+    // index over the (group × treatment) spine — k rows per group
+    val ordinal = rows.select(col("__g"), col("__treat")).distinct()
+      .withColumn("__j", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__treat"))))
+    val agg = ranked.join(broadcast(ordinal), Seq("__g", "__treat"))
+      .groupBy(col("__g")).agg(
+        sum(col("__j") * col("__d")).as("l2"),
+        countDistinct(col("__blk")).as("n"))
+      .join(broadcast(kPer), "__g")
+    val nD = col("n").cast("double"); val kD = col("k").cast("double")
+    val mu2 = nD * kD * (kD + 1.0) * (kD + 1.0) / 2.0
+    val var2 = nD * kD * kD * (kD + 1.0) * (kD * kD - 1.0) / 36.0
+    agg.filter(col("k") > 1 && col("n") > 0 && var2 > 0)
+      .select(col("__g").as(groupCol), col("n"), col("k"), col("l2"),
+        round((col("l2").cast("double") - mu2) / sqrt(var2), 6).as("z"))
+  }
+
+  /** Mood's median test per `groupCol`: do the `treatCol` samples share
+    * a common median? Counts above/below the POOLED group median into a
+    * 2×k table and reads the χ² — the quick-and-robust location test
+    * that ignores everything about the distributions except which side
+    * of the pooled median each row falls on (Mood 1950).
+    *
+    * Exactness: the pooled lower median is an exact count-based order
+    * statistic off the (group, value) spine via
+    * [[Scale.groupedPrefixSum]]'s grouped scan (first value whose
+    * cumulative count reaches ⌈n/2⌉ — never a group-keyed sort); the
+    * 2×k cell counts are exact longs; the χ² fractional reduction runs
+    * as an ordered window cumsum over the ≤k per-treatment rows (the
+    * [[kruskalWallis]] pattern). Rows equal to the median count as
+    * "below or equal" (the SAS/classical convention). Groups where
+    * either side is empty are dropped explicitly.
+    *
+    * Returns `(groupCol, n, k, median, chi2, df)`. */
+  def moodMedianTest(df: DataFrame, groupCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(treatCol).as("__t"),
+        col(valueCol).cast("long").as("__x"))
+    val spine = rows.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__ties"))
+    val ranked = Scale.groupedPrefixSum(spine, Seq("__g"), "__x",
+      "__ties", "__cum")
+    val nPer = rows.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val med = ranked.join(broadcast(nPer), "__g")
+      .filter(col("__cum") >= floor((col("__n") + 1) / 2).cast("long"))
+      .groupBy(col("__g")).agg(min(col("__x")).as("__med"))
+    val counts = rows.join(broadcast(med), "__g")
+      .groupBy(col("__g"), col("__t")).agg(
+        count(lit(1)).as("__nt"),
+        sum((col("__x") > col("__med")).cast("long")).as("__a"))
+    val tot = counts.groupBy(col("__g")).agg(
+      sum(col("__nt")).as("__n"), sum(col("__a")).as("__ab"),
+      count(lit(1)).as("k"))
+    val j = counts.join(broadcast(tot), "__g")
+    val nD = col("__n").cast("double"); val ntD = col("__nt").cast("double")
+    val aD = col("__a").cast("double")
+    val bD = (col("__nt") - col("__a")).cast("double")
+    val ea = ntD * col("__ab").cast("double") / nD
+    val eb = ntD * (col("__n") - col("__ab")).cast("double") / nD
+    val term = (aD - ea) * (aD - ea) / ea + (bD - eb) * (bD - eb) / eb
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = j.withColumn("__term", term)
+      .withColumn("__c2", sum(col("__term")).over(wCum))
+    cum.groupBy(col("__g")).agg(
+        max(col("__n")).as("n"), max(col("k")).as("k"),
+        max(col("__ab")).as("__abm"),
+        max_by(col("__c2"), col("__t")).as("__chi2"))
+      .join(med.select(col("__g"), col("__med")), "__g")
+      .filter(col("k") > 1 && col("__abm") > 0 && col("__abm") < col("n"))
+      .select(col("__g").as(groupCol), col("n"), col("k"),
+        col("__med").as("median"), round(col("__chi2"), 6).as("chi2"),
+        (col("k") - 1).as("df"))
+  }
+
   /** Cochran's Q test per `groupCol` over BINARY repeated measures: did
     * the success rate differ across the k treatments when every block
     * (subject) is its own control? The dichotomous sibling of q399's
