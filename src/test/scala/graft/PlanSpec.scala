@@ -189,6 +189,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tdSpecs = partSpecs("q404_tail_dependence")
     assert(tdSpecs.nonEmpty && tdSpecs.forall(_.contains("__pid")),
       s"q404 has a window not keyed by __pid: $tdSpecs")
+    // page trend: ranking windows key on (group, block) — data-growing
+    // blocks, ≤ k rows per partition (the q399 shape); the only other
+    // window is the bounded treatment-spine ordinal
+    val ptSpecs = partSpecs("q413_page_trend")
+    assert(ptSpecs.nonEmpty && ptSpecs.forall(s =>
+      s.contains("__blk") || s.contains("__g")),
+      s"q413 windows must key on the block or bounded spine: $ptSpecs")
+    assert(ptSpecs.exists(_.contains("__blk")),
+      s"q413 must rank inside data-growing blocks: $ptSpecs")
+    // mood median: the median comes off the __pid-keyed grouped scan;
+    // the only group-keyed window is the ≤k-row chi-square cumsum
+    val mmSpecs = partSpecs("q414_mood_median")
+    assert(mmSpecs.exists(_.contains("__pid")),
+      s"q414's median must ride the grouped scan: $mmSpecs")
   }
 
   test("q101/q102: substring-dedup wide shuffles never carry token arrays") {
