@@ -77,6 +77,62 @@ object Hypothesis {
         (col("__kk") - 1).as("df"))
   }
 
+  /** Dunn's post-hoc test per `groupCol`: AFTER a significant
+    * [[kruskalWallis]], WHICH treatment pairs differ? Pairwise z on the
+    * pooled-midrank means with the tie correction (Dunn 1964):
+    *
+    *   z = (R̄ᵢ − R̄ⱼ) / √[ (n(n+1)/12 − Σ(t³−t)/(12(n−1))) (1/nᵢ + 1/nⱼ) ]
+    *
+    * Exactness: pooled midranks, per-treatment rank sums, and the tie
+    * term reuse kruskalWallis' machinery verbatim — the (group, value)
+    * spine through [[Scale.groupedPrefixSum]]'s grouped scan, doubled
+    * ranks as exact integers (rank sums in DECIMAL), Σ(t³−t) as exact
+    * longs. Pairs come from a self-join of the ≤k-row per-treatment
+    * table (broadcast); each z is one double expression. Pairs are
+    * emitted once with treat_a < treat_b (string order).
+    *
+    * Returns `(groupCol, treat_a, treat_b, n_a, n_b, z)`. */
+  def dunnPostHoc(df: DataFrame, groupCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val pool = df.filter(x.isNotNull)
+      .select(col(groupCol).as("__g"), col(treatCol).as("__treat"),
+        x.as("__x"))
+    val byTreat = pool.groupBy(col("__g"), col("__x"), col("__treat"))
+      .agg(count(lit(1)).as("__ct"))
+    val spine = byTreat.groupBy(col("__g"), col("__x"))
+      .agg(sum(col("__ct")).as("__t"))
+    val ranked = Scale.groupedPrefixSum(spine, Seq("__g"), "__x",
+        "__t", "__cum")
+      .withColumn("__rank2", col("__cum") * 2 - col("__t") + 1)
+      .join(byTreat, Seq("__g", "__x"))
+    val perGroup = ranked.groupBy(col("__g")).agg(
+      sum(col("__ct")).as("__n"),
+      sum((col("__t") * col("__t") - 1) * col("__ct")).as("__tsum"))
+    val perTreat = ranked.groupBy(col("__g"), col("__treat")).agg(
+      sum(col("__ct")).as("__nj"),
+      sum(col("__ct").cast("decimal(38,0)") * col("__rank2")).as("__r2"))
+    val a = perTreat.select(col("__g"), col("__treat").as("treat_a"),
+      col("__nj").as("__na"), col("__r2").as("__r2a"))
+    val b = perTreat.select(col("__g").as("__g2"),
+      col("__treat").as("treat_b"), col("__nj").as("__nb"),
+      col("__r2").as("__r2b"))
+    val pairs = a.join(broadcast(b),
+      col("__g") === col("__g2") && col("treat_a") < col("treat_b"))
+    val j = pairs.join(broadcast(perGroup), "__g")
+    val nD = col("__n").cast("double")
+    val naD = col("__na").cast("double"); val nbD = col("__nb").cast("double")
+    val sigma2 = nD * (nD + 1.0) / 12.0 -
+      col("__tsum").cast("double") / (lit(12.0) * (nD - 1.0))
+    val z = (col("__r2a").cast("double") / naD
+      - col("__r2b").cast("double") / nbD) / 2.0 /
+      sqrt(sigma2 * (lit(1.0) / naD + lit(1.0) / nbD))
+    j.filter(col("__n") > 1 && sigma2 > 0)
+      .select(col("__g").as(groupCol), col("treat_a"), col("treat_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(z, 6).as("z"))
+  }
+
   /** Two-sample log-rank test on right-censored durations: is cohort
     * `sideA`'s event hazard distinguishable from the rest of `sideCol`?
     *

@@ -723,6 +723,51 @@ object Metrics {
       round(col("__b.__gain"), 6).as("gain"))
   }
 
+  /** Rank-biased overlap at depth d (Webber, Moffat & Zobel 2010)
+    * between two per-group ranked ID lists: how similar are two
+    * rankings, weighting agreement at the TOP geometrically heavier —
+    * the ranking-comparison metric set intersection and Kendall τ both
+    * miss (τ needs conjoint lists; RBO handles disjoint tails).
+    *
+    *   RBO@d = (1−p) Σ_{i=1..d} p^{i−1} · |A₁..ᵢ ∩ B₁..ᵢ| / i
+    *
+    * Inputs are two DataFrames of (group, rank position, id) — build
+    * them with a bounded top-k (e.g. [[TopK.topKPerGroup]]) so the
+    * per-group arrays are ≤ d elements. Prefix overlaps are exact
+    * integer `array_intersect` counts over the bounded arrays (O(d²)
+    * per group, d bounded); the weighted sum runs as ONE sequential
+    * fold carrying the running power pᵢ multiplicatively — no
+    * `pow()`, so both engines produce bit-identical weights. Rankings
+    * of unequal depth compare at the COMMON depth d = min(|A|,|B|)
+    * (sparse groups still get a row); groups missing from either side
+    * or empty are dropped explicitly.
+    *
+    * Returns `(groupCol, d, rbo)`. */
+  def rbo(listA: DataFrame, listB: DataFrame, groupCol: String,
+      posCol: String, idCol: String, p: Double): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1): $p")
+    def packed(df: DataFrame, out: String) = df.groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col(posCol).as("__p"),
+        col(idCol).cast("long").as("__id")))), s => s("__id")).as(out))
+    val j = packed(listA, "__a").join(packed(listB, "__b"), groupCol)
+      .withColumn("__d", least(size(col("__a")), size(col("__b"))))
+      .filter(col("__d") > 0)
+    // fold state [acc, pw]: acc += pw·ov(i)/i, pw *= p — the running
+    // power keeps both engines on identical doubles (no libm pow)
+    val fold = aggregate(
+      sequence(lit(1), col("__d")),
+      array(lit(0.0), lit(1.0)),
+      (st, i) => array(
+        element_at(st, 1) + element_at(st, 2)
+          * size(array_intersect(
+              slice(col("__a"), lit(1), i.cast("int")),
+              slice(col("__b"), lit(1), i.cast("int")))).cast("double")
+          / i.cast("double"),
+        element_at(st, 2) * p))
+    j.select(col(groupCol), col("__d").cast("long").as("d"),
+      round((lit(1.0) - p) * element_at(fold, 1), 6).as("rbo"))
+  }
+
   /** Empirical tail-dependence coefficients per group — the copula
     * diagnostic correlation can't see: do `xCol` and `yCol` land in
     * their EXTREME deciles together?  With m = ⌊n/tailDenom⌋,
