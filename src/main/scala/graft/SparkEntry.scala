@@ -17,7 +17,7 @@ object SparkEntry {
       Round28.all ++ Round29.all ++ Round30.all ++ Round31.all ++
       Round32.all ++ Round33.all ++ Round34.all ++ Round35.all ++
       Round36.all ++ Round37.all ++ Round38.all ++ Round39.all ++
-      Round40.all ++ Round41.all ++ Round42.all ++ Round43.all ++ Round44.all ++ Round45.all ++ Round46.all ++ Round47.all ++ Round48.all ++ Round49.all ++ Round50.all ++ Round51.all ++ Round52.all ++ Round53.all ++ Round54.all ++ Round55.all ++ Round56.all ++ Round57.all ++ Round58.all ++ Round59.all ++ Round60.all ++ Round61.all ++ Round62.all ++ Round63.all ++ Round64.all ++ Round65.all ++ Round66.all ++ Round67.all ++ Round68.all ++ Round69.all ++ Round70.all ++ Round71.all ++ Round72.all ++ Round73.all ++ Round74.all ++ Round75.all ++ Round76.all ++ Round77.all ++ Round78.all ++ Round79.all ++ Round80.all ++ Round81.all ++ Round82.all ++ Round83.all
+      Round40.all ++ Round41.all ++ Round42.all ++ Round43.all ++ Round44.all ++ Round45.all ++ Round46.all ++ Round47.all ++ Round48.all ++ Round49.all ++ Round50.all ++ Round51.all ++ Round52.all ++ Round53.all ++ Round54.all ++ Round55.all ++ Round56.all ++ Round57.all ++ Round58.all ++ Round59.all ++ Round60.all ++ Round61.all ++ Round62.all ++ Round63.all ++ Round64.all ++ Round65.all ++ Round66.all ++ Round67.all ++ Round68.all ++ Round69.all ++ Round70.all ++ Round71.all ++ Round72.all ++ Round73.all ++ Round74.all ++ Round75.all ++ Round76.all ++ Round77.all ++ Round78.all ++ Round79.all ++ Round80.all ++ Round81.all ++ Round82.all ++ Round83.all ++ Round84.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

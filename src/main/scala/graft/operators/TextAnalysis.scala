@@ -604,4 +604,85 @@ object TextAnalysis {
         - slope * (col("__sx").cast("double") / 1.0e9)) / nD, 6)
         .as("intercept"))
   }
+
+  /** Chao1 vocabulary-richness estimate per group (Chao 1984,
+    * bias-corrected form): how many word TYPES does the corpus slice
+    * really have, including the ones not yet seen?
+    *
+    *   Chao1 = D + f₁(f₁−1) / (2(f₂+1)),   Ĉ = 1 − f₁/N  (Good's coverage)
+    *
+    * with D observed types, f₁/f₂ the singleton/doubleton counts, N the
+    * token count. The "is this slice's vocabulary saturated?" readout a
+    * crawl-scheduling pipeline reads before deciding it has enough of a
+    * source. The bias-corrected denominator (f₂+1) keeps the estimator
+    * defined when no doubletons exist.
+    *
+    * Exactness: one (group, word) count aggregate → one frequency
+    * reduce; D, f₁, f₂, N are exact longs and both formulas are one
+    * double expression each. Token split is whitespace on the raw text
+    * (`split(text, " ")`, empties dropped — the suite's q345 TTR
+    * convention).
+    *
+    * Returns `(groupCol, n_tokens, n_types, f1, f2, chao1, coverage)`. */
+  def chao1(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val wc = docs
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__c"))
+    val agg = wc.groupBy(col("__g")).agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum((col("__c") === 1).cast("long")).as("f1"),
+      sum((col("__c") === 2).cast("long")).as("f2"))
+    val (f1D, f2D) = (col("f1").cast("double"), col("f2").cast("double"))
+    val nD = col("n_tokens").cast("double")
+    agg.filter(col("n_tokens") > 0)
+      .select(col("__g").as(groupCol), col("n_tokens"), col("n_types"),
+        col("f1"), col("f2"),
+        round(col("n_types").cast("double")
+          + f1D * (f1D - 1.0) / (lit(2.0) * (f2D + 1.0)), 6).as("chao1"),
+        round(lit(1.0) - f1D / nD, 6).as("coverage"))
+  }
+
+  /** Good–Turing frequency smoothing per group (Good 1953): the unseen
+    * probability mass p₀ = f₁/N and the adjusted counts
+    * r* = (r+1)·f_{r+1}/f_r for the low frequencies r = 1..maxR — what a
+    * language model should ACTUALLY charge for rare words, and the
+    * standard "how much of this source is still unseen" readout.
+    *
+    * Exactness: the frequency-of-frequencies table is one exact
+    * aggregate over the (group, word) counts; each r* row is one double
+    * division of exact longs. Rows where f_r = 0 are absent by
+    * construction; f_{r+1} defaults to 0 (r* = 0 — the classical
+    * smoothed count when nothing was seen r+1 times).
+    *
+    * Returns `(groupCol, r, f_r, f_r1, r_star, p0)`. */
+  def goodTuring(docs: DataFrame, groupCol: String, textCol: String,
+      maxR: Int = 4): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1: $maxR")
+    val wc = docs
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__c"))
+    val ff = wc.groupBy(col("__g"), col("__c").as("r"))
+      .agg(count(lit(1)).as("f_r"))
+    val totals = wc.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum((col("__c") === 1).cast("long")).as("__f1"))
+    val nxt = ff.select(col("__g").as("__g2"), (col("r") - 1).as("__r0"),
+      col("f_r").as("f_r1"))
+    val j = ff.filter(col("r") <= maxR)
+      .join(nxt, col("__g") === col("__g2") && col("r") === col("__r0"),
+        "left")
+      .join(broadcast(totals), "__g")
+    j.select(col("__g").as(groupCol), col("r").cast("long").as("r"),
+        col("f_r"), coalesce(col("f_r1"), lit(0L)).as("f_r1"),
+        round((col("r").cast("double") + 1.0)
+          * coalesce(col("f_r1"), lit(0L)).cast("double")
+          / col("f_r").cast("double"), 6).as("r_star"),
+        round(col("__f1").cast("double") / col("__n").cast("double"), 6)
+          .as("p0"))
+  }
 }
