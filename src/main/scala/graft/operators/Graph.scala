@@ -743,17 +743,35 @@ object Graph {
     * key ONCE and cached, so each round shuffles only the |nodes|-sized
     * walk-count side.
     *
-    * Returns `(node, katz)` for every node (isolated destinations with
-    * zero in-walks included via the node set = distinct sources of the
-    * symmetrized input). */
+    * Returns `(node, katz)` for every node that appears as a source OR
+    * a destination — pure sinks of a directed graph get their in-walk
+    * counts, pure sources get 0.0 (on symmetrized input the union is
+    * just the source set). */
   def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, alpha: Double = 0.2): DataFrame = {
+    val (plan, e) = katzPlan(edges, srcCol, dstCol, iterations, alpha)
+    // materialize before releasing the cached edge artifact — the
+    // sibling discipline (pageRank/HITS/SSSP): nothing cached survives
+    // the operator call
+    val out = plan.localCheckpoint()
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** The lazy katz plan plus its cached edge artifact — split out so
+    * PlanSpec can pin the never-re-shuffle-the-edge-side shape on the
+    * exact tree [[katzCentrality]] materializes (the public entry
+    * checkpoints it and unpersists the artifact). */
+  private[graft] def katzPlan(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int, alpha: Double)
+      : (DataFrame, DataFrame) = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct()
       .repartition(col("__src")).cache()
-    val nodes = e.select(col("__src").as("node")).distinct()
+    val nodes = e.select(col("__src").as("node"))
+      .unionAll(e.select(col("__dst").as("node"))).distinct()
     // W1 = in-degree; W_{l+1}(v) = Σ_{u→v} W_l(u)
     val w1 = e.groupBy(col("__dst").as("node"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("__w1"))
@@ -771,7 +789,7 @@ object Graph {
       aPow * coalesce(col(s"__w$l"), lit(0).cast("decimal(38,0)"))
         .cast("double")
     }.reduce(_ + _)
-    joined.select(col("node"), katz.as("katz"))
+    (joined.select(col("node"), katz.as("katz")), e)
   }
 
 }

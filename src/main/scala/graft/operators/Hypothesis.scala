@@ -52,7 +52,11 @@ object Hypothesis {
       sum(col("__ct")).as("__n"),
       // one spine row per tied run: weight the run term by __ct/__t to
       // count it exactly once — (t²−1)·t·(ct/t) = (t²−1)·ct, exact longs
-      sum((col("__t") * col("__t") - 1) * col("__ct")).as("__tsum"))
+      // t² in DECIMAL: a tied run past ~2.1M rows would overflow the
+      // long square silently (Spark wraps) while the HUGEINT oracle
+      // keeps going — exact to 38 digits instead
+      sum((col("__t").cast("decimal(38,0)") * col("__t") - 1) *
+        col("__ct")).as("__tsum"))
     val perTreat = ranked.groupBy(col(groupCol), col("__treat")).agg(
       sum(col("__ct")).as("__nj"),
       (sum(col("__ct") * col("__rank2")).cast("double") / 2.0).as("__rj"))
@@ -108,7 +112,11 @@ object Hypothesis {
       .join(byTreat, Seq("__g", "__x"))
     val perGroup = ranked.groupBy(col("__g")).agg(
       sum(col("__ct")).as("__n"),
-      sum((col("__t") * col("__t") - 1) * col("__ct")).as("__tsum"))
+      // t² in DECIMAL: a tied run past ~2.1M rows would overflow the
+      // long square silently (Spark wraps) while the HUGEINT oracle
+      // keeps going — exact to 38 digits instead
+      sum((col("__t").cast("decimal(38,0)") * col("__t") - 1) *
+        col("__ct")).as("__tsum"))
     val perTreat = ranked.groupBy(col("__g"), col("__treat")).agg(
       sum(col("__ct")).as("__nj"),
       sum(col("__ct").cast("decimal(38,0)") * col("__rank2")).as("__r2"))

@@ -7,8 +7,76 @@ import scala.collection.mutable.ArrayBuffer
 import scala.concurrent.{Future, Promise}
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** A [[MemoryStream]] whose idle offset poll PARKS instead of spinning:
+  * when a trigger finds no new data, `latestOffset` blocks on a monitor
+  * for up to `idleParkMs` and `addData` notifies that monitor — so a
+  * flush is picked up IMMEDIATELY (the park wakes within microseconds,
+  * better than waiting out a trigger tick) while a long-idle lane costs
+  * ~1000/idleParkMs driver wakeups/s instead of 200 at the bare 5 ms
+  * trigger (round-9 verdict: `parallelism × 200` empty micro-batch polls
+  * per second of constant driver churn on an idle instance).
+  *
+  * Ids are allocated from a high base so the case-class equality of
+  * [[MemoryStream]] can never collide with companion-allocated streams. */
+private[streaming] final class WakeableMemoryStream[T](
+    spark: SparkSession, numPartitions: Int, idleParkMs: Long)(
+    implicit enc: Encoder[T])
+  extends MemoryStream[T](
+    WakeableMemoryStream.nextId(), spark, Some(numPartitions)) {
+
+  private val gate = new Object
+  private var armed = false // data added since the last park; guarded by gate
+  @volatile private var lastPolled: OffsetV2 = null
+
+  override def addData(data: IterableOnce[T])
+      : org.apache.spark.sql.execution.streaming.Offset = {
+    val o = super.addData(data)
+    gate.synchronized { armed = true; gate.notifyAll() }
+    o
+  }
+
+  // the park is a LATENCY hint only: the offset comparison against the
+  // trigger's start decides correctness; `armed` merely short-circuits
+  // the wait when data raced in between the probe and the monitor
+  private def parkForData(): Unit = gate.synchronized {
+    if (!armed) {
+      try gate.wait(idleParkMs)
+      catch {
+        // the stream-execution thread is interrupted by query.stop():
+        // restore the flag and fall through so the loop can terminate
+        case _: InterruptedException => Thread.currentThread().interrupt()
+      }
+    }
+    armed = false
+  }
+
+  // MicroBatchExecution drives this form (the source implements
+  // SupportsAdmissionControl via SupportsTriggerAvailableNow)
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val first = super.latestOffset(start, limit)
+    if (first != null && first != start) first
+    else { parkForData(); super.latestOffset(start, limit) }
+  }
+
+  override def latestOffset(): OffsetV2 = {
+    val first = super.latestOffset()
+    if (first != null && first != lastPolled) { lastPolled = first; first }
+    else {
+      parkForData()
+      val o = super.latestOffset(); lastPolled = o; o
+    }
+  }
+}
+
+private[streaming] object WakeableMemoryStream {
+  // far above anything the MemoryStream companion's counter will reach
+  private val ids = new java.util.concurrent.atomic.AtomicInteger(1 << 20)
+  private def nextId(): Int = ids.getAndIncrement()
+}
 
 /** Asynchronous request micro-batching on Structured Streaming — the
   * Spark-native re-expression of the reference's batching facility
@@ -21,8 +89,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *    IMMEDIATELY, in interval mode too, exactly like the reference's
   *    failed `offer` → `wakeUp`), or on close-drain (`core.clj:58-66` ≙
   *    `processAllAvailable` + `stop`). Batch formation is owned by this
-  *    façade's buffers; the streaming lanes poll fast (10 ms) and simply
-  *    execute whatever batch was pushed;
+  *    façade's buffers; the streaming lanes pick batches up event-driven
+  *    (a parked offset poll woken by addData) and simply execute
+  *    whatever batch was pushed;
   *  - FIFO within a batch (`core.clj:129-130`): requests carry a sequence
   *    id and each batch is processed in id order;
   *  - positional result alignment with null padding (`core.clj:72-76`):
@@ -84,13 +153,19 @@ final class Grouper[A, B] private (
       // default plan turns each block into its own input partition — a
       // burst of single-item submits would otherwise give a batch with
       // thousands of one-row tasks
-      val source = MemoryStream[(Long, A)](spark, 4)(reqEnc)
+      val source: MemoryStream[(Long, A)] =
+        new WakeableMemoryStream[(Long, A)](spark, 4, 100L)(reqEnc)
       val query = source.toDS()
         .writeStream
-        // fast poll, NOT the user interval: batch boundaries are decided
-        // by this façade's flushes; a no-data tick costs nothing, so the
-        // poll only adds pickup latency after a flush — keep it tight
-        .trigger(Trigger.ProcessingTime(5L))
+        // interval 0, NOT the user interval: batch boundaries are decided
+        // by this façade's flushes and PACING lives in the wakeable
+        // source — its idle offset poll parks up to 100 ms and addData
+        // wakes it instantly, so pickup is event-driven (~0 latency),
+        // busy batches run back-to-back, and an idle lane costs ~10
+        // driver wakeups/s instead of the old 5 ms tick's 200 (interval
+        // 0 also skips ProcessingTimeExecutor's falling-behind warning,
+        // which a parked poll would otherwise trip every idle cycle)
+        .trigger(Trigger.ProcessingTime(0L))
         .foreachBatch { (batch: Dataset[(Long, A)], _: Long) =>
           // one collect of the capacity-bounded batch, sorted driver-side:
           // a per-batch orderBy would shuffle and re-execute per downstream

@@ -412,7 +412,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       val edges = (1L to 300L).map(i => (i % 30, (i * 11) % 30))
         .filter(e => e._1 != e._2).toDF("s", "t")
-      val out = operators.Graph.katzCentrality(edges, "s", "t",
+      // inspect the lazy plan builder directly — the public entry
+      // localCheckpoints the result (hiding the tree) and unpersists
+      // the edge artifact; this IS the tree it materializes
+      val (out, eCached) = operators.Graph.katzPlan(edges, "s", "t",
         iterations = 3, alpha = 0.2)
       val plan = out.queryExecution.executedPlan
       def cls(p: SparkPlan) = p.getClass.getSimpleName
@@ -432,6 +435,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"edge artifact must serve from cache:\n$plan")
       assert(offending.isEmpty,
         s"edge cache re-shuffled beneath ${offending.size} Exchange(s):\n$plan")
+      eCached.unpersist(blocking = false)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
