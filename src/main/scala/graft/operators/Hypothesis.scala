@@ -147,12 +147,19 @@ object Hypothesis {
     * Standard Mantel–Haenszel form over the distinct event times t:
     * O₁ = Σ d₁ₜ, E₁ = Σ dₜ·n₁ₜ/nₜ, V = Σ dₜ(n₁ₜ/nₜ)(1−n₁ₜ/nₜ)(nₜ−dₜ)/(nₜ−1),
     * z = (O₁−E₁)/√V. At-risk counts come from a reverse cumulative over
-    * the per-duration reduce, so the whole test reads the data once; the
-    * post-reduce table is calendar-bounded (one row per distinct
-    * duration), so the single-partition windows cost nothing at scale.
+    * the per-duration reduce, so the whole test reads the data once.
+    * The post-reduce spine follows the [[Quantiles]] probe-and-route
+    * discipline: at or below [[Scale.maxOrderedFrameRows]] the
+    * cumulatives are sequential single-task windows (double terms
+    * accumulate in the exact ascending-t order an ordered-SQL oracle
+    * replays); a corpus-sized spine (continuous-valued durations)
+    * rides [[Scale.prefixSums]]' range-partitioned scan for the risk
+    * sets, with the Σ terms as plain aggregates — the statistic only
+    * needs totals.
     */
   def logRank(df: DataFrame, durCol: String, eventCol: String,
-      sideCol: String, sideA: String): DataFrame = {
+      sideCol: String, sideA: String,
+      maxSpineRows: Long = Scale.maxOrderedFrameRows): DataFrame = {
     val byT = df
       .select(col(durCol).cast("long").as("__t"),
         col(eventCol).cast("long").as("__ev"),
@@ -162,39 +169,64 @@ object Hypothesis {
         sum(col("__ev")).as("__d"),
         count(lit(1)).as("__c"),
         sum(col("__a")).as("__c_a"))
-    val wRisk = Window.orderBy(col("__t"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val wCum = Window.orderBy(col("__t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val risk = byT
-      .withColumn("__n", sum(col("__c")).over(wRisk))
-      .withColumn("__n_a", sum(col("__c_a")).over(wRisk))
-    val nD = col("__n").cast("double")
-    val naD = col("__n_a").cast("double")
-    val dD = col("__d").cast("double")
-    val terms = risk
-      .withColumn("__e_a", dD * naD / nD)
-      .withColumn("__v",
-        when(col("__n") > 1,
-          dD * (naD / nD) * (lit(1.0) - naD / nD)
-            * (nD - dD) / (nD - 1.0)).otherwise(lit(0.0)))
-    val cum = terms
-      .withColumn("__o_cum", sum(col("__d_a")).over(wCum))
-      .withColumn("__e_cum", sum(col("__e_a")).over(wCum))
-      .withColumn("__v_cum", sum(col("__v")).over(wCum))
-      .withColumn("__na_tot", sum(col("__c_a")).over(wCum))
-      .withColumn("__n_tot", sum(col("__c")).over(wCum))
-    cum.agg(
-        max_by(col("__na_tot"), col("__t")).as("n_a"),
-        (max_by(col("__n_tot"), col("__t"))
-          - max_by(col("__na_tot"), col("__t"))).as("n_b"),
-        max_by(col("__o_cum"), col("__t")).as("o_a"),
-        round(max_by(col("__e_cum"), col("__t")), 6).as("e_a"),
-        round(max_by(col("__v_cum"), col("__t")), 6).as("v"),
-        round((max_by(col("__o_cum"), col("__t")).cast("double")
-            - max_by(col("__e_cum"), col("__t")))
-          / sqrt(max_by(col("__v_cum"), col("__t"))), 6).as("z"))
-      .filter(col("v").isNotNull && col("v") > 0)
+      .localCheckpoint(false)
+    def statsOf(terms: DataFrame): DataFrame = {
+      val nD = col("__n").cast("double")
+      val naD = col("__n_a").cast("double")
+      val dD = col("__d").cast("double")
+      terms
+        .withColumn("__e_a", dD * naD / nD)
+        .withColumn("__v",
+          when(col("__n") > 1,
+            dD * (naD / nD) * (lit(1.0) - naD / nD)
+              * (nD - dD) / (nD - 1.0)).otherwise(lit(0.0)))
+    }
+    val cum = if (byT.count() <= maxSpineRows) {
+      val wRisk = Window.orderBy(col("__t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy(col("__t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      statsOf(byT
+          .withColumn("__n", sum(col("__c")).over(wRisk))
+          .withColumn("__n_a", sum(col("__c_a")).over(wRisk)))
+        .withColumn("__o_cum", sum(col("__d_a")).over(wCum))
+        .withColumn("__e_cum", sum(col("__e_a")).over(wCum))
+        .withColumn("__v_cum", sum(col("__v")).over(wCum))
+        .withColumn("__na_tot", sum(col("__c_a")).over(wCum))
+        .withColumn("__n_tot", sum(col("__c")).over(wCum))
+        .agg(
+          max_by(col("__na_tot"), col("__t")).as("n_a"),
+          (max_by(col("__n_tot"), col("__t"))
+            - max_by(col("__na_tot"), col("__t"))).as("n_b"),
+          max_by(col("__o_cum"), col("__t")).as("o_a"),
+          round(max_by(col("__e_cum"), col("__t")), 6).as("e_a"),
+          round(max_by(col("__v_cum"), col("__t")), 6).as("v"),
+          round((max_by(col("__o_cum"), col("__t")).cast("double")
+              - max_by(col("__e_cum"), col("__t")))
+            / sqrt(max_by(col("__v_cum"), col("__t"))), 6).as("z"))
+    } else {
+      // distributed route: reverse cumulative n(t) = N − Σ_{t'<t} c
+      // from one multi-column exclusive prefix pass; the five Σ totals
+      // are plain aggregates (exact longs for O/n; double order noise
+      // on E/V is unobservable past the probe bound)
+      val totals = broadcast(byT.agg(sum(col("__c")).as("__nTot"),
+        sum(col("__c_a")).as("__naTot")))
+      statsOf(Scale
+          .prefixSums(byT, "__t", Seq("__c", "__c_a"),
+            suffix = "_b", inclusive = false)
+          .crossJoin(totals)
+          .withColumn("__n", col("__nTot") - col("__c_b"))
+          .withColumn("__n_a", col("__naTot") - col("__c_a_b")))
+        .agg(
+          max(col("__naTot")).as("n_a"),
+          (max(col("__nTot")) - max(col("__naTot"))).as("n_b"),
+          sum(col("__d_a")).as("o_a"),
+          round(sum(col("__e_a")), 6).as("e_a"),
+          round(sum(col("__v")), 6).as("v"),
+          round((sum(col("__d_a")).cast("double") - sum(col("__e_a")))
+            / sqrt(sum(col("__v"))), 6).as("z"))
+    }
+    cum.filter(col("v").isNotNull && col("v") > 0)
   }
 
   /** Cohen's d and Hedges' g effect sizes per `groupCol` between the two

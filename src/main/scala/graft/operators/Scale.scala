@@ -152,7 +152,7 @@ object Scale {
     * makes the same single-partitioner choice for the same reason.
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
-      resultCol: String = "cumsum"): DataFrame = {
+      resultCol: String = "cumsum", inclusive: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranged = df
       .repartitionByRange(col(orderCol))
@@ -168,11 +168,147 @@ object Scale {
     val offset = coalesce(
       element_at(typedLit(offsets), col("__pid")), lit(0L))
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
     ranged
-      .withColumn(resultCol, sum(col("__v")).over(w) + offset)
+      .withColumn(resultCol,
+        coalesce(sum(col("__v")).over(w), lit(0L)) + offset)
       .drop("__pid", "__v")
   }
+
+  /** Multi-column [[prefixSum]]: one range exchange + one window pass
+    * computing the global running sum of SEVERAL long columns at once
+    * (each lands in `<name><suffix>`) — what the survival/risk-set
+    * spines need (events, censored, cohort membership cumulated over
+    * the same distinct-duration ordering) without paying the exchange
+    * per column. Same contract as [[prefixSum]]: unique order key,
+    * values summed as LONG, one-materialization discipline. */
+  def prefixSums(df: DataFrame, orderCol: String, valueCols: Seq[String],
+      suffix: String = "_cum", inclusive: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    def vc(c: String) = s"__v_$c"
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .select(col("*") +: valueCols.map(c =>
+        col(c).cast("long").as(vc(c))): _*)
+      .localCheckpoint(false)
+    val sumExprs = valueCols.map(c =>
+      coalesce(sum(col(vc(c))), lit(0L)).as(vc(c)))
+    val partSums = ranged.groupBy(col("__pid"))
+      .agg(sumExprs.head, sumExprs.tail: _*)
+      .collect().map(r => (r.getInt(0),
+        valueCols.indices.map(i => r.getLong(1 + i)).toArray))
+      .sortBy(_._1)
+    val offsetMaps: Seq[Map[Int, Long]] = valueCols.indices.map { ci =>
+      partSums.scanLeft((0, 0L)) { case ((_, acc), (pid, ss)) =>
+        (pid, acc + ss(ci))
+      }.init.zip(partSums).map { case ((_, acc), (pid, _)) => pid -> acc }
+        .filter(_._2 != 0L).toMap
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
+    val withCums = valueCols.zipWithIndex.foldLeft(ranged) {
+      case (acc, (c, ci)) =>
+        val offset = if (offsetMaps(ci).isEmpty) lit(0L)
+          else coalesce(
+            element_at(typedLit(offsetMaps(ci)), col("__pid")), lit(0L))
+        acc.withColumn(s"$c$suffix",
+          coalesce(sum(col(vc(c))).over(w), lit(0L)) + offset)
+    }
+    withCums.drop("__pid" +: valueCols.map(vc): _*)
+  }
+
+  /** [[prefixSum]] over DOUBLE values — for running sums that are
+    * intrinsically floating (cumulative hazards, log-survival factors)
+    * on the large-spine route where no exact-integer form exists.
+    *
+    * Caveat vs the single-task `Window.orderBy` it replaces: each
+    * partition's contribution to the carry-in is an aggregate sum
+    * (associativity-order not the strict row order), so results can
+    * differ from a strictly sequential scan in the last ulps at
+    * partition boundaries. Callers keep the sequential single-task
+    * window on oracle-checked small frames and route here only past
+    * [[maxOrderedFrameRows]], where bit-exact sequential semantics are
+    * unobservable anyway. */
+  def prefixSumD(df: DataFrame, orderCol: String, valueCol: String,
+      resultCol: String = "cumsum", inclusive: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", col(valueCol).cast("double"))
+      .localCheckpoint(false)
+    val partSums = ranged.groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__v")), lit(0.0)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    val offsets = partSums.scanLeft((0, 0.0)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .init.zip(partSums).map { case ((_, acc), (pid, _)) => pid -> acc }.toMap
+    val offset = coalesce(
+      element_at(typedLit(offsets), col("__pid")), lit(0.0))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
+    ranged
+      .withColumn(resultCol,
+        coalesce(sum(col("__v")).over(w), lit(0.0)) + offset)
+      .drop("__pid", "__v")
+  }
+
+  /** Distributed prefix MAX over a global ordering (ascending or
+    * descending) — the running-maximum scan behind skyline dominance
+    * tests, expressed without a single-partition window. Unlike the
+    * floating sums, max is ASSOCIATIVE AND ORDER-INSENSITIVE, so this
+    * is bit-identical to the sequential window at any partitioning —
+    * callers can ride it unconditionally, no probe needed.
+    *
+    * The carry-in table is built IN Spark (a window over the
+    * |partitions|-row per-partition-max aggregate — bounded metadata,
+    * like [[prefixSum]]'s offset collect) and broadcast back, which
+    * keeps `valueCol`'s NATIVE type: no driver-side casts, exact for
+    * longs/decimals. Same unique-order-key contract and
+    * one-materialization discipline as [[prefixSum]]; `resultCol` is
+    * NULL where the (possibly exclusive) frame is empty, matching
+    * `max().over(...)`. */
+  def prefixMax(df: DataFrame, orderCol: String, valueCol: String,
+      resultCol: String, descending: Boolean = false,
+      inclusive: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    val ranged = df
+      .repartitionByRange(ord)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    // exclusive running max across partitions in pid order; the window
+    // input is |partitions| rows of metadata, never data-sized
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(max(col(valueCol)).as("__pm"))
+      .withColumn("__carry", max(col("__pm")).over(wOff))
+      .select(col("__pid"), col("__carry"))
+    val w = Window.partitionBy(col("__pid")).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
+    // greatest() skips NULLs: first row of the first partition has a
+    // NULL frame and a NULL carry -> NULL, matching the plain window
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(resultCol,
+        greatest(max(col(valueCol)).over(w), col("__carry")))
+      .drop("__pid", "__carry")
+  }
+
+  /** Row-count bound for letting an ordered frame run through ONE
+    * window task (`Window.orderBy` with no partition key). Reduced
+    * spines (distinct durations, distinct event times, per-x maxima)
+    * are usually far below it; operators probe the spine's count and
+    * route to the range-partitioned prefix machinery above when a
+    * continuous-valued column makes the spine corpus-sized. 2M small
+    * rows sort in well under a second in one task; past that the
+    * single task becomes the stage's straggler. */
+  val maxOrderedFrameRows: Long = 2L * 1000 * 1000
 
   /** Grouped distributed prefix sum: for each row, Σ `valueCol` over rows
     * of the SAME group whose `orderCol` is before it (inclusive of the

@@ -400,31 +400,49 @@ object TimeSeries {
     * additive sibling: H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over event times, the
     * hazard-scale view survival analysis reads alongside the survival
     * curve (H ≈ −ln S for small increments). Same right-censoring
-    * convention and the same reduced per-t risk-set machinery; the
-    * running sum accumulates per-t double ratios in ascending-t frame
-    * order — identical sequential order in any engine. The window runs
-    * over the DISTINCT-duration table like kaplanMeier's (bounded by
-    * the duration range, not the row count). */
+    * convention, the same reduced per-t risk-set machinery, and the
+    * same probe-and-route as [[kaplanMeier]]: a spine at or below
+    * [[Scale.maxOrderedFrameRows]] runs the sequential single-task
+    * windows (per-t double ratios accumulated in ascending-t frame
+    * order — identical sequential order in any engine); a corpus-sized
+    * spine rides the range-partitioned prefix scans instead. */
   def nelsonAalen(df: DataFrame, durationCol: String,
-      observedCol: String): DataFrame = {
+      observedCol: String,
+      maxSpineRows: Long = Scale.maxOrderedFrameRows): DataFrame = {
     val perT = df.groupBy(col(durationCol).cast("long").as("t"))
       .agg(sum(col(observedCol).cast("long")).as("n_events"),
         sum(lit(1L) - col(observedCol).cast("long")).as("n_censored_at_t"))
-    val w = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perT
-      .withColumn("__gone",
-        coalesce(sum(col("n_events") + col("n_censored_at_t")).over(w),
-          lit(0L)))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
-      .withColumn("n_risk", col("__n") - col("__gone"))
-      .withColumn("cum_hazard",
-        round(sum(col("n_events").cast("double") / col("n_risk"))
-          .over(wTot), 6))
-      .filter(col("n_events") > 0)
-      .select(col("t"), col("n_risk"), col("n_events"), col("cum_hazard"))
+      .localCheckpoint(false)
+    val total = broadcast(df.agg(count(lit(1)).as("__n")))
+    if (perT.count() <= maxSpineRows) {
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perT
+        .withColumn("__gone",
+          coalesce(sum(col("n_events") + col("n_censored_at_t")).over(w),
+            lit(0L)))
+        .crossJoin(total)
+        .withColumn("n_risk", col("__n") - col("__gone"))
+        .withColumn("cum_hazard",
+          round(sum(col("n_events").cast("double") / col("n_risk"))
+            .over(wTot), 6))
+        .filter(col("n_events") > 0)
+        .select(col("t"), col("n_risk"), col("n_events"), col("cum_hazard"))
+    } else {
+      val risk = Scale
+        .prefixSum(perT.withColumn("__tot",
+          col("n_events") + col("n_censored_at_t")), "t", "__tot", "__cum")
+        .crossJoin(total)
+        .withColumn("n_risk", col("__n") - col("__cum") + col("__tot"))
+        .withColumn("__h",
+          col("n_events").cast("double") / col("n_risk"))
+      Scale.prefixSumD(risk, "t", "__h", "__hCum")
+        .withColumn("cum_hazard", round(col("__hCum"), 6))
+        .filter(col("n_events") > 0)
+        .select(col("t"), col("n_risk"), col("n_events"), col("cum_hazard"))
+    }
   }
 
   /** k-step absorption probability of a first-order Markov chain
@@ -623,45 +641,77 @@ object TimeSeries {
     * times.
     *
     * Shape: one hash aggregate to per-duration (events, censored)
-    * counts; the risk-set and survival recursions are windows over the
-    * DISTINCT-duration table — metadata-sized (days, not subjects), so
-    * the single-partition window is bounded, like every per-bucket
-    * fold in this codebase. The product is `exp(Σ ln(1−d/n))` with the
-    * cumulative sum sequential inside the window — deterministic, and
-    * replayable verbatim in SQL.
+    * counts, then the [[Quantiles]] probe-and-route discipline on the
+    * DISTINCT-duration spine: at or below
+    * [[Scale.maxOrderedFrameRows]] the risk-set and survival
+    * recursions are sequential single-task windows (bit-exact vs an
+    * ordered-SQL oracle — the product is `exp(Σ ln(1−d/n))` with the
+    * cumulative sum sequential inside the window); past it — a
+    * continuous-valued duration column whose spine is corpus-sized —
+    * they ride [[Scale.prefixSum]]/[[Scale.prefixSumD]]'s
+    * range-partitioned scans, so no data-sized frame ever serializes
+    * through one window task.
     *
     * Returns one row per distinct duration with ≥1 EVENT:
     * `(t, n_risk, n_events, n_censored_at_t, survival)` (survival
     * rounded to 6, non-increasing in t). */
   def kaplanMeier(df: DataFrame, durationCol: String,
-      observedCol: String): DataFrame = {
+      observedCol: String,
+      maxSpineRows: Long = Scale.maxOrderedFrameRows): DataFrame = {
     val perT = df.groupBy(col(durationCol).cast("long").as("t"))
       .agg(sum(col(observedCol).cast("long")).as("n_events"),
         sum(lit(1L) - col(observedCol).cast("long")).as("n_censored_at_t"))
-    val w = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perT
-      .withColumn("__gone",
-        coalesce(sum(col("n_events") + col("n_censored_at_t")).over(w),
-          lit(0L)))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
-      .withColumn("n_risk", col("__n") - col("__gone"))
-      .withColumn("__f",
-        lit(1.0) - col("n_events").cast("double") / col("n_risk"))
-      // the terminal step where EVERYONE at risk has the event makes
-      // the factor 0 — ln would blow up (DuckDB errors, Spark nulls);
-      // survival is exactly 0 from that t on, so flag it instead
-      .withColumn("__hitZero",
-        max(when(col("__f") === 0.0, 1).otherwise(0)).over(wTot))
-      .withColumn("__lnf", when(col("__f") > 0, log(col("__f")))
-        .otherwise(lit(0.0)))
-      .withColumn("survival", when(col("__hitZero") === 1, lit(0.0))
-        .otherwise(round(exp(sum(col("__lnf")).over(wTot)), 6)))
-      .filter(col("n_events") > 0)
-      .select(col("t"), col("n_risk"), col("n_events"),
-        col("n_censored_at_t"), col("survival"))
+      // pin the spine: the probe's count and the routed passes must
+      // see one materialization (lazy checkpoint, freed with the result)
+      .localCheckpoint(false)
+    val total = broadcast(df.agg(count(lit(1)).as("__n")))
+    if (perT.count() <= maxSpineRows) {
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perT
+        .withColumn("__gone",
+          coalesce(sum(col("n_events") + col("n_censored_at_t")).over(w),
+            lit(0L)))
+        .crossJoin(total)
+        .withColumn("n_risk", col("__n") - col("__gone"))
+        .withColumn("__f",
+          lit(1.0) - col("n_events").cast("double") / col("n_risk"))
+        // the terminal step where EVERYONE at risk has the event makes
+        // the factor 0 — ln would blow up (DuckDB errors, Spark nulls);
+        // survival is exactly 0 from that t on, so flag it instead
+        .withColumn("__hitZero",
+          max(when(col("__f") === 0.0, 1).otherwise(0)).over(wTot))
+        .withColumn("__lnf", when(col("__f") > 0, log(col("__f")))
+          .otherwise(lit(0.0)))
+        .withColumn("survival", when(col("__hitZero") === 1, lit(0.0))
+          .otherwise(round(exp(sum(col("__lnf")).over(wTot)), 6)))
+        .filter(col("n_events") > 0)
+        .select(col("t"), col("n_risk"), col("n_events"),
+          col("n_censored_at_t"), col("survival"))
+    } else {
+      // distributed route: n_risk from an inclusive long prefix sum
+      // (N − cum + own), survival from a double prefix of ln factors.
+      // f = 0 (everyone at risk has the event) forces t = max t — no
+      // row with a larger duration can exist — so the hitZero prefix
+      // max reduces to the row's own factor test.
+      val risk = Scale
+        .prefixSum(perT.withColumn("__tot",
+          col("n_events") + col("n_censored_at_t")), "t", "__tot", "__cum")
+        .crossJoin(total)
+        .withColumn("n_risk", col("__n") - col("__cum") + col("__tot"))
+        .withColumn("__f",
+          lit(1.0) - col("n_events").cast("double") / col("n_risk"))
+        .withColumn("__lnf", when(col("__f") > 0, log(col("__f")))
+          .otherwise(lit(0.0)))
+      Scale.prefixSumD(risk, "t", "__lnf", "__lnCum")
+        .withColumn("survival", when(col("__f") === 0.0, lit(0.0))
+          .otherwise(round(exp(col("__lnCum")), 6)))
+        .filter(col("n_events") > 0)
+        .select(col("t"), col("n_risk"), col("n_events"),
+          col("n_censored_at_t"), col("survival"))
+    }
   }
 
   /** Rolling 7-day distinct actives per day ("WAU by day") — EXACTLY,

@@ -39,18 +39,16 @@ object TopK {
     * decreasing x order decides each x-group — a group survives iff
     * its ymax strictly exceeds every ymax at strictly larger x — and
     * the survivors semi-join back to recover all tied originals. The
-    * running-max window runs over the REDUCED per-x set; when distinct
-    * x is itself corpus-sized, swap the window for the range-
-    * partitioned prefix machinery of [[Scale.prefixSum]] (same
-    * associative pass, no single-partition stage). */
+    * running max rides [[Scale.prefixMax]]'s range-partitioned scan
+    * UNCONDITIONALLY (max is order-insensitive, so it is bit-identical
+    * to the sequential window) — a continuous-valued x whose distinct
+    * set is corpus-sized never serializes through one window task. */
   def skyline2DMax(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
-    val w = Window.orderBy(col(xCol).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val surviving = perX
-      .withColumn("__prev", max(col("__ymax")).over(w))
+    val surviving = Scale
+      .prefixMax(perX, xCol, "__ymax", "__prev",
+        descending = true, inclusive = false)
       .filter(col("__prev").isNull || col("__ymax") > col("__prev"))
       .select(col(xCol), col("__ymax").as(yCol))
     df.join(surviving, Seq(xCol, yCol), "left_semi")

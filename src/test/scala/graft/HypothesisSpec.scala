@@ -76,6 +76,27 @@ class HypothesisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("z") == 0.0)
   }
 
+  test("logRank routed (corpus-sized spine) path matches the window path") {
+    import spark.implicits._
+    // ~1100 distinct event times with a hazard imbalance between cohorts;
+    // maxSpineRows = 1 forces the prefixSums route on the same input
+    val df = (1 to 3000).map { i =>
+      val side = if (i % 2 == 0) "A" else "B"
+      val dur = ((i * 131) % 1103 + 1 + (if (side == "A") i % 7 else 0)).toLong
+      (dur, if (i % 5 == 0) 0L else 1L, side)
+    }.toDF("dur", "ev", "side")
+    val w = Hypothesis.logRank(df, "dur", "ev", "side", "A").collect()(0)
+    val r = Hypothesis.logRank(df, "dur", "ev", "side", "A",
+      maxSpineRows = 1L).collect()(0)
+    assert(r.getAs[Long]("n_a") == w.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("n_b") == w.getAs[Long]("n_b"))
+    assert(r.getAs[Long]("o_a") == w.getAs[Long]("o_a"))
+    // E and V accumulate doubles in different (agg vs sequential) order
+    assert(math.abs(r.getAs[Double]("e_a") - w.getAs[Double]("e_a")) < 1e-6)
+    assert(math.abs(r.getAs[Double]("v") - w.getAs[Double]("v")) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z") - w.getAs[Double]("z")) < 1e-6)
+  }
+
   // ---- cohensD -------------------------------------------------------------
 
   test("cohensD matches the hand-computed pooled-variance case") {

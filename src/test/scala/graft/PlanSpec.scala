@@ -205,6 +205,43 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q414's median must ride the grouped scan: $mmSpecs")
   }
 
+  test("survival/skyline routed paths window only on __pid or bounded carry frames") {
+    // round-10 guards: skyline rides Scale.prefixMax unconditionally and
+    // the survival trio routes past maxSpineRows — on those paths no
+    // Window may sort a data-sized frame through one task. Visible
+    // windows (localCheckpoint truncates lineage at each prefix pass)
+    // must be keyed on __pid; the only unkeyed window allowed is
+    // prefixMax's carry pass, whose input is the |partitions|-row
+    // per-partition max aggregate (its exprs touch __pm).
+    import spark.implicits._
+    def windows(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      """Window \[([^\]]*)\], \[([^\]]*)\], \[""".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(m => (m.group(1), m.group(2))).toSeq
+    def assertShape(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      windows(df).foreach { case (exprs, spec) =>
+        assert(spec.contains("__pid") || exprs.contains("__pm"),
+          s"$name has a window neither __pid-keyed nor the bounded carry: " +
+            s"[$exprs], [$spec]")
+      }
+    val dur = (1 to 2000).map(i =>
+      (((i * 97) % 997 + 1).toLong, if (i % 3 == 0) 0L else 1L,
+        if (i % 2 == 0) "A" else "B")).toDF("dur", "obs", "side")
+    val pts = (1 to 2000).map(i =>
+      (((i * 37) % 1777).toLong, ((i * 53) % 911).toLong)).toDF("x", "y")
+    assertShape("skyline2DMax", operators.TopK.skyline2DMax(pts, "x", "y"))
+    assertShape("kaplanMeier routed",
+      operators.TimeSeries.kaplanMeier(dur, "dur", "obs", maxSpineRows = 1L))
+    assertShape("nelsonAalen routed",
+      operators.TimeSeries.nelsonAalen(dur, "dur", "obs", maxSpineRows = 1L))
+    assertShape("logRank routed",
+      operators.Hypothesis.logRank(dur, "dur", "obs", "side", "A",
+        maxSpineRows = 1L))
+    // the skyline plan must actually CONTAIN the prefix windows (the
+    // assertion above is vacuous if the regex matched nothing)
+    assert(windows(operators.TopK.skyline2DMax(pts, "x", "y")).nonEmpty)
+  }
+
   test("q101/q102: substring-dedup wide shuffles never carry token arrays") {
     // the repeat-test aggregate and its join must see only slim
     // (id, pos, hash) rows; token arrays stay map-side (the gram pass

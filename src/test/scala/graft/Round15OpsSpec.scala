@@ -79,6 +79,20 @@ class Round15OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getDouble(3) == 1.0)
   }
 
+  test("nelsonAalen routed (corpus-sized spine) path equals the window path") {
+    import spark.implicits._
+    val df = (1 to 2500).map { i =>
+      (((i * 113) % 1201 + 1).toLong, if (i % 4 == 0) 0L else 1L)
+    }.toDF("dur", "obs")
+    def snap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val windowed = snap(TimeSeries.nelsonAalen(df, "dur", "obs"))
+    val routed = snap(TimeSeries.nelsonAalen(df, "dur", "obs",
+      maxSpineRows = 1L))
+    assert(routed == windowed && routed.nonEmpty)
+  }
+
   test("nelsonAalen stays below -ln(KM survival) upper-bound relation") {
     import spark.implicits._
     // H_NA ≤ −ln(S_KM) pointwise (standard inequality, strict with

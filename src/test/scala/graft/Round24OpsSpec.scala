@@ -91,4 +91,23 @@ class Round24OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("t").collect().map(x => x.getLong(0) -> x.getDouble(4)).toMap
     assert(r(1L) == 0.5 && r(2L) == 0.25 && r(3L) == 0.0)
   }
+
+  test("kaplanMeier routed (corpus-sized spine) path equals the window path") {
+    import spark.implicits._
+    // continuous-ish durations: ~1500 distinct values incl. a terminal
+    // S=0 step and censored-only times; maxSpineRows = 1 forces the
+    // range-partitioned route on the same input
+    val df = (1 to 3000).map { i =>
+      (((i * 97) % 1499 + 1).toLong, if (i % 3 != 0) 1L else 0L)
+    }.toDF("dur", "obs")
+      .union(Seq((2000L, 1L)).toDF("dur", "obs")) // lone terminal event
+    def snap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val windowed = snap(TimeSeries.kaplanMeier(df, "dur", "obs"))
+    val routed = snap(TimeSeries.kaplanMeier(df, "dur", "obs",
+      maxSpineRows = 1L))
+    assert(routed == windowed && routed.nonEmpty)
+    assert(routed.exists(_._5 == 0.0)) // the terminal step survived routing
+  }
 }

@@ -246,4 +246,65 @@ class ScaleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("partitioned"))
   }
+
+  test("prefixSums equals per-column global-window cumsums, inclusive and exclusive") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 4000).map(i => ((i * 37) % 3989, i % 97, i % 13))
+      .toDF("k", "a", "b").dropDuplicates("k")
+    val w = Window.orderBy($"k")
+    for (inc <- Seq(true, false)) {
+      val frame = if (inc)
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else w.rowsBetween(Window.unboundedPreceding, -1)
+      val exp = df
+        .withColumn("ae", coalesce(sum($"a".cast("long")).over(frame), lit(0L)))
+        .withColumn("be", coalesce(sum($"b".cast("long")).over(frame), lit(0L)))
+      val got = Scale.prefixSums(df, "k", Seq("a", "b"), inclusive = inc)
+      assert(got.join(exp, Seq("k"))
+        .filter($"a_cum" =!= $"ae" || $"b_cum" =!= $"be").count() == 0)
+      assert(got.count() == df.count())
+    }
+  }
+
+  test("prefixSumD matches the sequential double cumsum and is partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => ((i * 61) % 2999, 1.0 / (1 + i % 89)))
+      .toDF("k", "v").dropDuplicates("k")
+    // sequential driver-side reference in ascending-k order
+    val exp = df.collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).scanLeft((0, 0.0)) { case ((_, acc), (k, v)) => (k, acc + v) }
+      .drop(1).toMap
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Scale.prefixSumD(d, "k", "v", "cum").select($"k", $"cum")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    for (got <- Seq(run(df), run(df.repartition(17)))) {
+      assert(got.size == exp.size)
+      // partition-boundary reassociation may move the last ulps only
+      got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-9, s"k=$k") }
+    }
+  }
+
+  test("prefixMax equals the running-max window, asc/desc, incl/excl, native type") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // longs near 2^60: a double round-trip would corrupt them
+    val big = 1L << 60
+    val df = (1 to 3000).map(i => ((i * 53) % 2999, big + ((i * 7919L) % 1000000)))
+      .toDF("k", "v").dropDuplicates("k")
+    for (desc <- Seq(false, true); inc <- Seq(true, false)) {
+      val ord = if (desc) $"k".desc else $"k".asc
+      val frame = Window.orderBy(ord).rowsBetween(
+        Window.unboundedPreceding, if (inc) Window.currentRow else -1)
+      val exp = df.withColumn("me", max($"v").over(frame))
+      val got = Scale.prefixMax(df, "k", "v", "m",
+        descending = desc, inclusive = inc)
+      assert(got.schema("m").dataType ==
+        org.apache.spark.sql.types.LongType)
+      val bad = got.join(exp, Seq("k"))
+        .filter(!($"m" <=> $"me")).count()
+      assert(bad == 0, s"desc=$desc inc=$inc: $bad mismatches")
+      assert(got.count() == df.count())
+    }
+  }
 }
