@@ -321,8 +321,7 @@ object Metrics {
       .agg(count(lit(1)).as("n"),
         sum(col("__y")).as("__pos"))
     val pavUdf = udf((ns: Seq[Long], ps: Seq[Long]) =>
-      Metrics.pav(ns.map(_.toDouble).toArray,
-        ns.zip(ps).map { case (n, p) => p.toDouble / n }.toArray))
+      Metrics.pavCounts(ns.toArray, ps.toArray))
     binned.groupBy(col(groupCol))
       .agg(sort_array(collect_list(
         struct(col("__bin"), col("n"), col("__pos")))).as("__cells"))
@@ -337,6 +336,33 @@ object Metrics {
         round(col("__z.__cells.__pos").cast("double")
           / col("__z.__cells.n"), 6).as("rate_raw"),
         round(col("__z.__iso"), 6).as("rate_iso"))
+  }
+
+  /** [[pav]] on exact integer (count, positives) cells — the binned-
+    * calibration case. Pooling decisions compare block means as exact
+    * cross-multiplied rationals (BigInt: no overflow, no fp drift) and
+    * each block's mean is ONE double division of exact integer sums —
+    * bit-identical to any engine computing `sum(pos)/sum(n)` over the
+    * same pooled span, which is what lets an isotonic fit carry a SQL
+    * oracle (the minimax form max_{j≤i} min_{k≥i} avg(j..k) evaluates
+    * the same exact ratios). */
+  private[graft] def pavCounts(ns: Array[Long], ps: Array[Long]): Array[Double] = {
+    val bw = scala.collection.mutable.ArrayBuffer[Long]()
+    val bp = scala.collection.mutable.ArrayBuffer[Long]()
+    val bc = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < ns.length) {
+      var w = ns(i); var p = ps(i); var c = 1
+      // pool while mean_last >= mean_new: bp/bw >= p/w <=> bp*w >= p*bw
+      while (bw.nonEmpty && BigInt(bp.last) * w >= BigInt(p) * bw.last) {
+        w += bw.last; p += bp.last; c += bc.last
+        bw.remove(bw.size - 1); bp.remove(bp.size - 1); bc.remove(bc.size - 1)
+      }
+      bw += w; bp += p; bc += c
+      i += 1
+    }
+    bw.indices.flatMap(b =>
+      Seq.fill(bc(b))(bp(b).toDouble / bw(b).toDouble)).toArray
   }
 
   /** Sequential pool-adjacent-violators on (weight, value) pairs in

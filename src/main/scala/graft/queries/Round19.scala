@@ -89,9 +89,11 @@ object Round19 {
     // dense trade core: the median-degree-core of the symmetrized
     // customer-supplier graph (k tracks the fixture scale: ~10-core at
     // sf0.001, ~33-core at sf0.01) — iterated peel to the unique fixed
-    // point; no SQL oracle can iterate a data-dependent peel, so
-    // correctness is pinned by Round19OpsSpec's brute-force reference
-    // on randomized graphs
+    // point. The oracle iterates the SAME peel as a recursive CTE whose
+    // working row carries the surviving-node LIST (one row per round;
+    // the list comparison vs the previous round terminates exactly at
+    // the fixed point), plus Round19OpsSpec's brute-force reference on
+    // randomized graphs
     Q("q220_kcore", (s, d) => {
       import s.implicits._
       val edges = T.orders(s, d)
@@ -114,6 +116,46 @@ object Round19 {
           .as("node"),
           $"core_degree")
         .orderBy($"node")
-    }, None)
+    }, Some("""
+      WITH RECURSIVE
+      ol AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      e0 AS (SELECT DISTINCT c AS src, s AS dst FROM ol),
+      deg AS (SELECT n, count(*) AS d FROM (
+                SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0)
+              GROUP BY n),
+      kv AS (SELECT greatest(2, CAST(floor(quantile_cont(d, 0.5)) AS INT)) AS k
+             FROM deg),
+      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e0 WHERE src <> dst),
+      peel AS (
+        SELECT 0 AS round, (SELECT list(n ORDER BY n) FROM deg) AS nodes
+        UNION ALL
+        SELECT p.round + 1, s.nodes
+        FROM peel p, LATERAL (
+          SELECT coalesce(list(node ORDER BY node), []) AS nodes FROM (
+            SELECT node FROM (
+              SELECT e.a AS node FROM e
+                JOIN (SELECT unnest(p.nodes) AS n) sa ON e.a = sa.n
+                JOIN (SELECT unnest(p.nodes) AS n) sb ON e.b = sb.n
+              UNION ALL
+              SELECT e.b FROM e
+                JOIN (SELECT unnest(p.nodes) AS n) sa ON e.a = sa.n
+                JOIN (SELECT unnest(p.nodes) AS n) sb ON e.b = sb.n)
+            GROUP BY node HAVING count(*) >= (SELECT k FROM kv))) s
+        WHERE s.nodes <> p.nodes),
+      fin AS (SELECT nodes FROM peel ORDER BY round DESC LIMIT 1),
+      surv AS (SELECT unnest(nodes) AS node FROM fin),
+      degf AS (SELECT node, count(*) AS core_degree FROM (
+                 SELECT e.a AS node FROM e
+                   JOIN surv x ON e.a = x.node JOIN surv y ON e.b = y.node
+                 UNION ALL
+                 SELECT e.b FROM e
+                   JOIN surv x ON e.a = x.node JOIN surv y ON e.b = y.node)
+               GROUP BY node)
+      SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                  ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+             core_degree
+      FROM degf ORDER BY node"""))
   )
 }

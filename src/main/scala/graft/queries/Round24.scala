@@ -13,9 +13,12 @@ object Round24 {
   val all: Seq[Q] = Seq(
 
     // monotone repair of the "P(purchase | value)" curve per day-of-
-    // week: quantile-binned rates pooled by PAV — no SQL oracle can
-    // express the pooling recursion, so rows-only + Round24OpsSpec's
-    // textbook hand cases and monotonicity/mean-preservation laws
+    // week: quantile-binned rates pooled by PAV. The oracle avoids the
+    // pooling RECURSION entirely via the closed minimax form
+    // fit(i) = max_{j<=i} min_{k>=i} avg(j..k) (equal to PAV in exact
+    // arithmetic); both sides compute every candidate mean as ONE
+    // double division of exact integer sums (pavCounts pools on
+    // cross-multiplied rationals), so the hashes agree bit-for-bit
     Q("q233_isotonic", (s, d) => {
       import s.implicits._
       val ev = T.events(s, d).select(
@@ -24,7 +27,42 @@ object Round24 {
       Metrics.isotonicCalibration(ev, "dow", "value", "label",
           Seq("event_id"), bins = 20)
         .orderBy($"dow", $"bin")
-    }, None),
+    }, Some("""
+      WITH ev AS (SELECT dayofweek(ts) + 1 AS dow, value, event_id,
+                         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+                  FROM events),
+      r AS (SELECT dow, label,
+                   row_number() OVER (PARTITION BY dow ORDER BY value, event_id) AS rnk,
+                   count(*) OVER (PARTITION BY dow) AS n
+            FROM ev),
+      b AS (SELECT dow, label,
+                   CASE WHEN rnk <= (n % 20) * (n // 20 + 1)
+                        THEN (rnk - 1) // (n // 20 + 1) + 1
+                        ELSE (n % 20) + (rnk - (n % 20) * (n // 20 + 1) - 1)
+                             // greatest(n // 20, 1) + 1
+                   END AS bin
+            FROM r),
+      cells AS (SELECT dow, bin, count(*) AS n, sum(label) AS pos
+                FROM b GROUP BY 1, 2),
+      cum AS (SELECT dow, bin, n, pos,
+                     sum(n) OVER (PARTITION BY dow ORDER BY bin) AS cn,
+                     sum(pos) OVER (PARTITION BY dow ORDER BY bin) AS cp
+              FROM cells),
+      -- mean of the contiguous bin span j..k (inclusive), one exact division
+      spans AS (SELECT j.dow, j.bin AS jb, k.bin AS kb,
+                       CAST(k.cp - j.cp + j.pos AS DOUBLE)
+                         / CAST(k.cn - j.cn + j.n AS DOUBLE) AS m
+                FROM cum j JOIN cum k ON j.dow = k.dow AND j.bin <= k.bin),
+      mins AS (SELECT s.dow, i.bin, s.jb, min(s.m) AS mn
+               FROM spans s JOIN cells i
+                 ON s.dow = i.dow AND s.jb <= i.bin AND s.kb >= i.bin
+               GROUP BY 1, 2, 3),
+      fit AS (SELECT dow, bin, max(mn) AS iso FROM mins GROUP BY 1, 2)
+      SELECT c.dow, c.bin, c.n,
+             round(CAST(c.pos AS DOUBLE) / c.n, 6) AS rate_raw,
+             round(f.iso, 6) AS rate_iso
+      FROM cells c JOIN fit f USING (dow, bin)
+      ORDER BY c.dow, bin""")),
 
     // optimal sample-budget split across order priorities: Neyman
     // allocation ∝ n_h·σ_h from exact integer cent moments — the

@@ -40,6 +40,34 @@ class Round24OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pavCounts equals double pav and the minimax closed form on random cells") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val n = 2 + rnd.nextInt(25)
+      val ns = Array.fill(n)(1L + rnd.nextInt(50))
+      val ps = ns.map(w => rnd.nextInt(w.toInt + 1).toLong)
+      val got = Metrics.pavCounts(ns, ps)
+      // double-pav reference (rates as doubles, incremental pooling)
+      val ref = Metrics.pav(ns.map(_.toDouble),
+        ns.zip(ps).map { case (w, p) => p.toDouble / w })
+      got.zip(ref).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+      // exact minimax form: fit(i) = max_{j<=i} min_{k>=i} (P(j..k)/N(j..k))
+      // — every candidate ONE division of exact integer sums, the same
+      // ratios q233's DuckDB oracle evaluates
+      val mm = (0 until n).map { i =>
+        (0 to i).map { j =>
+          (i until n).map { k =>
+            val w = (j to k).map(ns).sum; val p = (j to k).map(ps).sum
+            p.toDouble / w.toDouble
+          }.min
+        }.max
+      }
+      got.zip(mm).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+      // monotone
+      assert(got.sliding(2).forall(q => q.length < 2 || q(0) <= q(1)))
+    }
+  }
+
   test("isotonicCalibration produces monotone per-group rates end-to-end") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

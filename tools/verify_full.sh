@@ -17,8 +17,10 @@ LOG="$OUT_DIR.log"
 echo "== 1/3 graft.Verify ($SF_DIR -> $OUT_DIR; log $LOG)"
 sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR" >"$LOG" 2>&1 || {
   tail -20 "$LOG"; echo "FAIL: Verify run died"; exit 1; }
+# `|| true`: a filtered run (SPARK_GRAFT_ONLY) may cover no golden-
+# bearing query; an empty grep must not kill the loop under pipefail
 grep -E "verify:golden.*(MATCH|MISMATCH)" "$LOG" \
-  | sed 's/^\[error\] //' | awk '{print $2, $3}' | sort | uniq -c
+  | sed 's/^\[error\] //' | awk '{print $2, $3}' | sort | uniq -c || true
 if grep -qE "verify:golden.*MISMATCH|\[verify\] .* failed" "$LOG"; then
   grep -E "verify:golden.*MISMATCH|\[verify\] .* failed" "$LOG" | head -40
   echo "FAIL: verify errors or golden mismatches"; exit 1
