@@ -14,7 +14,7 @@ SF_DIR="${1:-/root/testdata/sf0.01}"
 OUT_DIR="${2:-/tmp/verify_full}"
 LOG="$OUT_DIR.log"
 
-echo "== 1/3 graft.Verify ($SF_DIR -> $OUT_DIR; log $LOG)"
+echo "== 1/5 graft.Verify ($SF_DIR -> $OUT_DIR; log $LOG)"
 sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR" >"$LOG" 2>&1 || {
   tail -20 "$LOG"; echo "FAIL: Verify run died"; exit 1; }
 # `|| true`: a filtered run (SPARK_GRAFT_ONLY) may cover no golden-
@@ -26,8 +26,14 @@ if grep -qE "verify:golden.*MISMATCH|\[verify\] .* failed" "$LOG"; then
   echo "FAIL: verify errors or golden mismatches"; exit 1
 fi
 
-echo "== 2/3 tools/compare.py (DuckDB value compare)"
+echo "== 2/5 tools/compare.py (DuckDB value compare)"
 python3 tools/compare.py "$SF_DIR" "$OUT_DIR"
 
-echo "== 3/3 tools/typeaudit.py (hash-safe output-type contract)"
+echo "== 3/5 tools/typeaudit.py (hash-safe output-type contract)"
 python3 tools/typeaudit.py "$SF_DIR" "$OUT_DIR"
+
+echo "== 4/5 tools/goldenaudit.py (committed goldens: structure + live types)"
+python3 tools/goldenaudit.py golden "$OUT_DIR"
+
+echo "== 5/5 tools/leakcheck_tracked.sh (tracked-content hygiene)"
+tools/leakcheck_tracked.sh
