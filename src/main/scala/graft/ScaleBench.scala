@@ -122,6 +122,110 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$out/region.parquet")
   }
 
+  /** The round-10 "true sf1" shape (VERDICT r9 task #4): unlike
+    * [[synthesize]]'s disjoint copies, this grows the data the way a
+    * larger scale factor would — key DOMAINS grow ×k with the rows and
+    * the join keys are hash-REMAPPED uniformly across the whole grown
+    * domain, so the trade graph is one giant random bipartite component
+    * (per-node degree ≈ constant, like real TPC-H at a higher SF),
+    * not k disconnected copies. Documents share one global vocabulary:
+    * each copy's text is a half-splice of two base documents (first
+    * half of d, second half of its copy-rotated partner), so shingle
+    * buckets grow with the corpus while spliced pairs sit near J≈1/3 —
+    * below near-dup banding, like organically-similar fresh text. */
+  private def synthesizeLinked(s: SparkSession, src: String, out: String,
+      k: Int): Unit = {
+    import s.implicits._
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map(i => f(df, i)).reduce(_ unionAll _)
+
+    val docs = s.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val toks = docs.select($"doc_id".as("__pid"),
+      split(trim($"text"), "\\s+").as("__ptoks"))
+    copies(docs) { (df, i) =>
+      // partner rotates per copy; copy 0 splices too, so the ×1
+      // baseline pays identical per-row work
+      df.withColumn("__partner",
+          pmod($"doc_id" + lit(1L + i), lit(nDocs)))
+        .join(toks, $"__partner" === $"__pid")
+        .withColumn("__toks", split(trim($"text"), "\\s+"))
+        .withColumn("text", concat_ws(" ",
+          concat(
+            slice($"__toks", lit(1), (size($"__toks") / 2).cast("int")),
+            slice($"__ptoks",
+              ((size($"__ptoks") / 2).cast("int") + 1).cast("int"),
+              size($"__ptoks")))))
+        .withColumn("doc_id", $"doc_id" + lit(i.toLong * 10000000L))
+        .drop("__partner", "__pid", "__ptoks", "__toks")
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val cust = s.read.parquet(s"$src/customer.parquet")
+    copies(cust) { (df, i) =>
+      df.withColumn("c_custkey", $"c_custkey" + lit(i.toLong * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/customer.parquet")
+    val supp = s.read.parquet(s"$src/supplier.parquet")
+    copies(supp) { (df, i) =>
+      df.withColumn("s_suppkey", $"s_suppkey" + lit(i.toLong * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    // the organic linkage: each order keeps its customer's LOCAL key
+    // but lands in a hash-random copy of the domain — one giant
+    // random bipartite graph instead of k disconnected ones
+    val orders = s.read.parquet(s"$src/orders.parquet")
+    copies(orders) { (df, i) =>
+      df.withColumn("o_custkey",
+          pmod(xxhash64($"o_orderkey", lit(i)), lit(k)) * 10000000L
+            + $"o_custkey")
+        .withColumn("o_orderkey", $"o_orderkey" + lit(i.toLong * 1000000000L))
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = s.read.parquet(s"$src/lineitem.parquet")
+    copies(li) { (df, i) =>
+      df.withColumn("l_suppkey",
+          pmod(xxhash64($"l_orderkey", $"l_linenumber", lit(i)), lit(k))
+            * 10000000L + $"l_suppkey")
+        .withColumn("l_orderkey", $"l_orderkey" + lit(i.toLong * 1000000000L))
+        .withColumn("l_partkey", $"l_partkey" + lit(i.toLong * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val ev = s.read.parquet(s"$src/events.parquet")
+    copies(ev) { (df, i) =>
+      df.withColumn("event_id", $"event_id" + lit(i.toLong * 1000000000L))
+        .withColumn("user_id", $"user_id" + lit(i.toLong * 10000000L))
+    }.write.mode("overwrite").parquet(s"$out/events.parquet")
+    s.read.parquet(s"$src/nation.parquet")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+    s.read.parquet(s"$src/region.parquet")
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
+  }
+
+  /** The heavy graph/dedup set the true-sf1 sweep times on the LINKED
+    * corpus (VERDICT r9 task #4's named five). */
+  private val LinkedQueries = Seq("q66_dedup_groups", "q101_substring_dedup",
+    "q130_pagerank", "q144_triangle_stats", "q172_hits")
+
+  /** Forced-route survival rows (VERDICT r9 task #1's done criterion):
+    * a CONTINUOUS synthetic duration (unique per row, so the spine is
+    * corpus-sized) through kaplanMeier/logRank with maxSpineRows = 1 —
+    * the distributed prefix route is what's being scaled, not the
+    * sequential window the small fixtures take. */
+  private def survivalOps(s: SparkSession): Seq[(String, String => DataFrame)] = {
+    import s.implicits._
+    def obs(dir: String) = s.read.parquet(s"$dir/events.parquet")
+      .select(
+        ($"event_id" * 1000 + pmod(xxhash64($"event_id"), lit(997)))
+          .as("dur"),
+        ($"event_id" % 4 =!= 0).cast("long").as("obsd"),
+        when($"user_id" % 2 === 0, "A").otherwise("B").as("side"))
+    Seq(
+      "op_kaplan_meier_routed" -> ((dir: String) =>
+        operators.TimeSeries.kaplanMeier(obs(dir), "dur", "obsd",
+          maxSpineRows = 1L)),
+      "op_logrank_routed" -> ((dir: String) =>
+        operators.Hypothesis.logRank(obs(dir), "dur", "obsd", "side", "A",
+          maxSpineRows = 1L)))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE_K", "10").toInt
@@ -144,16 +248,24 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val d1 = s"/tmp/graft_scale_x1"
-    val dk = s"/tmp/graft_scale_x$k"
-    System.err.println(s"[scalebench] synthesizing x1 + x$k from $src")
-    synthesize(spark, src, d1, 1)
-    synthesize(spark, src, dk, k)
+    // SPARK_GRAFT_SCALE_MODE=linked switches to the true-sf1 shape:
+    // hash-linked giant-component corpus, the heavy graph/dedup five,
+    // and the forced-route survival operators
+    val linked = sys.env.get("SPARK_GRAFT_SCALE_MODE").contains("linked")
+    val tag = if (linked) "linked_" else ""
+    val d1 = s"/tmp/graft_scale_${tag}x1"
+    val dk = s"/tmp/graft_scale_${tag}x$k"
+    System.err.println(s"[scalebench] synthesizing ${tag}x1 + ${tag}x$k from $src")
+    if (linked) { synthesizeLinked(spark, src, d1, 1); synthesizeLinked(spark, src, dk, k) }
+    else { synthesize(spark, src, d1, 1); synthesize(spark, src, dk, k) }
 
+    val opFns: Map[String, String => DataFrame] =
+      survivalOps(spark).toMap
     def time(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
+      val fn: String => DataFrame = opFns.getOrElse(name,
+        (d: String) => SparkEntry.queries(name)(spark, d))
       val t0 = System.nanoTime()
-      try { fn(spark, dir).write.format("noop").mode("overwrite").save()
+      try { fn(dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[scalebench] $name failed: $e"); -1.0 }
@@ -164,9 +276,11 @@ object ScaleBench {
     // re-timing the whole risk set (synthesis still runs once)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val base = if (linked) LinkedQueries ++ opFns.keys.toSeq.sorted
+      else RiskQueries
     val selected = only match {
-      case Some(f) => RiskQueries.filter(q => f.exists(q.startsWith))
-      case None => RiskQueries
+      case Some(f) => base.filter(q => f.exists(q.startsWith))
+      case None => base
     }
     val rows = selected.map { q =>
       time(q, d1) // untimed warmup: codegen/JIT paid before either scale
@@ -179,10 +293,11 @@ object ScaleBench {
     val qs = rows.map { case (q, t1, tk, r) =>
       f""""$q":{"x1_sec":$t1%.3f,"x${k}_sec":$tk%.3f,"ratio":$r%.3f}""" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"scale_ratio","data_ratio":$k,"queries":$qs,"src":"$src"}"""
+    val line = s"""{"metric":"scale_ratio","mode":"${if (linked) "linked" else "copies"}","data_ratio":$k,"queries":$qs,"src":"$src"}"""
     println(line)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scalebench_out.json")),
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+        if (linked) "scalebench_linked_out.json" else "scalebench_out.json")),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[scalebench] write failed: $e") }
     spark.stop()

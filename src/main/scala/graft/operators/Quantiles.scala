@@ -77,7 +77,14 @@ object Quantiles {
       // budget stops STORING runs and just counts them (Left), so a
       // high-cardinality key ships at most ~4× the budget in total and
       // the driver routes to the distributed window path — no separate
-      // counting job, no unbounded collect
+      // counting job, no unbounded collect.
+      // Driver-memory sizing on the HAPPY path: the probe itself holds
+      // up to maxDriverHistogram (default 2M) run-length entries —
+      // ~50-100 MB of small tuples — before deciding; size the budget
+      // to the driver heap, not the data (it is the price of the
+      // one-pass fused guard: a separate pre-count would read the
+      // sorted data twice on every call to save memory the default
+      // driver already has)
       val nPart = math.max(1, sortedRdd.getNumPartitions)
       val perPartCap = math.max(64L, 4L * maxDriverHistogram / nPart)
       val hist0: Array[(Int, Either[Long, Seq[(Seq[Any], Long)]])] = sortedRdd
