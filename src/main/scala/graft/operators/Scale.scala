@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   *    downstream scans prune partitions instead of listing 100 TB.
   *  - [[repartitionForJoin]]: pre-shuffle both sides of a repeated join
   *    key once, letting several downstream joins reuse the exchange.
+  *  - [[prefixSum]] / [[prefixSums]] / [[prefixSumD]] / [[prefixMax]]
+  *    and the grouped variants: distributed ordered scans replacing
+  *    every `Window.orderBy`-without-partition-key (one task for the
+  *    whole table at scale); operators over REDUCED spines probe the
+  *    spine's count against [[maxOrderedFrameRows]] and route here
+  *    when a continuous-valued key makes the spine corpus-sized.
   */
 object Scale {
 
