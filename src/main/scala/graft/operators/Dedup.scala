@@ -132,8 +132,11 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    // eager checkpoint, not cache: three consumers (signatures + both
+    // verify sides) read the shingle sets, and the blocks are freed with
+    // the returned plan instead of pinning the CacheManager per call
     val sets = shingleSets(docs, idCol, textCol, shingleN)
-      .filter(size(col("shingles")) > 0).cache()
+      .filter(size(col("shingles")) > 0).localCheckpoint()
     val cands = lshCandidates(minHashSignatures(sets, numHashes), bands, numHashes / bands)
     cands
       .join(sets.select(col("id").as("a_id"), col("shingles").as("sa")), "a_id")

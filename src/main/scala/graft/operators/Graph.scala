@@ -26,6 +26,23 @@ object Graph {
     * edges; duplicate edges count once. Returns `(node, rank)`. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    val (plan, cached) = pageRankPlan(edges, srcCol, dstCol, iterations,
+      damping)
+    // materialize, then release every cached artifact: nothing pinned
+    // survives the operator call (checkpoint blocks are freed by the
+    // ContextCleaner with the returned frame; a returned persist() would
+    // sit in the CacheManager for the rest of the session)
+    val out = plan.localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** The lazy final-iteration plan plus every cached artifact — split
+    * out so PlanSpec can pin the never-re-shuffle-the-edge-side shape
+    * on the exact tree [[pageRank]] materializes. */
+  private[graft] def pageRankPlan(edges: DataFrame, srcCol: String,
+      dstCol: String, iterations: Int, damping: Double)
+      : (DataFrame, Seq[DataFrame]) = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     // the graph structure is loop-invariant: ONE materialized artifact —
@@ -82,17 +99,15 @@ object Graph {
       val next = withDm.select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__in"), lit(0.0)) + dm / n)).as("rank"))
+      // the FINAL iteration stays lazy: the public entry materializes
+      // it with a localCheckpoint, so no persisted frame is returned
       ranks =
-        if (i % 3 == 0 && i < iterations) next.localCheckpoint()
+        if (i == iterations) next
+        else if (i % 3 == 0) next.localCheckpoint()
         else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      kept += ranks
+      if (i < iterations) kept += ranks
     }
-    ranks.count()
-    kept.dropRight(1).foreach(_.unpersist(blocking = false))
-    ewd.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    danglingNodes.unpersist(blocking = false)
-    ranks
+    (ranks, kept.toSeq ++ Seq(ewd, nodes, danglingNodes))
   }
 
   /** HITS hub/authority scores (Kleinberg 1999) after `iterations`
@@ -160,9 +175,12 @@ object Graph {
           (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
         .localCheckpoint()
     }
+    // eager checkpoint, not persist+count: the returned frame must not
+    // stay pinned in the CacheManager after the operator call (its
+    // checkpoint blocks are ContextCleaner-freed when the caller drops
+    // it, and the half-step inputs are |nodes|-row leaves already)
     val out = hubs.join(auths, "node").select(
-      col("node"), col("hub"), col("auth"))
-    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      col("node"), col("hub"), col("auth")).localCheckpoint()
     kept.foreach(_.unpersist(blocking = false))
     eSrc.unpersist(blocking = false)
     eDst.unpersist(blocking = false)
@@ -192,12 +210,16 @@ object Graph {
     * (`least/greatest`, self-loops dropped, distinct) first.
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // eager checkpoint, not cache: it feeds degrees, orientation, and
+    // the edge count once, and its blocks are ContextCleaner-freed when
+    // the caller drops the result — a cache() here stays pinned in the
+    // CacheManager for the rest of the session (the round-10 leak class)
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .cache() // feeds degrees, orientation, and the edge count once
+      .localCheckpoint()
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -215,7 +237,7 @@ object Graph {
           struct(col("b").as("u"), col("a").as("v"),
             struct(col("__da").as("d"), col("a").as("n")).as("kv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.kv").as("kv"))
-      .cache()
+      .localCheckpoint() // three wedge-side consumers, GC-freed lifetime
     val w1 = oriented.select(col("u"), col("v").as("x"), col("kv").as("kx"))
     val w2 = oriented.select(col("u"), col("v").as("y"), col("kv").as("ky"))
     val triangles = w1.join(w2, "u").filter(col("kx") < col("ky"))
@@ -252,12 +274,16 @@ object Graph {
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
       maxHubDegree: Int): DataFrame = {
     require(maxHubDegree >= 2, s"maxHubDegree must be >= 2: $maxHubDegree")
+    // eager checkpoint, not cache (see triangleStats): feeds adj,
+    // degrees, and the markers; freed with the returned plan, while the
+    // pair-score OUTPUT stays lazy so a downstream orderBy/limit can
+    // TakeOrdered without materializing the full candidate table
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .cache()
+      .localCheckpoint()
     val adj = canon.select(col("a").as("w"), col("b").as("n"))
       .unionAll(canon.select(col("b"), col("a")))
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("__deg"))
@@ -273,9 +299,6 @@ object Graph {
     // wedge shuffle — +m rows on an m·cap/2-row stage — and a map-side
     // post-agg filter drops every pair any marker touched. One shuffle
     // total after the wedge join; exactly the anti-join's semantics.
-    // canon stays cached through the caller's action (it feeds adj,
-    // degrees, and the markers); freed by cache hygiene like
-    // triangleStats' edge cache.
     val wedges = x.join(y, "w").filter(col("u") < col("v"))
       .select(col("u"), col("v"),
         (lit(1.0) / log(col("__deg"))).as("__aaw"), lit(0L).as("__edge"))
@@ -310,12 +333,16 @@ object Graph {
   def linkPredictionScores(edges: DataFrame, srcCol: String,
       dstCol: String, maxHubDegree: Int): DataFrame = {
     require(maxHubDegree >= 2, s"maxHubDegree must be >= 2: $maxHubDegree")
+    // eager checkpoint, not cache (see triangleStats): feeds adj,
+    // degrees, and the markers; freed with the returned plan, while the
+    // pair-score OUTPUT stays lazy so a downstream orderBy/limit can
+    // TakeOrdered without materializing the full candidate table
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .cache()
+      .localCheckpoint()
     val adj = canon.select(col("a").as("w"), col("b").as("n"))
       .unionAll(canon.select(col("b"), col("a")))
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("__deg"))

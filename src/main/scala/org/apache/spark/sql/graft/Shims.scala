@@ -63,4 +63,13 @@ object Shims {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** True when the session's CacheManager holds no pinned plans — the
+    * cache-hygiene probe (`sharedState` is package-private). Checkpoint
+    * blocks don't register here; only `cache()`/`persist()` pins do, so
+    * an operator that leaks its cached artifact fails this check while
+    * the GC-lifetime localCheckpoint discipline passes. */
+  def cacheManagerEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

@@ -409,7 +409,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       val edges = (1L to 300L).map(i => (i % 30, (i * 11) % 30))
         .filter(e => e._1 != e._2).toDF("s", "t")
-      val out = operators.Graph.pageRank(edges, "s", "t", iterations = 2)
+      // inspect the lazy plan builder directly — the public entry
+      // localCheckpoints the result (hiding the tree) and unpersists
+      // the cached artifacts; this IS the tree it materializes
+      val (out, cached) = operators.Graph.pageRankPlan(edges, "s", "t",
+        iterations = 2, damping = 0.85)
       val plan = out.queryExecution.executedPlan
       def cls(p: SparkPlan) = p.getClass.getSimpleName
       def isEdgeCacheScan(p: SparkPlan) =
@@ -428,6 +432,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"edge artifact must serve from cache:\n$plan")
       assert(offending.isEmpty,
         s"edge cache re-shuffled beneath ${offending.size} Exchange(s):\n$plan")
+      cached.foreach(_.unpersist(blocking = false))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
