@@ -136,9 +136,12 @@ object Round2 {
     Q("q70_mode_mad", (s, d) => {
       import s.implicits._
       // three passes over two columns (mode, median, abs-dev median):
-      // cache the projection once — Bench clears caches between queries
+      // materialize the projection once — an eager checkpoint, not a
+      // cache, so the blocks are GC-freed with the result instead of
+      // pinning the CacheManager across a long verify session
       val li = T.lineitem(s, d)
-        .select($"l_returnflag", $"l_quantity", $"l_extendedprice").cache()
+        .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+        .localCheckpoint()
       // mode via max_by over (count, -qty): picks the highest count and
       // breaks ties toward the smallest quantity — no per-group window,
       // so the counts aggregate is the only exchange
