@@ -173,6 +173,15 @@ object Verify {
     // SPARK_GRAFT_ONLY=q108 (comma-separated, prefix match) restricts the
     // dump for single-query flake hunting — same contract as Bench's filter
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // suite-wide cache-hygiene gate: CacheHygieneSpec probes the graph/dedup
+    // operators in isolation; THIS probe runs after every query in the
+    // verify loop, so any future query-level cache()/persist() pin fails
+    // the 5-stage gate (verify_full.sh greps CACHE-PIN) instead of
+    // surfacing as an unexplained bench drift rounds later. Checkpoint
+    // blocks don't register in the CacheManager, so the GC-lifetime
+    // localCheckpoint discipline passes this clean.
+    val pinned = scala.collection.mutable.ArrayBuffer[String]()
+    var ran = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .foreach { case (name, fn) =>
@@ -185,7 +194,18 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        ran += 1
+        if (!org.apache.spark.sql.graft.Shims.cacheManagerEmpty(spark)) {
+          pinned += name
+          System.err.println(s"[verify:cache] $name CACHE-PIN left in " +
+            "CacheManager after the query returned")
+          // clear so one leak doesn't cascade blame onto every later query
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
+        }
       }
+    System.err.println(s"[verify:cache] ${ran - pinned.size}/$ran " +
+      s"cache-clean" + (if (pinned.isEmpty) "" else
+        s"; pinned: ${pinned.mkString(",")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

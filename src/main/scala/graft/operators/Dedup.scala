@@ -136,7 +136,7 @@ object Dedup {
     // verify sides) read the shingle sets, and the blocks are freed with
     // the returned plan instead of pinning the CacheManager per call
     val sets = shingleSets(docs, idCol, textCol, shingleN)
-      .filter(size(col("shingles")) > 0).localCheckpoint()
+      .filter(size(col("shingles")) > 0).barrier()
     val cands = lshCandidates(minHashSignatures(sets, numHashes), bands, numHashes / bands)
     cands
       .join(sets.select(col("id").as("a_id"), col("shingles").as("sa")), "a_id")
@@ -499,7 +499,7 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         // cut lineage growth: each round's plan would otherwise nest the
         // previous round's whole DAG
-        .localCheckpoint(eager = true)
+        .barrier()
       val changed = next.as("n")
         .join(labels.as("p"), col("n.id") === col("p.id"))
         .filter(col("n.component") =!= col("p.component")).limit(1).count()

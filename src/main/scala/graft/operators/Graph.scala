@@ -32,7 +32,7 @@ object Graph {
     // survives the operator call (checkpoint blocks are freed by the
     // ContextCleaner with the returned frame; a returned persist() would
     // sit in the CacheManager for the rest of the session)
-    val out = plan.localCheckpoint()
+    val out = plan.barrier()
     cached.foreach(_.unpersist(blocking = false))
     out
   }
@@ -103,7 +103,7 @@ object Graph {
       // it with a localCheckpoint, so no persisted frame is returned
       ranks =
         if (i == iterations) next
-        else if (i % 3 == 0) next.localCheckpoint()
+        else if (i % 3 == 0) next.barrier()
         else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (i < iterations) kept += ranks
     }
@@ -162,7 +162,7 @@ object Graph {
         .crossJoin(broadcast(aNorm))
         .select(col("node"),
           (coalesce(col("__a"), lit(0.0)) / col("__s")).as("auth"))
-        .localCheckpoint()
+        .barrier()
       // hub(u) = Σ_{u→v} auth(v), then / Σ_u hub(u)
       val hRaw = eDst.join(auths.withColumnRenamed("node", "__dst"), "__dst")
         .groupBy(col("__src").as("node")).agg(sum(col("auth")).as("__h"))
@@ -173,14 +173,14 @@ object Graph {
         .crossJoin(broadcast(hNorm))
         .select(col("node"),
           (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
-        .localCheckpoint()
+        .barrier()
     }
     // eager checkpoint, not persist+count: the returned frame must not
     // stay pinned in the CacheManager after the operator call (its
     // checkpoint blocks are ContextCleaner-freed when the caller drops
     // it, and the half-step inputs are |nodes|-row leaves already)
     val out = hubs.join(auths, "node").select(
-      col("node"), col("hub"), col("auth")).localCheckpoint()
+      col("node"), col("hub"), col("auth")).barrier()
     kept.foreach(_.unpersist(blocking = false))
     eSrc.unpersist(blocking = false)
     eDst.unpersist(blocking = false)
@@ -219,7 +219,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .barrier()
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -237,7 +237,7 @@ object Graph {
           struct(col("b").as("u"), col("a").as("v"),
             struct(col("__da").as("d"), col("a").as("n")).as("kv"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.kv").as("kv"))
-      .localCheckpoint() // three wedge-side consumers, GC-freed lifetime
+      .barrier() // three wedge-side consumers, GC-freed lifetime
     val w1 = oriented.select(col("u"), col("v").as("x"), col("kv").as("kx"))
     val w2 = oriented.select(col("u"), col("v").as("y"), col("kv").as("ky"))
     val triangles = w1.join(w2, "u").filter(col("kx") < col("ky"))
@@ -283,7 +283,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .barrier()
     val adj = canon.select(col("a").as("w"), col("b").as("n"))
       .unionAll(canon.select(col("b"), col("a")))
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("__deg"))
@@ -342,7 +342,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .barrier()
     val adj = canon.select(col("a").as("w"), col("b").as("n"))
       .unionAll(canon.select(col("b"), col("a")))
     val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("__deg"))
@@ -398,7 +398,7 @@ object Graph {
       .repartition(col("__src")).cache()
     var visited = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0))
-      .localCheckpoint()
+      .barrier()
     var frontier = visited.select(col("node"))
     var depth = 0
     while (depth < maxDepth && frontier.limit(1).count() > 0) {
@@ -407,7 +407,7 @@ object Graph {
         .select(col("__dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(depth))
-      visited = visited.unionAll(next).localCheckpoint()
+      visited = visited.unionAll(next).barrier()
       frontier = visited.filter(col("dist") === depth).select(col("node"))
     }
     e.unpersist(blocking = false)
@@ -432,7 +432,7 @@ object Graph {
     var visited = seeds.select(col(seedCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"))
       .withColumn("dist", lit(0))
-      .localCheckpoint()
+      .barrier()
     var frontier = visited.select(col("seed"), col("node"))
     var depth = 0
     while (depth < maxDepth && frontier.limit(1).count() > 0) {
@@ -443,7 +443,7 @@ object Graph {
         .join(visited.select(col("seed"), col("node")),
           Seq("seed", "node"), "left_anti")
         .withColumn("dist", lit(depth))
-      visited = visited.unionAll(next).localCheckpoint()
+      visited = visited.unionAll(next).barrier()
       frontier = visited.filter(col("dist") === depth)
         .select(col("seed"), col("node"))
     }
@@ -478,7 +478,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .barrier()
     var done = false
     while (!done) {
       val deg = e.select(col("a").as("node"))
@@ -490,7 +490,7 @@ object Graph {
       else e = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .barrier()
     }
     e.select(col("a").as("node")).unionAll(e.select(col("b")))
       .groupBy(col("node")).agg(count(lit(1)).as("core_degree"))
@@ -578,7 +578,7 @@ object Graph {
       .select(col("e.src").as("__src"), col("e.dst").as("__dst"))
       .repartition(col("__src")).cache()
     val nodes = sym.select(col("__src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    var labels = nodes.withColumn("label", col("node")).barrier()
     val w = Window.partitionBy(col("__dst"))
       .orderBy(col("__cnt").desc, col("label").asc)
     (1 to rounds).foreach { _ =>
@@ -592,7 +592,7 @@ object Graph {
       labels = labels.join(adopted, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__new"), col("label")).as("label"))
-        .localCheckpoint()
+        .barrier()
     }
     sym.unpersist(blocking = false)
     labels
@@ -671,7 +671,7 @@ object Graph {
       .repartition(col("__src")).cache()
     var arr = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("arr", lit(Long.MinValue))
-      .localCheckpoint()
+      .barrier()
     var hop = 0
     var converged = false
     while (hop < maxHops && !converged) {
@@ -682,7 +682,7 @@ object Graph {
         .select(col("__dst").as("node"), col("__t").as("arr"))
       val next = arr.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("arr")).as("arr"))
-        .localCheckpoint()
+        .barrier()
       converged = next.as("n")
         .join(arr.as("p"), col("n.node") === col("p.node"), "left_outer")
         .filter(col("p.node").isNull || col("n.arr") < col("p.arr"))
@@ -728,7 +728,7 @@ object Graph {
       .repartition(col("__src")).cache()
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(java.math.BigDecimal.ZERO).cast("decimal(28,2)"))
-      .localCheckpoint()
+      .barrier()
     var hop = 0
     var converged = false
     while (hop < maxHops && !converged) {
@@ -739,7 +739,7 @@ object Graph {
           (col("dist") + col("__w")).cast("decimal(28,2)").as("dist"))
       val next = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .barrier()
       // fixed point: no node improved and no new node appeared
       converged = next.as("n")
         .join(dist.as("p"), col("n.node") === col("p.node"), "left_outer")
@@ -780,7 +780,7 @@ object Graph {
     // materialize before releasing the cached edge artifact — the
     // sibling discipline (pageRank/HITS/SSSP): nothing cached survives
     // the operator call
-    val out = plan.localCheckpoint()
+    val out = plan.barrier()
     e.unpersist(blocking = false)
     out
   }

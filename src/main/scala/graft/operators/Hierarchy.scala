@@ -48,7 +48,7 @@ object Hierarchy {
           .select(col("node"), col("node").as("anc"), lit(0L).as("depth")))
       .unionAll(marked)
     val passes = math.ceil(math.log(maxDepth.toDouble) / math.log(2)).toInt + 1
-    var state = init.localCheckpoint()
+    var state = init.barrier()
     for (_ <- 1 to passes) {
       val lookup = state.select(col("node").as("anc"),
         col("anc").as("__anc2"), col("depth").as("__d2"))
@@ -56,7 +56,7 @@ object Hierarchy {
         .select(col("node"),
           coalesce(col("__anc2"), col("anc")).as("anc"),
           (col("depth") + coalesce(col("__d2"), lit(0L))).as("depth"))
-        .localCheckpoint()
+        .barrier()
     }
     // fail loudly on unresolved nodes (tree deeper than maxDepth, or a
     // cycle): an ancestor still pointing at a non-root is not a root

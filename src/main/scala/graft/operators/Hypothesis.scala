@@ -59,7 +59,11 @@ object Hypothesis {
         col("__ct")).as("__tsum"))
     val perTreat = ranked.groupBy(col(groupCol), col("__treat")).agg(
       sum(col("__ct")).as("__nj"),
-      (sum(col("__ct") * col("__rank2")).cast("double") / 2.0).as("__rj"))
+      // __ct·__rank2 in DECIMAL for the same reason as __tsum: at ~2.1e9
+      // rows per group the long product/sum wraps silently; decimal(38,0)
+      // keeps the rank sum exact (same fix as dunnPostHoc's __r2)
+      (sum(col("__ct").cast("decimal(38,0)") * col("__rank2"))
+        .cast("double") / 2.0).as("__rj"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__treat"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = perTreat
@@ -169,7 +173,7 @@ object Hypothesis {
         sum(col("__ev")).as("__d"),
         count(lit(1)).as("__c"),
         sum(col("__a")).as("__c_a"))
-      .localCheckpoint(false)
+      .barrierLazy()
     def statsOf(terms: DataFrame): DataFrame = {
       val nD = col("__n").cast("double")
       val naD = col("__n_a").cast("double")

@@ -290,9 +290,14 @@ object Metrics {
     * ≤7-value group through one task. `(scoreCol, tieCols)` must be
     * unique per row within a group (the usual tiebreaker-id contract)
     * or bin membership is not well defined in ANY engine.
-    * A SQL oracle cannot express the pooling recursion → queries on
-    * this are rows-only, pinned by Round24OpsSpec (textbook PAV hand
-    * cases + monotonicity/mean-preservation laws).
+    * Oracle contract: PAV's fit has a closed minimax form —
+    * fit(i) = max over j≤i of min over k≥j of mean(pos/n over [j,k]) —
+    * which IS SQL-expressible on exact integer rationals (compare
+    * p₁·n₂ vs p₂·n₁, never divide), so q233 carries a full DuckDB
+    * oracle; [[pavCounts]] performs its pooling on the same exact
+    * rationals specifically so the two agree bit-for-bit after the
+    * single final round. Round24OpsSpec additionally pins textbook
+    * PAV hand cases + monotonicity/mean-preservation laws.
     *
     * Returns `(groupCol, bin, n, rate_raw, rate_iso)`, rates rounded
     * to 6; `rate_iso` is non-decreasing in `bin` within each group. */

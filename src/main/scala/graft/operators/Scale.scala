@@ -164,7 +164,7 @@ object Scale {
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", col(valueCol).cast("long"))
-      .localCheckpoint(false)
+      .barrierLazy()
     // coalesce: sum() of an all-NULL partition is NULL, not 0
     val partSums = ranged.groupBy(col("__pid"))
       .agg(coalesce(sum(col("__v")), lit(0L)).as("s"))
@@ -199,7 +199,7 @@ object Scale {
       .withColumn("__pid", spark_partition_id())
       .select(col("*") +: valueCols.map(c =>
         col(c).cast("long").as(vc(c))): _*)
-      .localCheckpoint(false)
+      .barrierLazy()
     val sumExprs = valueCols.map(c =>
       coalesce(sum(col(vc(c))), lit(0L)).as(vc(c)))
     val partSums = ranged.groupBy(col("__pid"))
@@ -246,7 +246,7 @@ object Scale {
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", col(valueCol).cast("double"))
-      .localCheckpoint(false)
+      .barrierLazy()
     val partSums = ranged.groupBy(col("__pid"))
       .agg(coalesce(sum(col("__v")), lit(0.0)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
@@ -286,7 +286,7 @@ object Scale {
     val ranged = df
       .repartitionByRange(ord)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .barrierLazy()
     // exclusive running max across partitions in pid order; the window
     // input is |partitions| rows of metadata, never data-sized
     val wOff = Window.orderBy(col("__pid"))
@@ -371,7 +371,7 @@ object Scale {
       .repartitionByRange(gCols ++ orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__v", col(valueCol).cast("long"))
-      .localCheckpoint(false)
+      .barrierLazy()
     val partSums = ranged
       .groupBy(col("__pid"), gkey(lit("")).as("__gk"))
       .agg(coalesce(sum(col("__v")), lit(0L)).as("s"))
@@ -419,7 +419,7 @@ object Scale {
       .withColumn("__pid", spark_partition_id())
       .select(col("*") +: valueCols.map(c =>
         col(c).cast("long").as(vc(c))): _*)
-      .localCheckpoint(false)
+      .barrierLazy()
     val sumExprs = valueCols.map(c =>
       coalesce(sum(col(vc(c))), lit(0L)).as(vc(c)))
     val partSums = ranged

@@ -526,11 +526,19 @@ object Similarity {
     * the output of [[bruteForceTopK]] or an ANN variant; N ≤ ~100),
     * never the corpus; the pairwise candidate–candidate cosines are
     * O(N²) per probe, also bounded. Selection ties break on
-    * (score desc, vec_id) so the result is deterministic, but the
-    * greedy trace is not SQL-expressible → rows-only + spec.
+    * (score desc, vec_id) so the result is deterministic — and the
+    * greedy trace IS SQL-expressible as a recursive CTE carrying the
+    * selected-id list (one row per probe per rank; argmax = windowed
+    * row_number over the joined candidate × selected max-cosine), so
+    * q243 carries a full DuckDB oracle. Parity contract: relevance is
+    * the ROUNDED upstream sim; the only unrounded doubles in the
+    * greedy comparison are the candidate–candidate cosines, summed in
+    * index order on both engines (same basis as the q32/q33 oracles).
     *
     * Input needs `(probe_id, vec_id, sim, embedding)`; returns
-    * `(probe_id, rank, vec_id, sim, mmr_score)` (rounded to 6). */
+    * `(probe_id, rank, vec_id, sim, mmr_score)` — sim rounded to 6,
+    * mmr_score unrounded (a short dot of 6-decimal rationals; rounding
+    * it would land on decimal halves for every odd-final-digit sim). */
   def mmrRerank(candidates: DataFrame, k: Int,
       lambda: Double = 0.7): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
@@ -547,10 +555,20 @@ object Similarity {
           d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
           nb += b(i).toDouble * b(i); i += 1
         }
-        d / (math.sqrt(na) * math.sqrt(nb))
+        // round to 6 like every cosine final in the suite (Spark Round
+        // semantics: HALF_UP on the shortest decimal repr) — the greedy
+        // then runs entirely on 6-decimal rationals + double constants,
+        // so its comparisons are bit-reproducible in any engine; raw
+        // cosines essentially never land on decimal halves, unlike the
+        // λ·(rounded sim) products the score itself produces
+        val raw = d / (math.sqrt(na) * math.sqrt(nb))
+        if (raw.isNaN || raw.isInfinite) raw
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
       }
       val selected = scala.collection.mutable.ArrayBuffer[Int]()
-      val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+      // rank as Long: finals ship under the BIGINT hash-safe contract
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
       while (selected.size < math.min(k, ids.length)) {
         var bestI = -1; var bestScore = Double.NegativeInfinity
         var i = 0
@@ -567,7 +585,7 @@ object Similarity {
           i += 1
         }
         selected += bestI
-        out += ((selected.size, ids(bestI), rel(bestI), bestScore))
+        out += ((selected.size.toLong, ids(bestI), rel(bestI), bestScore))
       }
       out.toSeq
     })
@@ -582,6 +600,11 @@ object Similarity {
       .select(col("probe_id"), explode(col("__picks")).as("__p"))
       .select(col("probe_id"), col("__p._1").as("rank"),
         col("__p._2").as("vec_id"), round(col("__p._3"), 6).as("sim"),
-        round(col("__p._4"), 6).as("mmr_score"))
+        // UNROUNDED: the score is a short dot of 6-decimal rationals and
+        // double constants — bit-identical across engines as-is, while a
+        // round(·, 6) would sit on a decimal half whenever λ·sim's 7th
+        // digit is 5 (i.e. for every odd-final-digit sim), exactly the
+        // q405 huge-double trap class
+        col("__p._4").as("mmr_score"))
   }
 }

@@ -412,7 +412,7 @@ object TimeSeries {
     val perT = df.groupBy(col(durationCol).cast("long").as("t"))
       .agg(sum(col(observedCol).cast("long")).as("n_events"),
         sum(lit(1L) - col(observedCol).cast("long")).as("n_censored_at_t"))
-      .localCheckpoint(false)
+      .barrierLazy()
     val total = broadcast(df.agg(count(lit(1)).as("__n")))
     if (perT.count() <= maxSpineRows) {
       val w = Window.orderBy(col("t"))
@@ -482,7 +482,7 @@ object TimeSeries {
       .filter(col("state") =!= absorbState)
     val direct = t.filter(col("__to") === absorbState)
       .select(col("__from").as("state"), col("__p").as("__pd"))
-    var q = states.withColumn("__q", lit(0.0)).localCheckpoint()
+    var q = states.withColumn("__q", lit(0.0)).barrier()
     (1 to steps).foreach { _ =>
       val contrib = t.filter(col("__to") =!= absorbState)
         .join(q.withColumnRenamed("state", "__to"), "__to")
@@ -495,7 +495,7 @@ object TimeSeries {
         .select(col("state"),
           (coalesce(col("__pd"), lit(0.0))
             + coalesce(col("__c"), lit(0.0))).as("__q"))
-        .localCheckpoint()
+        .barrier()
     }
     val out = q.join(tot.withColumnRenamed("__from", "state"), "state")
       .select(col("state"), col("__tc").as("n_out"),
@@ -663,7 +663,7 @@ object TimeSeries {
         sum(lit(1L) - col(observedCol).cast("long")).as("n_censored_at_t"))
       // pin the spine: the probe's count and the routed passes must
       // see one materialization (lazy checkpoint, freed with the result)
-      .localCheckpoint(false)
+      .barrierLazy()
     val total = broadcast(df.agg(count(lit(1)).as("__n")))
     if (perT.count() <= maxSpineRows) {
       val w = Window.orderBy(col("t"))
@@ -1121,7 +1121,7 @@ object TimeSeries {
       .filter(col("n") > 1)
       .withColumn("__mu", col("__sv").cast("double") / col("n").cast("double"))
       .withColumn("__kf", explode(array((1 to maxFreq).map(lit): _*)))
-      .localCheckpoint(false) // __mu/__kf must not re-inline per fold step
+      .barrierLazy() // __mu/__kf must not re-inline per fold step
     val nD = col("n").cast("double")
     val ang = lit(6.283185307179586) * col("__kf").cast("double")
     val fold = aggregate(col("__vs"),
@@ -1208,7 +1208,7 @@ object TimeSeries {
       .withColumn("__s12", element_at(col("__f1"), 2))
       .filter(col("__s11") > 0.0)
       .withColumn("__g", col("__s12") / col("__s11"))
-      .localCheckpoint(false)
+      .barrierLazy()
     // fold 2: SSR of the DF regression; state [ssr, prev, seen]
     val f2 = aggregate(col("__es"),
       array(lit(0.0), lit(0.0), lit(0.0)),

@@ -75,8 +75,18 @@ object Round27 {
       FROM r, n ORDER BY rule""")),
 
     // retrieval diversity: MMR rerank of each probe's brute-force
-    // top-20 down to 5 — the greedy trace is not SQL-expressible, so
-    // rows-only + Round27OpsSpec's hand-built duplicate-cluster case
+    // top-20 down to 5. The greedy trace is a recursive CTE (one row
+    // per probe per rank, selected ids carried as a list): each step
+    // re-joins the remaining candidates against the pairwise cosine
+    // table restricted to the selected set and takes the windowed
+    // argmax of λ·sim − (1−λ)·maxsim with the (score desc, vec_id)
+    // tie-break — exactly the Scala fold. Double-constant parity:
+    // (1.0 − 0.7) is computed IN DOUBLE on both sides (DuckDB's bare
+    // decimal literals would give a 1-ulp-different 0.3); relevance AND
+    // the pairwise cosines are 6-rounded (the q32/q33 basis), so every
+    // score is the same short dot of 6-decimal rationals on both
+    // engines and ships UNROUNDED (rounding λ·sim would sit on a
+    // decimal half for every odd-final-digit sim — the q405 trap).
     Q("q243_mmr", (s, d) => {
       import s.implicits._
       val vectors = T.embeddings(s, d)
@@ -86,6 +96,48 @@ object Round27 {
         .select($"probe_id", $"vec_id", $"sim", $"embedding")
       Similarity.mmrRerank(top, k = 5, lambda = 0.7)
         .orderBy($"probe_id", $"rank")
-    }, None)
+    }, Some("""
+      WITH RECURSIVE cand AS (
+        SELECT probe_id, vec_id, sim, embedding FROM (
+          SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim,
+                 b.embedding AS embedding,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                            b.vec_id) AS rnk
+          FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+          WHERE a.vec_id < 10) t
+        WHERE rnk <= 20),
+      pair AS (
+        SELECT a.probe_id, a.vec_id AS i, b.vec_id AS j,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cs
+        FROM cand a JOIN cand b ON a.probe_id = b.probe_id AND a.vec_id != b.vec_id),
+      pick(probe_id, rank, vec_id, sim, mmr_score, selected) AS (
+        SELECT probe_id, 1 AS rank, vec_id, sim,
+               0.7::DOUBLE * sim AS mmr_score, [vec_id] AS selected
+        FROM (SELECT probe_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY 0.7::DOUBLE * sim DESC, vec_id) AS rn
+              FROM cand) b0
+        WHERE rn = 1
+        UNION ALL
+        SELECT probe_id, rank, vec_id, sim, mmr_score, list_append(selected, vec_id)
+        FROM (
+          SELECT p.probe_id, p.rank + 1 AS rank, c.vec_id, c.sim,
+                 0.7::DOUBLE * c.sim - (1.0::DOUBLE - 0.7::DOUBLE) * max(pr.cs) AS mmr_score,
+                 p.selected,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY 0.7::DOUBLE * c.sim - (1.0::DOUBLE - 0.7::DOUBLE) * max(pr.cs) DESC,
+                            c.vec_id) AS rn
+          FROM pick p
+          JOIN cand c ON c.probe_id = p.probe_id AND NOT list_contains(p.selected, c.vec_id)
+          JOIN pair pr ON pr.probe_id = p.probe_id AND pr.i = c.vec_id
+                      AND list_contains(p.selected, pr.j)
+          WHERE p.rank < 5
+          GROUP BY p.probe_id, p.rank, c.vec_id, c.sim, p.selected
+        ) s
+        WHERE rn = 1)
+      SELECT probe_id, CAST(rank AS BIGINT) AS rank, vec_id, sim, mmr_score
+      FROM pick ORDER BY probe_id, rank"""))
   )
 }

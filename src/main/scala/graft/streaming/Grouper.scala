@@ -54,8 +54,19 @@ private[streaming] final class WakeableMemoryStream[T](
     armed = false
   }
 
-  // MicroBatchExecution drives this form (the source implements
-  // SupportsAdmissionControl via SupportsTriggerAvailableNow)
+  // Spark-version pin (which engine path drives which override): as of
+  // Spark 4.x, MicroBatchExecution's constructNextBatch calls THIS
+  // (start, limit) overload for any source implementing
+  // SupportsAdmissionControl — MemoryStream does, via
+  // SupportsTriggerAvailableNow — so this is the live path. The zero-arg
+  // overload below covers the legacy non-admission-control route only.
+  // If a future Spark drives neither (e.g. a new offset-negotiation API),
+  // the lane silently degrades to busy polling at ProcessingTime(0) —
+  // functionally correct but churny; GrouperSpec's close-latency bound
+  // and the GrouperRateProbe trend are the canaries for that regression.
+  // close() latency: query.stop() interrupts the stream thread, which
+  // unparks the wait below, so close blocks at most ~one idleParkMs per
+  // lane cycle (bounded; asserted by GrouperSpec's close-latency test).
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val first = super.latestOffset(start, limit)
     if (first != null && first != start) first

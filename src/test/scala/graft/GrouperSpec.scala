@@ -224,4 +224,27 @@ class GrouperSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!overlapped.get(), "micro-batches must not run concurrently")
     } finally g.close()
   }
+
+  test("close() of an idle grouper stays latency-bounded despite parked lanes") {
+    // the wakeable source parks its idle offset poll up to 100 ms per
+    // cycle; query.stop()'s interrupt must unpark it, so close() of a
+    // fully idle multi-lane grouper is bounded by ~one park per lane
+    // cycle — NOT by wait-out-the-park times lanes. A regression in
+    // which Spark drives an overload the park doesn't serve (or stop()
+    // stops interrupting the stream thread) shows up here as a stall.
+    implicit val enc = org.apache.spark.sql.Encoders.scalaInt
+    val g = Grouper.start[Int, Int](spark,
+      ds => ds.collect().toSeq.map(_ + 1),
+      capacity = 100, intervalMs = Some(10L), parallelism = 4)
+    val fs = (1 to 8).map(g.submit(_))
+    fs.foreach(await(_))
+    Thread.sleep(250) // let every lane go idle and park
+    val t0 = System.nanoTime()
+    g.close()
+    val closeSec = (System.nanoTime() - t0) / 1e9
+    // generous CI bound: typical is <1 s; a park-stall regression across
+    // 4 lanes with processAllAvailable retries lands well above this
+    assert(closeSec < 15.0, f"close() took $closeSec%.1f s — parked-lane stall")
+    assert(!g.isRunning)
+  }
 }

@@ -62,7 +62,7 @@ class Round27OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val first = Similarity.mmrRerank(cands, k = 3, lambda = 0.7)
       .filter($"rank" === 1).collect()(0)
     assert(first.getLong(2) == 21L)
-    assert(first.getDouble(4) == BigDecimal(0.7 * 0.7)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // mmr_score ships unrounded: rank-1 score is exactly λ·rel
+    assert(first.getDouble(4) == 0.7 * 0.7)
   }
 }

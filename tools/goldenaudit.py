@@ -109,7 +109,11 @@ def type_check_cells(path, cols, types):
             tok = parts[ci]
             if tok == "NULL" or tok == "":
                 continue
-            if t == "double" and not FLOAT_TOK.match(tok):
+            # integer-rendered doubles ('42' for 42.0) are legal: engines
+            # differ on whether the trailing '.0' is kept, and the value
+            # class is still numeric — only a non-numeric token is drift
+            if t == "double" and not (FLOAT_TOK.match(tok)
+                                      or INT_TOK.match(tok)):
                 probs.append(f"{c}: double column carries non-float "
                              f"token '{tok[:40]}'")
                 break

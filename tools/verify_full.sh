@@ -21,10 +21,11 @@ sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR" >"$LOG" 2>&1 || {
 # bearing query; an empty grep must not kill the loop under pipefail
 grep -E "verify:golden.*(MATCH|MISMATCH)" "$LOG" \
   | sed 's/^\[error\] //' | awk '{print $2, $3}' | sort | uniq -c || true
-if grep -qE "verify:golden.*MISMATCH|\[verify\] .* failed" "$LOG"; then
-  grep -E "verify:golden.*MISMATCH|\[verify\] .* failed" "$LOG" | head -40
-  echo "FAIL: verify errors or golden mismatches"; exit 1
+if grep -qE "verify:golden.*MISMATCH|\[verify\] .* failed|CACHE-PIN" "$LOG"; then
+  grep -E "verify:golden.*MISMATCH|\[verify\] .* failed|CACHE-PIN" "$LOG" | head -40
+  echo "FAIL: verify errors, golden mismatches, or cache pins"; exit 1
 fi
+grep -E "verify:cache.*cache-clean" "$LOG" | tail -1 || true
 
 echo "== 2/5 tools/compare.py (DuckDB value compare)"
 python3 tools/compare.py "$SF_DIR" "$OUT_DIR"
