@@ -288,9 +288,20 @@ case class TokenWindowHashes(child: Expression, k: Int)
 }
 
 /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): hashes of all
-  * character k-grams, reduced by taking the minimum in each sliding window
+  * byte k-grams, reduced by taking the minimum in each sliding window
   * of w consecutive k-gram hashes. Output is the distinct, sorted set —
   * a compact, position-robust document signature.
+  *
+  * Gram hash is the Karp–Rabin polynomial over the gram's UTF-8 bytes
+  * (B=257 mod M=2^61−1 — the same basis as [[RollingHash]], and the
+  * hash family the winnowing paper itself builds on), computed with the
+  * O(n) rolling update so a document costs O(bytes) regardless of k.
+  * The polynomial basis makes the whole fingerprint ENGINE-PORTABLE:
+  * a SQL engine reproduces each gram hash as a k-term Horner expression
+  * over byte values (for k ≤ 7 and ASCII text the value stays below M,
+  * so not even the modulus is needed) — which is exactly how q36's
+  * DuckDB oracle pins this expression, where the previous xxHash64
+  * basis was irreproducible outside Spark.
   */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
@@ -299,14 +310,36 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprint"
 
+  private final val M = (1L << 61) - 1
+  private final val B = 257L
+  // B^(k-1) mod M — the weight of the outgoing byte in the rolling update
+  private lazy val Bk: Long = {
+    var r = 1L; var i = 1
+    while (i < k) { r = mulmod(r, B); i += 1 }
+    r
+  }
+
+  private def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var res = (lo & M) + ((lo >>> 61) | (hi << 3))
+    if (res >= M) res -= M
+    res
+  }
+
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    if (s.length < k) return new GenericArrayData(Array.empty[Long])
-    val grams = new Array[Long](s.length - k + 1)
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.length < k) return new GenericArrayData(Array.empty[Long])
+    val grams = new Array[Long](bytes.length - k + 1)
+    var h = 0L
     var i = 0
-    while (i + k <= s.length) {
-      grams(i) = XxHash64Function.hash(
-        UTF8String.fromString(s.substring(i, i + k)), StringType, 7L)
+    while (i < k) { h = mulmod(h, B) + (bytes(i) & 0xffL); if (h >= M) h -= M; i += 1 }
+    grams(0) = h
+    i = k
+    while (i < bytes.length) {
+      h = h + M - mulmod(bytes(i - k) & 0xffL, Bk); if (h >= M) h -= M
+      h = mulmod(h, B) + (bytes(i) & 0xffL); if (h >= M) h -= M
+      grams(i - k + 1) = h
       i += 1
     }
     val picked = scala.collection.mutable.SortedSet.empty[Long]

@@ -189,14 +189,48 @@ object Text {
         .orderBy($"a_id", $"b_id")
     }, None),
 
-    // rows-only: rolling-hash + winnowing fingerprints (custom expressions)
+    // rolling-hash + winnowing fingerprints. Both are Karp–Rabin
+    // polynomials (B=257 mod 2^61−1), so the oracle reproduces them in
+    // SQL: fp64 as a HUGEINT left-fold over byte values (ascii == byte —
+    // the corpus is pure ASCII, asserted by the length = octet_length
+    // guard in the fold below via ascii() semantics), n_winnow as the
+    // distinct count of windowed minima over 7-term Horner gram hashes
+    // (k=7 ASCII grams stay below M, so no modulus is needed per gram).
     Q("q36_fingerprint", (s, d) => {
       import s.implicits._
       T.documents(s, d)
         .select($"doc_id",
           rolling_hash($"text").as("fp64"),
-          size(winnow_fingerprint($"text")).as("n_winnow"))
+          size(winnow_fingerprint($"text")).cast("long").as("n_winnow"))
         .orderBy($"doc_id")
-    }, None)
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id, i,
+               ((((((ascii(text[i])::BIGINT * 257 + ascii(text[i+1])) * 257
+                  + ascii(text[i+2])) * 257 + ascii(text[i+3])) * 257
+                  + ascii(text[i+4])) * 257 + ascii(text[i+5])) * 257
+                  + ascii(text[i+6])) AS h,
+               length(text) - 6 AS ng
+        FROM documents, unnest(range(1, greatest(length(text) - 5, 1))) AS t(i)
+        WHERE length(text) >= 7),
+      mins AS (
+        SELECT doc_id, i, ng,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        FROM g),
+      pick AS (
+        SELECT doc_id, mh FROM mins WHERE ng >= 4 AND i <= ng - 3
+        UNION ALL
+        SELECT doc_id, min(h) AS mh FROM g WHERE ng < 4 GROUP BY doc_id),
+      nw AS (SELECT doc_id, count(DISTINCT mh) AS n_winnow FROM pick GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(list_reduce(list_prepend(0::HUGEINT,
+                    list_transform(range(1, length(d.text) + 1),
+                                   i -> ascii(d.text[i])::HUGEINT)),
+                  (h, c) -> (h * 257 + c) % 2305843009213693951::HUGEINT)
+               AS BIGINT) AS fp64,
+             coalesce(nw.n_winnow, 0) AS n_winnow
+      FROM documents d LEFT JOIN nw USING (doc_id)
+      ORDER BY d.doc_id"""))
   )
 }
