@@ -5,13 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // posture-profiled session: identical knobs to before under the
+    // default profile (SessionPostureSpec pins the map), env-tunable for
+    // deployment experiments (SPARK_GRAFT_SHUFFLE_PARTITIONS etc.)
+    val spark = Session.local(cpus.toInt)
     // Steady-state methodology (JMH-style): per query, one untimed warmup
     // pass pays the one-shot codegen/JIT/class-loading cost, then the timed
     // pass measures actual plan execution. The cold (first-run) total is
@@ -74,26 +71,42 @@ object Bench {
     // the reference's own metric: micro-batched request throughput
     // (its README models a 1,000 items/s server ceiling and ~909 items/s
     // batched; this measures the façade end-to-end incl. per-item futures)
-    val grouperRate = {
+    def grouperTrial(): Double = {
       import scala.concurrent.Await
       import scala.concurrent.duration._
       implicit val enc = org.apache.spark.sql.Encoders.scalaLong
-      def trial(): Double = {
-        val g = graft.streaming.Grouper.start[Long, Long](spark,
-          ds => ds.collect().toSeq.map(_ + 1), capacity = 10000, intervalMs = Some(10L))
-        val n = 5000
-        val t0 = System.nanoTime()
-        val fs = (1L to n).map(g.submit(_))
-        fs.foreach(Await.result(_, 120.seconds))
-        val rate = n / ((System.nanoTime() - t0) / 1e9)
-        g.close()
-        rate
-      }
-      // best of two trials, mirroring the per-query min: external load
-      // bursts suppress a single trial's rate by 4-5x on this machine
-      math.max(trial(), trial())
+      val g = graft.streaming.Grouper.start[Long, Long](spark,
+        ds => ds.collect().toSeq.map(_ + 1), capacity = 10000, intervalMs = Some(10L))
+      val n = 5000
+      val t0 = System.nanoTime()
+      val fs = (1L to n).map(g.submit(_))
+      fs.foreach(Await.result(_, 120.seconds))
+      val rate = n / ((System.nanoTime() - t0) / 1e9)
+      g.close()
+      rate
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","timing":"per-query min of cold + warm executions","cold_total":$coldTotal,"queries":$qs,"grouper_items_per_sec":$grouperRate,"sf":"$sfDir"}"""
+    // best of two trials, mirroring the per-query min: external load
+    // bursts suppress a single trial's rate by 4-5x on this machine
+    // (the metric's historical contract — kept comparable across rounds)
+    val grouperRate = math.max(grouperTrial(), grouperTrial())
+    // host attribution (round-10 verdict): commit an isolated best-of-10
+    // probe AND a fixed single-core workload unit with every bench, so a
+    // cross-round items/s swing decomposes into host speed (unit moves)
+    // vs lane-code change (probe moves against a flat unit)
+    val grouperProbe10 = (1 to 10).map(_ => grouperTrial()).max
+    val hostUnitMs = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var h = 1469598103934665603L // FNV offset basis: arbitrary odd seed
+        var i = 0
+        while (i < (1 << 26)) { h = (h ^ i) * 1099511628211L; i += 1 }
+        // data dependence defeats dead-code elimination; never true
+        if (h == 42L) System.err.print("")
+        (System.nanoTime() - t0) / 1e6
+      }
+      (1 to 5).map(_ => once()).min
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","timing":"per-query min of cold + warm executions","cold_total":$coldTotal,"queries":$qs,"grouper_items_per_sec":$grouperRate,"grouper_probe_best_of_10":$grouperProbe10,"host_single_core_unit_ms":$hostUnitMs,"sf":"$sfDir"}"""
     println(line)
     // stdout gets truncated by log capture; the file keeps every
     // per-query time inspectable after the run

@@ -161,14 +161,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // posture-profiled session (same knobs as before under the default
+    // profile; SessionPostureSpec pins the config map)
+    val spark = Session.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q108 (comma-separated, prefix match) restricts the
     // dump for single-query flake hunting — same contract as Bench's filter
