@@ -99,9 +99,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** 64-bit SimHash of a token array (near-duplicate sketch).
   *
-  * Per token: xxHash64, then each of the 64 hash bits votes +1/-1 on the
-  * corresponding output bit; the fingerprint sets bits with a positive
-  * tally. Documents within small Hamming distance are near-duplicates.
+  * Per token: a Karp–Rabin polynomial hash over the token's UTF-8 bytes
+  * (B=257 mod M=2^61−1 — the same engine-portable basis as
+  * [[RollingHash]]) finalized by murmur3's fmix64 bijective mixer; each
+  * of the 64 result bits votes +1/-1 on the corresponding output bit
+  * and the fingerprint sets bits with a positive tally (a zero tally
+  * leaves the bit clear). Documents within small Hamming distance are
+  * near-duplicates.
+  *
+  * The raw polynomial value is NOT mixed enough to vote with — it lives
+  * below 257^len for short tokens, so high bits would be constant-zero
+  * and the sketch would only ever encode long tokens. fmix64 spreads
+  * every input bit across all 64 positions, is a pure function of the
+  * value (no seed), and — the reason it was chosen over xxHash64 — is
+  * four wrapping-arithmetic steps a SQL oracle can replicate exactly
+  * (HUGEINT multiply mod 2^64 + UBIGINT xor/shift in DuckDB), which is
+  * what gives q31 a full rows+schema+hash oracle instead of a
+  * rows-only check.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes with RefCallCodegen {
@@ -116,7 +130,7 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = SimHash64.tokenHash(arr.getUTF8String(i).getBytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -132,6 +146,33 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  private final val M = (1L << 61) - 1
+  private final val B = 257L
+
+  /** fmix64(poly257(bytes)): the per-token vote value. Java's `*` wraps
+    * mod 2^64 — exactly the HUGEINT `% 2^64` the oracle performs. */
+  def tokenHash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      // h*257 never overflows the Math.multiplyHigh path: h < 2^61
+      val hi = Math.multiplyHigh(h, B)
+      val lo = h * B
+      h = (lo & M) + ((lo >>> 61) | (hi << 3)) + (bytes(i) & 0xffL)
+      while (h >= M) h -= M
+      i += 1
+    }
+    var x = h
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
 }
 
 /** Shannon entropy (nats) of a string's character distribution — the

@@ -177,17 +177,73 @@ object Text {
             FROM documents WHERE doc_id < 100) t
       GROUP BY word HAVING count(*) >= 5 ORDER BY word""")),
 
-    // rows-only: SimHash (xxHash64 basis — not expressible in DuckDB).
-    // Radius 4 → 5 chunks of ~13 bits: banding is pigeonhole-complete for
-    // the radius (SimHashRecallSpec proves set-equality vs brute force)
-    // and buckets stay sparse (8k+ values per band) — radius 8 would
-    // band on 7-bit chunks whose 128-value space packs clustered sketches
-    // into hot buckets and inflates the candidate join
+    // SimHash near-dup pairs, full oracle. Radius 4 → 5 chunks of ~13
+    // bits: banding is pigeonhole-complete for the radius
+    // (SimHashRecallSpec proves set-equality vs brute force) and buckets
+    // stay sparse (8k+ values per band) — radius 8 would band on 7-bit
+    // chunks whose 128-value space packs clustered sketches into hot
+    // buckets and inflates the candidate join.
+    //
+    // The oracle replicates the sketch bit-for-bit because the per-token
+    // hash is fmix64 over the same B=257 mod 2^61−1 Karp–Rabin
+    // polynomial q36 already folds in SQL: the poly is a HUGEINT
+    // left-fold, fmix64's wrapping multiplies split into 32-bit halves
+    // (xl·C + ((xh·C mod 2³²)·2³²) mod 2⁶⁴ — the full 64×64 product
+    // overflows signed INT128) with UBIGINT xor/shift between them, the
+    // 64 bit-votes are a (doc × bit) group-by, and the banded self-join
+    // mirrors the engine's chunk bounds i*64/5 — pigeonhole makes both
+    // sides EXACTLY the hamming≤4 pair set, so replicating the banding
+    // (vs brute-force all-pairs) changes nothing but oracle cost.
     Q("q31_simhash", (s, d) => {
       import s.implicits._
       Dedup.simHashNearDupPairs(T.documents(s, d), "doc_id", "text", maxHamming = 4)
+        .withColumn("hamming", $"hamming".cast("long"))
         .orderBy($"a_id", $"b_id")
-    }, None),
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents),
+      poly AS (
+        SELECT doc_id,
+               CAST(list_reduce(list_prepend(0::HUGEINT,
+                      list_transform(range(1, length(w) + 1),
+                                     i -> ascii(w[i])::HUGEINT)),
+                    (h, c) -> (h * 257 + c) % 2305843009213693951::HUGEINT)
+                 AS UBIGINT) AS p
+        FROM tok),
+      mix1 AS (SELECT doc_id, xor(p, p >> 33) AS x FROM poly),
+      mix2 AS (SELECT doc_id, CAST(((x & 4294967295)::HUGEINT * 18397679294719823053
+                 + (((x >> 32)::HUGEINT * 3981806797) % 4294967296) * 4294967296)
+                 % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM mix1),
+      mix3 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM mix2),
+      mix4 AS (SELECT doc_id, CAST(((x & 4294967295)::HUGEINT * 14181476777654086739
+                 + (((x >> 32)::HUGEINT * 444984403) % 4294967296) * 4294967296)
+                 % 18446744073709551616::HUGEINT AS UBIGINT) AS x FROM mix3),
+      th AS (SELECT doc_id, xor(x, x >> 33) AS h FROM mix4),
+      bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> CAST(b AS INT)) & 1::UBIGINT = 1::UBIGINT
+                        THEN 1 ELSE -1 END) AS v
+        FROM th, unnest(range(0, 64)) AS t(b)
+        GROUP BY doc_id, b),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0
+                 THEN (1::UBIGINT << CAST(b AS INT))::HUGEINT
+                 ELSE 0::HUGEINT END) AS UBIGINT) AS sh
+        FROM bits GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, sh, c,
+               (sh >> CAST(c * 64 // 5 AS INT))
+                 & ((1::UBIGINT << CAST((c + 1) * 64 // 5 - c * 64 // 5 AS INT))
+                    - 1::UBIGINT) AS ck
+        FROM sh, unnest(range(0, 5)) AS t(c))
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 4
+      ORDER BY a_id, b_id""")),
 
     // rolling-hash + winnowing fingerprints. Both are Karp–Rabin
     // polynomials (B=257 mod 2^61−1), so the oracle reproduces them in

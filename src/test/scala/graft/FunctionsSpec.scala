@@ -36,6 +36,25 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(crossed((0L, 3L)) - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("simhash64 token hash matches an independent BigInt fmix64(poly257) model") {
+    // The q31 oracle recomputes this hash in DuckDB SQL; this pins the
+    // Scala side to the same closed form via arbitrary-precision
+    // arithmetic (no Long wrapping shortcuts shared with the impl).
+    val mask = (BigInt(1) << 64) - 1
+    def model(s: String): Long = {
+      val m = (BigInt(1) << 61) - 1
+      var h = BigInt(0)
+      s.getBytes("UTF-8").foreach { b => h = (h * 257 + (b & 0xff)) % m }
+      var x = h
+      x = x ^ (x >> 33); x = (x * BigInt("ff51afd7ed558ccd", 16)) & mask
+      x = x ^ (x >> 33); x = (x * BigInt("c4ceb9fe1a85ec53", 16)) & mask
+      x = x ^ (x >> 33)
+      x.toLong
+    }
+    for (w <- Seq("hello", "a", "", "the-quick", "x" * 50, "Zq9!", "123456789"))
+      assert(graft.functions.SimHash64.tokenHash(w.getBytes("UTF-8")) == model(w), w)
+  }
+
   test("simhash64 is deterministic and identical for identical token sets") {
     import spark.implicits._
     val df = Seq(

@@ -139,35 +139,52 @@ def main():
         oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
         emit_golden(con, oracles, golden_dir)
         return
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    report = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        report[name] = rec
         try:
             spark_df = canon(con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
+            rec["spark_rows"] = len(spark_df)
             oracle_df = canon(con.execute(sql).fetchdf())
+            rec["oracle_rows"] = len(oracle_df)
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            rec["err"] = str(e)[:500]
             n_fail += 1
             continue
         ok = True
-        if list(spark_df.columns) != list(oracle_df.columns):
+        rec["rows_match"] = len(spark_df) == len(oracle_df)
+        rec["schema_match"] = list(spark_df.columns) == list(oracle_df.columns)
+        if not rec["schema_match"]:
             print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(oracle_df.columns)}")
             ok = False
-        elif len(spark_df) != len(oracle_df):
+        elif not rec["rows_match"]:
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(oracle_df)}")
             ok = False
         else:
+            rec["hash_match"] = True
             sv, ov = spark_df.values.tolist(), oracle_df.values.tolist()
             for i, (r1, r2) in enumerate(zip(sv, ov)):
                 bad = [(c, x, y) for c, (x, y) in
                        zip(spark_df.columns, zip(r1, r2)) if not cells_equal(x, y)]
                 if bad:
                     print(f"FAIL {name}: row {i} diff {bad[:3]}")
+                    rec["hash_match"] = False
                     ok = False
                     break
         if ok:
@@ -175,6 +192,24 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
+    if json_out:
+        # Queries Verify dumped but no oracle covers -> driver's no_oracle rows
+        import glob, os
+        for d in sorted(glob.glob(f"{out_dir}/*/")):
+            name = os.path.basename(d.rstrip("/"))
+            if name in report:
+                continue
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+            except Exception:
+                continue
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": n,
+                            "oracle_rows": None, "err": "no_oracle"}
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=1)
+        print(f"== wrote {json_out} ({len(report)} entries) ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
