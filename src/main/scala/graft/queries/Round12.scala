@@ -121,11 +121,14 @@ object Round12 {
                       generate_series(1, greatest(len(ws) - 2, 0)),
                       i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
              FROM w),
-      p AS (SELECT round(len(list_intersect(a.s, b.s)) * 1.0 /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-                     6) AS sim
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.s, b.s)) > 0),
+      jsz AS (SELECT doc_id, len(s) AS n FROM sh),
+      jpost AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      jcom AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+               FROM jpost a JOIN jpost b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      p AS (SELECT round(c * 1.0 / (sa.n + sb.n - c), 6) AS sim
+            FROM jcom JOIN jsz sa ON sa.doc_id = a_id
+                      JOIN jsz sb ON sb.doc_id = b_id),
       f AS (SELECT sim FROM p WHERE sim >= 0.05)
       SELECT CAST(floor(sim * 10) AS INT) AS band, count(*) AS n_pairs,
              round(min(sim), 6) AS min_sim, round(max(sim), 6) AS max_sim

@@ -377,11 +377,16 @@ object Round3 {
                       generate_series(1, greatest(len(ws) - 2, 0)),
                       i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
              FROM w),
-      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                       round(len(list_intersect(a.s, b.s)) * 1.0 /
-                             len(list_distinct(list_concat(a.s, b.s))), 6) AS sim
-                FROM sh a JOIN sh b
-                  ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0)
+      jsz AS (SELECT doc_id, len(s) AS n FROM sh),
+      jpost AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      jcom AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+               FROM jpost a JOIN jpost b
+                 ON a.g = b.g AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+               GROUP BY 1, 2),
+      pairs AS (SELECT a_id, b_id,
+                       round(c * 1.0 / (sa.n + sb.n - c), 6) AS sim
+                FROM jcom JOIN jsz sa ON sa.doc_id = a_id
+                          JOIN jsz sb ON sb.doc_id = b_id)
       SELECT a_id, b_id, sim FROM pairs WHERE sim >= 0.5
       ORDER BY a_id, b_id""")),
 
@@ -412,11 +417,16 @@ object Round3 {
                       generate_series(1, greatest(len(ws) - 2, 0)),
                       i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
              FROM w),
-      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                       round(len(list_intersect(a.s, b.s)) * 1.0 /
-                             len(list_distinct(list_concat(a.s, b.s))), 6) AS sim
-                FROM sh a JOIN sh b
-                  ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0)
+      jsz AS (SELECT doc_id, len(s) AS n FROM sh),
+      jpost AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      jcom AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+               FROM jpost a JOIN jpost b
+                 ON a.g = b.g AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+               GROUP BY 1, 2),
+      pairs AS (SELECT a_id, b_id,
+                       round(c * 1.0 / (sa.n + sb.n - c), 6) AS sim
+                FROM jcom JOIN jsz sa ON sa.doc_id = a_id
+                          JOIN jsz sb ON sb.doc_id = b_id)
       SELECT a_id, b_id, sim FROM pairs WHERE sim >= 0.5
       ORDER BY a_id, b_id""")),
 

@@ -275,10 +275,15 @@ object Round8 {
                       generate_series(1, greatest(len(ws) - 2, 0)),
                       i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS s
              FROM w),
-      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-                      len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+      jsz AS (SELECT doc_id, len(s) AS n FROM sh),
+      jpost AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      jcom AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+               FROM jpost a JOIN jpost b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      pairs AS (SELECT a_id, b_id
+                FROM jcom JOIN jsz sa ON sa.doc_id = a_id
+                          JOIN jsz sb ON sb.doc_id = b_id
+                WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
       edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
                 UNION SELECT b_id, a_id FROM pairs),
       reach AS (SELECT src AS id, src AS lbl FROM edges
