@@ -445,13 +445,23 @@ object Metrics {
     * reserved `unattributed` channel in full.
     *
     * Determinism contract: per (conversion, channel) the credit is
-    * `round(value · n_channel / n_total, 4)` — one deterministic
-    * map-side double expression — then cast to `decimal(18,4)` so the
-    * cross-partition SUM is exact and associative (raw double credit
-    * sums would flap by partial-sum order: the q141 lesson). Rounding
-    * happens per conversion-channel, so totals may differ from
-    * Σ value by < 0.0001·|pairs| — that tolerance IS the contract,
-    * and the oracle replays it.
+    * `floor(value · n_channel / n_total · 10⁴ + 0.5) / 10⁴` — one
+    * deterministic map-side double expression — then cast to
+    * `decimal(18,4)` so the cross-partition SUM is exact and
+    * associative (raw double credit sums would flap by partial-sum
+    * order: the q141 lesson). The floor form, not `round(·, 4)`:
+    * cents-valued credits divided by small touch counts land on TRUE
+    * ten-thousandth halves (0.01/8 = 0.00125) where engines' round()
+    * resolves half-way cases differently (Spark re-rounds the shortest
+    * decimal repr, DuckDB scales-and-rounds the raw double — found as
+    * a dozen per-credit flips at sf0.1; the q405 huge-round lesson's
+    * small-value sibling). floor(x·10⁴ + 0.5) is a pure function of
+    * the SAME IEEE double both engines compute, so the resolution is
+    * identical everywhere (credits are non-negative, so floor(+0.5)
+    * half-up needs no negative-half caveat). Rounding happens per
+    * conversion-channel, so totals may differ from Σ value by
+    * < 0.0001·|pairs| — that tolerance IS the contract, and the
+    * oracle replays it.
     *
     * Shape: one equi-join on the user key with the time window as a
     * residual predicate (per-user touch×conversion pairs — bounded by
@@ -482,8 +492,9 @@ object Metrics {
       .withColumn("__ntot", sum(col("__nch")).over(wc))
       .select(coalesce(col("__ch"), lit("unattributed")).as("channel"),
         col("__cid"),
-        round(when(col("__ntot") === 0, col("__v"))
-            .otherwise(col("__v") * col("__nch") / col("__ntot")), 4)
+        (floor(when(col("__ntot") === 0, col("__v"))
+            .otherwise(col("__v") * col("__nch") / col("__ntot"))
+            * 10000 + 0.5) / 10000)
           .cast("decimal(18,4)").as("__credit"))
       .groupBy(col("channel"))
       .agg(sum(col("__credit")).cast("decimal(18,4)").as("credited"),

@@ -38,8 +38,9 @@ object Round17 {
       w AS (SELECT cid, value, ch, n_ch,
                    sum(n_ch) OVER (PARTITION BY cid) AS n_tot FROM pc),
       cr AS (SELECT coalesce(ch, 'unattributed') AS channel, cid,
-                    CAST(round(CASE WHEN n_tot = 0 THEN value
-                               ELSE value * n_ch / n_tot END, 4)
+                    CAST(floor((CASE WHEN n_tot = 0 THEN value
+                                ELSE value * n_ch / n_tot END)
+                               * 10000 + 0.5) / 10000
                       AS DECIMAL(18,4)) AS credit
              FROM w)
       SELECT channel, CAST(sum(credit) AS DECIMAL(18,4)) AS credited,
