@@ -116,46 +116,62 @@ object Round19 {
           .as("node"),
           $"core_degree")
         .orderBy($"node")
-    }, Some("""
-      WITH RECURSIVE
-      ol AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+    }, Some {
+      // UNROLLED peel, not a recursive CTE: the former one-row recursion
+      // carried the surviving-node LIST and membership-tested edges
+      // against correlated unnests of it — DuckDB plans that as a
+      // dependent join whose per-step cost is O(|edges|·|nodes|)
+      // (~9.4B probes at sf0.1; the sf0.1 sweep never finished it).
+      // Peeling is monotone and idempotent at the fixed point, so 8
+      // plain equi-join steps over survivor ROWS compute the same set
+      // whenever the peel converges within 8 rounds (it takes 2-3 on
+      // every fixture scale), and the convergence GUARD row makes the
+      // compare fail loudly — never silently wrong — if a future
+      // corpus needs more: s7 and s8 counts must agree (monotone
+      // shrinkage makes count equality set equality). Every chained CTE
+      // is AS MATERIALIZED: each step references its predecessor twice,
+      // so DuckDB's default inlining re-expands the whole chain 2^8
+      // times (hundreds of parquet re-scans — the first un-materialized
+      // attempt died on fd exhaustion before it could be slow).
+      val step = (i: Int) => s"""
+      s$i AS MATERIALIZED (SELECT x AS node FROM (
+               SELECT e.a AS x FROM e
+                 JOIN s${i - 1} p ON e.a = p.node JOIN s${i - 1} q ON e.b = q.node
+               UNION ALL
+               SELECT e.b FROM e
+                 JOIN s${i - 1} p ON e.a = p.node JOIN s${i - 1} q ON e.b = q.node) t
+             GROUP BY x HAVING count(*) >= (SELECT k FROM kv)),"""
+      """
+      WITH ol AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      e0 AS (SELECT DISTINCT c AS src, s AS dst FROM ol),
-      deg AS (SELECT n, count(*) AS d FROM (
+      e0 AS MATERIALIZED (SELECT DISTINCT c AS src, s AS dst FROM ol),
+      deg AS MATERIALIZED (SELECT n, count(*) AS d FROM (
                 SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0)
               GROUP BY n),
-      kv AS (SELECT greatest(2, CAST(floor(quantile_cont(d, 0.5)) AS INT)) AS k
+      kv AS MATERIALIZED (SELECT greatest(2,
+                CAST(floor(quantile_cont(d, 0.5)) AS INT)) AS k
              FROM deg),
-      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                greatest(src, dst) AS b
             FROM e0 WHERE src <> dst),
-      peel AS (
-        SELECT 0 AS round, (SELECT list(n ORDER BY n) FROM deg) AS nodes
-        UNION ALL
-        SELECT p.round + 1, s.nodes
-        FROM peel p, LATERAL (
-          SELECT coalesce(list(node ORDER BY node), []) AS nodes FROM (
-            SELECT node FROM (
-              SELECT e.a AS node FROM e
-                JOIN (SELECT unnest(p.nodes) AS n) sa ON e.a = sa.n
-                JOIN (SELECT unnest(p.nodes) AS n) sb ON e.b = sb.n
-              UNION ALL
-              SELECT e.b FROM e
-                JOIN (SELECT unnest(p.nodes) AS n) sa ON e.a = sa.n
-                JOIN (SELECT unnest(p.nodes) AS n) sb ON e.b = sb.n)
-            GROUP BY node HAVING count(*) >= (SELECT k FROM kv))) s
-        WHERE s.nodes <> p.nodes),
-      fin AS (SELECT nodes FROM peel ORDER BY round DESC LIMIT 1),
-      surv AS (SELECT unnest(nodes) AS node FROM fin),
+      s0 AS MATERIALIZED (SELECT n AS node FROM deg),""" +
+        (1 to 8).map(step).mkString + """
       degf AS (SELECT node, count(*) AS core_degree FROM (
                  SELECT e.a AS node FROM e
-                   JOIN surv x ON e.a = x.node JOIN surv y ON e.b = y.node
+                   JOIN s8 x ON e.a = x.node JOIN s8 y ON e.b = y.node
                  UNION ALL
                  SELECT e.b FROM e
-                   JOIN surv x ON e.a = x.node JOIN surv y ON e.b = y.node)
+                   JOIN s8 x ON e.a = x.node JOIN s8 y ON e.b = y.node)
                GROUP BY node)
-      SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
-                  ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
-             core_degree
-      FROM degf ORDER BY node"""))
+      SELECT * FROM (
+        SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                    ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+               core_degree
+        FROM degf
+        UNION ALL
+        SELECT 'PEEL-NOT-CONVERGED-WITHIN-8', CAST(-1 AS BIGINT)
+        WHERE (SELECT count(*) FROM s7) <> (SELECT count(*) FROM s8)
+      ) ORDER BY node"""
+    })
   )
 }

@@ -397,7 +397,15 @@ object Round5 {
     // cluster by max account balance, min-key ties — the q129 + q131
     // machinery composed end-to-end; the oracle rebuilds the same
     // pipeline from ≤1-deletion-variant candidates (proven-exact
-    // superset, see q129) + levenshtein verify + recursive closure
+    // superset, see q129) + levenshtein verify + an UNROLLED min-label
+    // closure. Not the reach-style recursive CTE: at sf0.1 the name
+    // graph is ONE 15,000-node component (digit chains connect
+    // everything), and reach materializes (node × reaching-label) pairs
+    // — up to 225M rows — where min-label propagation floods the
+    // component minimum in 6 measured rounds. 12 MATERIALIZED steps
+    // (q220's unroll discipline: chained CTEs referenced twice re-expand
+    // exponentially if inlined) + a guard row that fails the compare
+    // loudly if l11 <> l12, i.e. if a future corpus needs more rounds.
     Q("q143_entity_resolution", (s, d) => {
       import s.implicits._
       val cust = s.read.parquet(s"$d/customer.parquet")
@@ -406,9 +414,16 @@ object Round5 {
           cust.select($"c_custkey", ($"c_acctbal" * 100).cast("long").as("bal")),
           "c_custkey", "bal", pairs, "id_a", "id_b")
         .orderBy($"c_custkey")
-    }, Some("""
-      WITH RECURSIVE
-      vlist AS (SELECT c_custkey, length(c_name) AS ln,
+    }, Some {
+      val step = (i: Int) => s"""
+      l$i AS MATERIALIZED (
+        SELECT l.n, least(l.l, coalesce(t.m, l.l)) AS l
+        FROM l${i - 1} l LEFT JOIN (
+          SELECT e.d AS n, min(p.l) AS m
+          FROM ed e JOIN l${i - 1} p ON p.n = e.s GROUP BY e.d) t
+        ON t.n = l.n),"""
+      """
+      WITH vlist AS (SELECT c_custkey, length(c_name) AS ln,
              list_prepend(c_name, list_transform(range(1, length(c_name) + 1),
                i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1))) AS vs
            FROM customer),
@@ -416,16 +431,15 @@ object Round5 {
       cand AS (SELECT DISTINCT a.c_custkey AS a_id, b.c_custkey AS b_id
                FROM vars a JOIN vars b ON a.v = b.v AND a.c_custkey < b.c_custkey
                                        AND abs(a.ln - b.ln) <= 1),
-      prs AS (SELECT a_id, b_id
+      prs AS MATERIALIZED (SELECT a_id, b_id
               FROM cand JOIN customer ca ON ca.c_custkey = a_id
                         JOIN customer cb ON cb.c_custkey = b_id
               WHERE levenshtein(ca.c_name, cb.c_name) <= 1),
-      edges AS (SELECT a_id AS src, b_id AS dst FROM prs
-                UNION SELECT b_id, a_id FROM prs),
-      reach AS (SELECT src AS id, src AS lbl FROM edges
-                UNION
-                SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-      comp AS (SELECT id AS c_custkey, min(lbl) AS component FROM reach GROUP BY id),
+      ed AS MATERIALIZED (SELECT a_id AS s, b_id AS d FROM prs
+                          UNION SELECT b_id, a_id FROM prs),
+      l0 AS MATERIALIZED (SELECT DISTINCT s AS n, s AS l FROM ed),""" +
+        (1 to 12).map(step).mkString + """
+      comp AS (SELECT n AS c_custkey, l AS component FROM l12),
       g AS (SELECT c.c_custkey, CAST(c.c_acctbal * 100 AS BIGINT) AS bal,
                    coalesce(m.component, c.c_custkey) AS group_id
             FROM customer c LEFT JOIN comp m USING (c_custkey)),
@@ -433,9 +447,16 @@ object Round5 {
                  SELECT group_id, c_custkey, row_number() OVER (
                    PARTITION BY group_id ORDER BY bal DESC, c_custkey) AS rn
                  FROM g) WHERE rn = 1)
-      SELECT g.c_custkey, g.group_id, b.canonical_id,
-             CAST(g.c_custkey = b.canonical_id AS INT) AS is_canonical
-      FROM g JOIN best b USING (group_id) ORDER BY g.c_custkey""")),
+      SELECT * FROM (
+        SELECT g.c_custkey, g.group_id, b.canonical_id,
+               CAST(g.c_custkey = b.canonical_id AS INT) AS is_canonical
+        FROM g JOIN best b USING (group_id)
+        UNION ALL
+        SELECT -1, -1, -1, CAST(-1 AS INT)
+        WHERE EXISTS (SELECT 1 FROM l11 a JOIN l12 b ON a.n = b.n
+                      WHERE a.l <> b.l)
+      ) ORDER BY c_custkey"""
+    }),
 
     // heavy hitters, production shape: a Misra-Gries sketch pass finds
     // candidate words (guaranteed superset of everything above

@@ -140,16 +140,32 @@ def main():
         emit_golden(con, oracles, golden_dir)
         return
     json_out = None
+    only = None
     argv = sys.argv[1:]
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
+        del argv[i:i + 2]
+    if "--only" in argv:
+        # comma-separated exact names OR shard spec "i/n" (hash by index
+        # over the sorted oracle list) — lets a long sweep run as N
+        # parallel processes whose --json outputs are merged afterwards
+        i = argv.index("--only")
+        only = argv[i + 1]
         del argv[i:i + 2]
     sf_dir, out_dir = argv[0], argv[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        if "/" in only and "," not in only:
+            i, n = map(int, only.split("/"))
+            names = sorted(oracles)
+            oracles = {k: oracles[k] for j, k in enumerate(names) if j % n == i}
+        else:
+            keep = set(only.split(","))
+            oracles = {k: v for k, v in oracles.items() if k in keep}
     report = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
