@@ -994,16 +994,21 @@ object TimeSeries {
       .withColumn("__sxy", sum(col("__x") * col("__yc")).over(w))
       .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
       .select(col(keyCol), col("__x").as(xCol), col("__cnt").as("n_window"),
-        round(
-          when(col("__cnt") < 2 ||
-              col("__cnt") * col("__sxx") === col("__sx") * col("__sx"),
-            lit(null))
-            .otherwise(
-              (col("__cnt") * col("__sxy") - col("__sx") * col("__sy"))
-                .cast("double")
-                / (col("__cnt") * col("__sxx") - col("__sx") * col("__sx"))
-                  .cast("double") / 100.0),
-          6).as("slope"))
+        // UNROUNDED (the q405 discipline): every moment is an exact
+        // long, so both engines compute the identical IEEE double with
+        // the same two divisions — emitting it raw hash-matches, while
+        // round(·, 6) resolved an exact ten-millionth-half slope
+        // differently per engine (found at sf0.1: 8.2290625 → .063
+        // Spark vs .062 DuckDB)
+        when(col("__cnt") < 2 ||
+            col("__cnt") * col("__sxx") === col("__sx") * col("__sx"),
+          lit(null))
+          .otherwise(
+            (col("__cnt") * col("__sxy") - col("__sx") * col("__sy"))
+              .cast("double")
+              / (col("__cnt") * col("__sxx") - col("__sx") * col("__sx"))
+                .cast("double") / 100.0)
+          .as("slope"))
   }
 
   def interpolateDaily(df: DataFrame, keyCol: String, tsCol: String,

@@ -153,11 +153,11 @@ object Round34 {
             WINDOW w AS (PARTITION BY user_id ORDER BY xday
               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
       SELECT user_id, xday, cnt AS n_window,
-             round(CASE WHEN cnt < 2 OR cnt * sxx = sx * sx THEN NULL
-                        ELSE CAST(cnt * sxy - sx * sy AS DOUBLE)
-                             / CAST(cnt * sxx - sx * sx AS DOUBLE)
-                             / 100.0
-                   END, 6) AS slope
+             CASE WHEN cnt < 2 OR cnt * sxx = sx * sx THEN NULL
+                  ELSE CAST(cnt * sxy - sx * sy AS DOUBLE)
+                       / CAST(cnt * sxx - sx * sx AS DOUBLE)
+                       / 100.0
+             END AS slope
       FROM s ORDER BY user_id, xday"""))
   )
 }
