@@ -99,7 +99,7 @@ object Events {
     Q("q39_stream_agg", (s, d) => {
       import s.implicits._
       // raw on-disk schema (ts stays a nanos long; unused by this agg)
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = T.table(s, d, "events").schema
       val qn = s"graft_stream_${System.nanoTime()}"
       // file stream source wants a directory/glob, not a bare file path
       val query = s.readStream.schema(schema).parquet(s"$d/events.*")

@@ -80,7 +80,7 @@ object Round12 {
     // (q190) and streaming ingestion alike
     Q("q193_stream_ohlc", (s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = T.table(s, d, "events").schema
       val qn = s"graft_stream_ohlc_${System.nanoTime()}"
       val stream = T.withEventTs(
         s.readStream.schema(schema).parquet(s"$d/events.*"))

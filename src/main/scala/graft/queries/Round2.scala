@@ -221,7 +221,7 @@ object Round2 {
     // drained with AvailableNow — the incremental form of q24's batch dedup
     Q("q73_stream_dedup", (s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = T.table(s, d, "events").schema
       val qn = s"graft_sdedup_${System.nanoTime()}"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -330,7 +330,7 @@ object Round2 {
     // batch join — which is the oracle
     Q("q77_stream_stream_join", (s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = T.table(s, d, "events").schema
       def stream = T.withEventTs(
         s.readStream.schema(schema).parquet(s"$d/events.*"))
       val signups = stream.filter($"event_type" === "signup")

@@ -52,7 +52,7 @@ object Round3 {
     import s.implicits._
     val corpusBands = s.read.parquet(corpusBandLayout(s, d))
       .select($"id".as("a_id"), $"band", $"bucket")
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val schema = T.table(s, d, "documents").schema
     val fresh = s.readStream.schema(schema).parquet(s"$d/documents.*")
       .filter($"doc_id" % 10 === 0)
     val newBands = graft.operators.Dedup.bandedSignatures(fresh, "doc_id", "text")
@@ -162,7 +162,7 @@ object Round3 {
     Q("q88_stream_static_join", (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = T.table(s, d, "events").schema
       val dim = broadcast(T.customer(s, d)
         .select($"c_custkey".as("user_id"), $"c_mktsegment"))
       val qn = s"graft_stream_ss_${System.nanoTime()}"

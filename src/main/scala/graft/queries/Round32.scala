@@ -18,7 +18,7 @@ object Round32 {
     // the drained sink — q227's shape); hash-equal to the batch oracle
     Q("q251_stream_backlog", (s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+      val schema = T.table(s, d, "lineitem").schema
       val orders = T.orders(s, d)
         .select($"o_orderkey", to_date($"o_orderdate").as("opened"))
       val qn = s"graft_stream_backlog_${System.nanoTime()}"
@@ -59,7 +59,7 @@ object Round32 {
     // continuously instead of per-batch
     Q("q252_stream_expectations", (s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val schema = T.table(s, d, "orders").schema
       val qn = s"graft_stream_expect_${System.nanoTime()}"
       val query = s.readStream.schema(schema).parquet(s"$d/orders.*")
         .agg(count(lit(1)).as("__n"),

@@ -20,7 +20,7 @@ object Round36 {
     // pipelines replayable; stateless filter + one complete-mode agg
     Q("q266_stream_sample", (s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val schema = T.table(s, d, "documents").schema
       val qn = s"graft_stream_sample_${System.nanoTime()}"
       val stream = s.readStream.schema(schema).parquet(s"$d/documents.*")
       val query = Mixing.stratifiedSample(stream, "lang", "doc_id",

@@ -63,7 +63,7 @@ object Round37 {
     // (count desc, key asc) tie-break
     Q("q270_stream_heavy_hitters", (s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+      val schema = T.table(s, d, "lineitem").schema
       val qn = s"graft_stream_hh_${System.nanoTime()}"
       val query = s.readStream.schema(schema).parquet(s"$d/lineitem.*")
         .groupBy($"l_partkey")

@@ -199,7 +199,7 @@ object Round4 {
       val base = T.orders(s, d)
       Merge.writeBucketedSnapshot(base, path, Seq("o_orderkey"), buckets = 16)
       val k = $"o_orderkey"
-      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val schema = T.table(s, d, "orders").schema
       // exact filename, not `orders.*`: a wildcard silently admits any
       // sidecar the driver environment might leave next to the fixture
       // (crc, tmp), which would duplicate change rows there and nowhere

@@ -363,7 +363,7 @@ object Round5 {
     Q("q125_session_stream", (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = T.table(s, d, "events").schema
       val qn = s"graft_sess_${System.nanoTime()}"
       val ev = T.withEventTs(
         s.readStream.schema(schema).parquet(s"$d/events.*"))
@@ -408,7 +408,7 @@ object Round5 {
     // loudly if l11 <> l12, i.e. if a future corpus needs more rounds.
     Q("q143_entity_resolution", (s, d) => {
       import s.implicits._
-      val cust = s.read.parquet(s"$d/customer.parquet")
+      val cust = T.customer(s, d)
       val pairs = Fuzzy.editDistancePairs(cust, "c_custkey", "c_name", maxDist = 1)
       Dedup.canonicalize(
           cust.select($"c_custkey", ($"c_acctbal" * 100).cast("long").as("bal")),
@@ -631,7 +631,7 @@ object Round5 {
     // no-data batch IS what advances W and flushes the outer state
     Q("q136_stream_outer_join", (s, d) => {
       import s.implicits._
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = T.table(s, d, "events").schema
       def stream = T.withEventTs(
         s.readStream.schema(schema).parquet(s"$d/events.*"))
       val signups = stream.filter($"event_type" === "signup")
@@ -700,7 +700,7 @@ object Round5 {
     Q("q135_ewma", (s, d) => {
       import s.implicits._
       graft.operators.TimeSeries.ewmaPerKey(
-          T.withEventTs(s.read.parquet(s"$d/events.parquet")),
+          T.events(s, d),
           "user_id", Seq("ts", "event_id"), "value", alpha = 0.3)
         .select($"user_id", $"n_events", $"ewma")
         .orderBy($"user_id")
@@ -806,8 +806,8 @@ object Round5 {
       // LONG node ids (customer 2k, supplier 2k+1) through the whole
       // iteration — string keys in every shuffle cost ~2x; the display
       // form is a projection over the final |nodes| rows only
-      val ol = s.read.parquet(s"$d/orders.parquet")
-        .join(s.read.parquet(s"$d/lineitem.parquet"),
+      val ol = T.orders(s, d)
+        .join(T.lineitem(s, d),
           $"o_orderkey" === $"l_orderkey")
         .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
       // symmetrize by exploding both directions out of ONE join pass —
@@ -863,7 +863,7 @@ object Round5 {
     Q("q129_fuzzy_join", (s, d) => {
       import s.implicits._
       Fuzzy.editDistancePairs(
-          s.read.parquet(s"$d/customer.parquet"), "c_custkey", "c_name",
+          T.customer(s, d), "c_custkey", "c_name",
           maxDist = 1)
         .orderBy($"id_a", $"id_b")
     }, Some("""
@@ -890,7 +890,7 @@ object Round5 {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
       graft.streaming.StatefulOps.withRocksDb(s) {
-        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val schema = T.table(s, d, "events").schema
         val qn = s"graft_maps_${System.nanoTime()}"
         val src = s.readStream.schema(schema).parquet(s"$d/events.*")
           .select($"user_id".cast("long"), $"event_type".cast("string"))
@@ -918,7 +918,7 @@ object Round5 {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
       graft.streaming.StatefulOps.withRocksDb(s) {
-        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val schema = T.table(s, d, "events").schema
         val qn = s"graft_tws_${System.nanoTime()}"
         val src = s.readStream.schema(schema).parquet(s"$d/events.*")
           .select($"user_id".cast("long"), $"value".cast("double"))
@@ -952,7 +952,7 @@ object Round5 {
     Q("q127_dedup_watermark", (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = T.table(s, d, "events").schema
       val qn = s"graft_ddw_${System.nanoTime()}"
       val query = T.withEventTs(
           s.readStream.schema(schema).parquet(s"$d/events.*"))

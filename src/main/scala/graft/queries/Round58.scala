@@ -309,7 +309,7 @@ object Round58 {
     Q("q328_stream_page_hinkley", (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
-      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val schema = T.table(s, d, "events").schema
       val qn = s"graft_stream_ph_${System.nanoTime()}"
       val q = s.readStream.schema(schema).parquet(s"$d/{events.parquet}")
         .groupBy($"event_type", to_date($"ts").as("day"))
