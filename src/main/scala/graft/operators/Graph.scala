@@ -46,20 +46,23 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
     // the graph structure is loop-invariant: ONE materialized artifact —
-    // the degree-weighted distinct edge list — feeds every iteration;
-    // nodes and the dangling set are small derivations of it. The
-    // upstream edge expression is evaluated once (dedup → degree agg →
-    // self-join on the agg's output), not re-run per consumer
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct()
-    val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
-    // hash-partition the (big) edge artifact on the per-iteration join key
-    // ONCE: the cached layout's outputPartitioning satisfies every
-    // iteration's join requirement, so only the |nodes|-sized rank side
-    // moves each round — the edge side never re-shuffles
-    val ewd = e.join(outDeg, "__src")
-      .select(col("__src"), col("__dst"), col("__deg"))
-      .repartition(col("__src")).cache()
+    // the degree-weighted distinct edge list — feeds every iteration,
+    // built with ONE exchange (r11): hash-partitioning the raw edges on
+    // the per-iteration join key first lets the (src, dst) dedup run
+    // in-partition (hash(src) clusters (src, dst) too) and the
+    // out-degree attach as a partition-local window — the previous
+    // dedup-exchange → degree-aggregate-exchange → self-join chain
+    // shuffled the edge list three times to build the same rows. The
+    // cached layout's outputPartitioning satisfies every iteration's
+    // join requirement, so only the |nodes|-sized rank side moves each
+    // round — the edge side never re-shuffles
+    val ewd = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .repartition(col("__src"))
+      .dropDuplicates("__src", "__dst")
+      .withColumn("__deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__src"))))
+      .cache()
     val nodes = ewd.select(col("__src").as("node"))
       .union(ewd.select(col("__dst"))).distinct().cache()
     val n = nodes.count() // bounded: one scalar, once, not per iteration
@@ -131,12 +134,19 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 2): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct()
-    val eSrc = e.repartition(col("__src")).cache()
-    val eDst = e.repartition(col("__dst")).cache()
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst"))).distinct().cache()
+    // ONE pass over the upstream edge expression (r11): the src layout
+    // is built exchange-minimally (partition on __src first, dedup
+    // in-partition — hash(src) clusters (src, dst) too), and the dst
+    // layout and node set derive from the CACHED src layout instead of
+    // re-running the scan + dedup map side per consumer (the previous
+    // shape paid the full upstream build three times: eSrc, eDst, nodes)
+    val eSrc = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .repartition(col("__src"))
+      .dropDuplicates("__src", "__dst")
+      .cache()
+    val eDst = eSrc.repartition(col("__dst")).cache()
+    val nodes = eSrc.select(col("__src").as("node"))
+      .union(eSrc.select(col("__dst"))).distinct().cache()
     require(nodes.limit(1).count() > 0, "empty graph")
 
     var hubs = nodes.withColumn("hub", lit(1.0))
@@ -393,9 +403,12 @@ object Graph {
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    // one exchange, not two (r11): partition on the expansion key first,
+    // dedup in-partition (hash(src) clusters (src, dst) too)
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct()
-      .repartition(col("__src")).cache()
+      .repartition(col("__src"))
+      .dropDuplicates("__src", "__dst")
+      .cache()
     var visited = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0))
       .barrier()
@@ -426,9 +439,11 @@ object Graph {
       dstCol: String, seeds: DataFrame, seedCol: String,
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    // one exchange, not two (r11) — see [[bfsDistances]]
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct()
-      .repartition(col("__src")).cache()
+      .repartition(col("__src"))
+      .dropDuplicates("__src", "__dst")
+      .cache()
     var visited = seeds.select(col(seedCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"))
       .withColumn("dist", lit(0))
@@ -568,15 +583,21 @@ object Graph {
       rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val canon = edges
+    // one exchange, not two (r11): symmetrize the raw edges map-side and
+    // dedup AFTER the expansion-key shuffle (hash(src) clusters
+    // (src, dst) too) — canonicalize-distinct-then-explode paid a second
+    // data-sized exchange to arrive at the same symmetric edge set
+    val sym = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val sym = canon.select(explode(array(
+      .filter(col("a") =!= col("b"))
+      .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src").as("__src"), col("e.dst").as("__dst"))
-      .repartition(col("__src")).cache()
+      .repartition(col("__src"))
+      .dropDuplicates("__src", "__dst")
+      .cache()
     val nodes = sym.select(col("__src").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node")).barrier()
     val w = Window.partitionBy(col("__dst"))
@@ -665,10 +686,12 @@ object Graph {
       dstCol: String, tsCol: String, seeds: DataFrame, seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    // one exchange, not two (r11): hash(src) clusters (src, dst, t) too
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(tsCol).cast("long").as("__t"))
-      .distinct()
-      .repartition(col("__src")).cache()
+      .repartition(col("__src"))
+      .dropDuplicates("__src", "__dst", "__t")
+      .cache()
     var arr = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("arr", lit(Long.MinValue))
       .barrier()
@@ -721,11 +744,15 @@ object Graph {
       weightCol: String, seeds: DataFrame, seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    // one exchange, not two (r11): partitioning on __src first satisfies
+    // the (src, dst) clustering the lightest-edge aggregate needs, and
+    // leaves the cached layout keyed for the per-round relax join
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(weightCol).cast("decimal(28,2)").as("__w"))
+      .repartition(col("__src"))
       .groupBy(col("__src"), col("__dst")) // parallel edges: keep lightest
       .agg(min(col("__w")).as("__w"))
-      .repartition(col("__src")).cache()
+      .cache()
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(java.math.BigDecimal.ZERO).cast("decimal(28,2)"))
       .barrier()
@@ -776,38 +803,49 @@ object Graph {
     * just the source set). */
   def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, alpha: Double = 0.2): DataFrame = {
-    val (plan, e) = katzPlan(edges, srcCol, dstCol, iterations, alpha)
-    // materialize before releasing the cached edge artifact — the
-    // sibling discipline (pageRank/HITS/SSSP): nothing cached survives
-    // the operator call
+    val (plan, cached) = katzPlan(edges, srcCol, dstCol, iterations, alpha)
+    // materialize before releasing the cached artifacts — the sibling
+    // discipline (pageRank/HITS/SSSP): nothing cached survives the
+    // operator call
     val out = plan.barrier()
-    e.unpersist(blocking = false)
+    cached.foreach(_.unpersist(blocking = false))
     out
   }
 
-  /** The lazy katz plan plus its cached edge artifact — split out so
+  /** The lazy katz plan plus every cached artifact — split out so
     * PlanSpec can pin the never-re-shuffle-the-edge-side shape on the
     * exact tree [[katzCentrality]] materializes (the public entry
-    * checkpoints it and unpersists the artifact). */
+    * checkpoints it and unpersists the artifacts). */
   private[graft] def katzPlan(edges: DataFrame, srcCol: String,
       dstCol: String, iterations: Int, alpha: Double)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, Seq[DataFrame]) = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    // one exchange, not two (r11): partition on the per-round join key
+    // first, dedup in-partition (hash(src) clusters (src, dst) too)
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .distinct()
-      .repartition(col("__src")).cache()
+      .repartition(col("__src"))
+      .dropDuplicates("__src", "__dst")
+      .cache()
     val nodes = e.select(col("__src").as("node"))
       .unionAll(e.select(col("__dst").as("node"))).distinct()
-    // W1 = in-degree; W_{l+1}(v) = Σ_{u→v} W_l(u)
+    // W1 = in-degree; W_{l+1}(v) = Σ_{u→v} W_l(u). Each level is
+    // PERSISTED (r11): every W_l feeds both W_{l+1} and the final join,
+    // so the unpersisted chain re-evaluated W_l (iterations − l + 1)
+    // times — the walk join+aggregate cascade ran Σ l ≈ L²/2 times
+    // instead of L (measured: the W1 aggregate's map side ran 3× for
+    // L = 3). Persist keeps each level's hash(node) partitioning, so
+    // the final left-join chain adds no exchanges.
     val w1 = e.groupBy(col("__dst").as("node"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("__w1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var walks = Seq(w1)
     for (l <- 2 to iterations) {
       val prev = walks.last
       val wl = e.join(prev, e("__src") === prev("node"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col(s"__w${l - 1}")).as(s"__w$l"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       walks = walks :+ wl
     }
     val joined = walks.foldLeft(nodes)((acc, w) => acc.join(w, Seq("node"), "left"))
@@ -816,7 +854,7 @@ object Graph {
       aPow * coalesce(col(s"__w$l"), lit(0).cast("decimal(38,0)"))
         .cast("double")
     }.reduce(_ + _)
-    (joined.select(col("node"), katz.as("katz")), e)
+    (joined.select(col("node"), katz.as("katz")), e +: walks)
   }
 
 }

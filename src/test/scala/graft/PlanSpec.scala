@@ -477,7 +477,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"edge artifact must serve from cache:\n$plan")
       assert(offending.isEmpty,
         s"edge cache re-shuffled beneath ${offending.size} Exchange(s):\n$plan")
-      eCached.unpersist(blocking = false)
+      eCached.foreach(_.unpersist(blocking = false))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
