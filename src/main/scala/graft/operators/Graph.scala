@@ -496,9 +496,14 @@ object Graph {
       .barrier()
     var done = false
     while (!done) {
+      // the degree table has two consumers per round (the fixed-point
+      // probe and the survivor filter) — materialize it once (r11); the
+      // unbarriered form re-ran the degree aggregate over the edge set
+      // for each consumer, doubling every round's dominant stage
       val deg = e.select(col("a").as("node"))
         .unionAll(e.select(col("b")))
         .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+        .barrier()
       val keep = deg.filter(col("__deg") >= k).select(col("node"))
       val dropped = deg.filter(col("__deg") < k).limit(1).count()
       if (dropped == 0) done = true
