@@ -531,14 +531,21 @@ object Graph {
     * directed/duplicated; canonicalized first like [[triangleStats]].
     * Two keyed shuffles (degree agg, degree join) + one 1-row fold. */
   def degreeMixing(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // eager barrier (r11): canon feeds the degree union (two reads), the
+    // moment join's probe side, and the edge count — unmaterialized,
+    // each re-ran the upstream edge expression
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .barrier()
+    // barrier (r11): deg feeds both join sides and the degree-stats fold
+    // — three re-aggregations without it
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .barrier()
     val da = deg.select(col("node").as("a"), col("deg").as("__da"))
     val db = deg.select(col("node").as("b"), col("deg").as("__db"))
     // both directions: (da,db) and (db,da) — the fold sums x and y
@@ -637,10 +644,15 @@ object Graph {
     * all keyed shuffles plus broadcast scalars, nothing global. */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    // eager barrier (r11): canon has FOUR downstream reads (the m fold,
+    // both sides of the intra join, and the degree union reads it
+    // twice) — unmaterialized, each re-ran the whole upstream edge
+    // expression; checkpointed, they read |E| canonical rows
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .barrier()
     val lab = labels.select(col(nodeCol).as("__n"),
       col(labelCol).as("__l"))
     val m = canon.agg(count(lit(1)).as("__m"))

@@ -122,9 +122,14 @@ object Round39 {
     // combination at the end
     Q("q277_modularity", (s, d) => {
       import s.implicits._
+      import graft.operators.BarrierOps
+      // barrier (r11): both operators consume the same orders⋈lineitem
+      // edge expression — materialize it once instead of re-running the
+      // join for label propagation AND for the modularity score
       val edges = T.orders(s, d)
         .join(T.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
         .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+        .barrier()
       val labels = Graph.labelPropagation(edges, "a", "b", rounds = 2)
       Graph.modularity(edges, "a", "b", labels, "node", "label")
     }, Some("""
