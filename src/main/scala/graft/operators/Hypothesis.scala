@@ -39,8 +39,13 @@ object Hypothesis {
     // per-(group, value, treatment) counts, then pooled midranks over the
     // (group, value) spine via the range-partitioned grouped scan — no
     // low-cardinality window partition ever sees data-sized input
+    // barrier (r11): byTreat feeds the spine aggregate AND the rank
+    // join; ranked feeds the per-group and per-treatment folds — each
+    // unmaterialized consumer re-ran the caller's (often multi-join)
+    // upstream
     val byTreat = pool.groupBy(col(groupCol), col("__x"), col("__treat"))
       .agg(count(lit(1)).as("__ct"))
+      .barrier()
     val spine = byTreat.groupBy(col(groupCol), col("__x"))
       .agg(sum(col("__ct")).as("__t"))
     val ranked = Scale.groupedPrefixSum(spine, Seq(groupCol), "__x",
@@ -48,6 +53,7 @@ object Hypothesis {
       // doubled midrank 2r = 2·cum − t + 1: an exact long
       .withColumn("__rank2", col("__cum") * 2 - col("__t") + 1)
       .join(byTreat, Seq(groupCol, "__x"))
+      .barrier()
     val perGroup = ranked.groupBy(col(groupCol)).agg(
       sum(col("__ct")).as("__n"),
       // one spine row per tied run: weight the run term by __ct/__t to
@@ -106,14 +112,17 @@ object Hypothesis {
     val pool = df.filter(x.isNotNull)
       .select(col(groupCol).as("__g"), col(treatCol).as("__treat"),
         x.as("__x"))
+    // barrier (r11): same two-artifact discipline as [[kruskalWallis]]
     val byTreat = pool.groupBy(col("__g"), col("__x"), col("__treat"))
       .agg(count(lit(1)).as("__ct"))
+      .barrier()
     val spine = byTreat.groupBy(col("__g"), col("__x"))
       .agg(sum(col("__ct")).as("__t"))
     val ranked = Scale.groupedPrefixSum(spine, Seq("__g"), "__x",
         "__t", "__cum")
       .withColumn("__rank2", col("__cum") * 2 - col("__t") + 1)
       .join(byTreat, Seq("__g", "__x"))
+      .barrier()
     val perGroup = ranked.groupBy(col("__g")).agg(
       sum(col("__ct")).as("__n"),
       // t² in DECIMAL: a tied run past ~2.1M rows would overflow the
@@ -813,9 +822,13 @@ object Hypothesis {
     * Returns `(groupCol, n, k, median, chi2, df)`. */
   def moodMedianTest(df: DataFrame, groupCol: String, treatCol: String,
       valueCol: String): DataFrame = {
+    // barrier (r11): rows feeds the spine, the per-group sizes and the
+    // cell-count join — unmaterialized, each re-ran the caller's
+    // (often multi-join) upstream
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(treatCol).as("__t"),
         col(valueCol).cast("long").as("__x"))
+      .barrier()
     val spine = rows.groupBy(col("__g"), col("__x"))
       .agg(count(lit(1)).as("__ties"))
     val ranked = Scale.groupedPrefixSum(spine, Seq("__g"), "__x",

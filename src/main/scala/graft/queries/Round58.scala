@@ -33,6 +33,10 @@ object Round58 {
         .join(T.region(s, d), $"n_regionkey" === $"r_regionkey")
         .select($"r_name", $"o_orderpriority".as("g"),
           $"o_totalprice".cast("decimal(18,2)").as("x"))
+      // examined r11: counts has three consumers, but its exchange is
+      // AQE-reused at runtime — an eager barrier measured SLOWER
+      // (interleaved min-of-3: 4.20 s → 5.21 s), so the shared
+      // aggregate stays an implicit reused exchange
       val counts = pool.groupBy($"r_name", $"g", $"x")
         .agg(count(lit(1)).as("c"))
       val vals = counts.select($"r_name", $"x").distinct()

@@ -180,13 +180,19 @@ object Round72 {
           sum(when($"__cum" - $"__t" < $"__khi" && $"__khi" <= $"__cum",
             $"x")).as("__xhi"))
         .withColumn("__med2", $"__xlo" + $"__xhi")
+      // barrier (r11): z feeds the rank spine AND the rank join;
+      // withRanks feeds the per-group and total folds — each
+      // unmaterialized consumer re-ran the scan + median join upstream
+      import graft.operators.BarrierOps
       val z = rows.join(broadcast(med), "o_orderpriority")
         .select($"o_orderpriority", abs($"x" * 2 - $"__med2").as("z"))
+        .barrier()
       // pooled doubled midranks of z: global spine, d = 2·cum − t + 1
       val zSpine = z.groupBy($"z").agg(count(lit(1)).as("__c"))
       val ranked = Scale.prefixSum(zSpine, "z", "__c", "__zcum")
         .withColumn("__d", $"__zcum" * 2 - $"__c" + 1)
       val withRanks = z.join(ranked.select($"z", $"__d"), "z")
+        .barrier()
       val perG = withRanks.groupBy($"o_orderpriority").agg(
         count(lit(1)).as("__n"),
         sum(($"__d" * $"__d").cast("decimal(38,0)")).as("__s2"))
