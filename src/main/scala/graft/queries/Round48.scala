@@ -99,13 +99,20 @@ object Round48 {
       val prof = ev.groupBy($"event_type", $"dow")
         .agg((sum($"value".cast("decimal(18,2)")).cast("double")
           / count(lit(1)).cast("double")).as("__mean"))
+      // barrier (r11): the quantile passes are separate ACTIONS (their
+      // histogram/neighbor collects run as their own jobs), so AQE
+      // exchange reuse cannot span them — resid and withMed each fed a
+      // quantile pass AND a join and were re-evaluated per consumer
+      import graft.operators.BarrierOps
       val resid = ev.join(prof, Seq("event_type", "dow"))
         .withColumn("__r", round($"value" - $"__mean", 6))
+        .barrier()
       val med = Quantiles.exactQuantiles(resid, Seq("event_type"),
           "__r", Seq(0.5))
         .select($"event_type", round($"p50", 6).as("__med"))
       val withMed = resid.join(med, "event_type")
         .withColumn("__ad", round(abs($"__r" - $"__med"), 6))
+        .barrier()
       val mad = Quantiles.exactQuantiles(withMed, Seq("event_type"),
           "__ad", Seq(0.5))
         .select($"event_type", round($"p50", 6).as("__mad"))
