@@ -96,10 +96,15 @@ object Round19 {
     // randomized graphs
     Q("q220_kcore", (s, d) => {
       import s.implicits._
+      // barrier (r11): the median-degree probe below is its own action
+      // (a 1-row collect), so the orders⋈lineitem edge join re-ran for
+      // it AND for the peel — materialize the edge frame once
+      import graft.operators.BarrierOps
       val edges = T.orders(s, d)
         .join(T.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
         .select(($"o_custkey" * 2).as("src"),
           ($"l_suppkey" * 2 + 1).as("dst"))
+        .barrier()
       // data-driven k = median degree (a bounded 1-row scalar); below
       // the median half the nodes peel immediately, so the surviving
       // core is non-trivial at every fixture scale
