@@ -638,8 +638,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q308: Kruskal-Wallis dims broadcast, rank pool never cartesians") {
+    // r11: the dim-broadcast pool and the midrank join materialize
+    // INSIDE the operator's eager barriers (byTreat/ranked — the final
+    // plan reads them as Scan ExistingRDD leaves); the visible plan is
+    // the per-group/per-treatment folds and must stay cartesian-free
     val p = plan("q308_kruskal_wallis")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Scan ExistingRDD"),
+      s"rank pool should read the barriered count table:\n$p")
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"))
   }
