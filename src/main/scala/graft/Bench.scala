@@ -107,13 +107,22 @@ object Bench {
       (1 to 5).map(_ => once()).min
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","timing":"per-query min of cold + warm executions","cold_total":$coldTotal,"queries":$qs,"grouper_items_per_sec":$grouperRate,"grouper_probe_best_of_10":$grouperProbe10,"host_single_core_unit_ms":$hostUnitMs,"sf":"$sfDir"}"""
+    val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     println(line)
     // stdout gets truncated by log capture; the file keeps every
     // per-query time inspectable after the run
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      java.nio.file.Paths.get(benchOutPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_out.json write failed: $e") }
+    // Compact headline printed LAST: the full line above is ~13 KB (418
+    // per-query entries) and a tail-capture of stdout truncates it
+    // mid-line, leaving no parseable JSON in the capture (r11's cross-round
+    // comparison came back empty for exactly this reason). This line is
+    // <300 bytes, carries every suite-level number, names the per-query
+    // file, and survives any tail window. Additive: the full contract line
+    // is still printed and still written to the file, unchanged.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"grouper_items_per_sec":$grouperRate,"grouper_probe_best_of_10":$grouperProbe10,"host_single_core_unit_ms":$hostUnitMs,"sf":"$sfDir","cpus":$cpus,"n_queries":${results.size},"queries_file":"$benchOutPath"}""")
     spark.stop()
   }
 }

@@ -21,8 +21,14 @@ object PlanDump {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = Session.local(cpus.toInt)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // exact names or a "q<digits>" prefix up to its underscore boundary —
+    // a bare startsWith made "q13" also select q130..q139, so an automated
+    // evidence run could dump the wrong plans without noticing
+    def selected(n: String, f: Set[String]): Boolean =
+      f.contains(n) || f.exists(p => n.startsWith(p + "_"))
+    var failed = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) => only.forall(selected(n, _)) }
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
@@ -32,6 +38,7 @@ object PlanDump {
             plan.getBytes("UTF-8"))
           System.err.println(s"[plandump] wrote $name")
         } catch { case e: Throwable =>
+          failed ::= name
           System.err.println(s"[plandump] $name failed: $e")
         } finally {
           try {
@@ -43,5 +50,11 @@ object PlanDump {
         }
       }
     spark.stop()
+    if (failed.nonEmpty) {
+      // an evidence run must not LOOK successful while artifacts are
+      // missing — exit non-zero and name what failed
+      System.err.println(s"[plandump] FAILED: ${failed.sorted.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

@@ -29,8 +29,16 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    // key on the session confs that change what parquet inference RETURNS
+    // (nanosAsLong decides whether a TIMESTAMP(NANOS) column arrives as
+    // long, inferTimestampNTZ whether isAdjustedToUTC=false becomes NTZ) —
+    // a path-only key would let the first session's inference poison a
+    // later differently-configured session's reads
+    val key = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") +
+      "|" + spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") +
+      "|" + path
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 

@@ -43,4 +43,18 @@ class SchemaMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n3 = Tables.table(spark, sfDir, "orders").count()
     assert(n2 > n3, s"per-path memo must not alias scale factors ($n2 vs $n3)")
   }
+
+  test("memo keys on inference-relevant session confs, not path alone") {
+    // events.ts is TIMESTAMP(MICROS, isAdjustedToUTC=false) in the
+    // fixture: with inferTimestampNTZ on (the Spark default) inference
+    // returns TimestampNTZType; a session that flips the conf reads the
+    // same path as TimestampType and must NOT inherit the NTZ-typed memo
+    val tsType = Tables.table(spark, sfDir, "events").schema("ts").dataType
+    assert(tsType === org.apache.spark.sql.types.TimestampNTZType)
+    val other = spark.newSession()
+    other.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val otherTs = Tables.table(other, sfDir, "events").schema("ts").dataType
+    assert(otherTs === org.apache.spark.sql.types.TimestampType,
+      "differently-configured session read a poisoned schema memo")
+  }
 }

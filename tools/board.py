@@ -51,12 +51,23 @@ def main():
         line += f", FAILED: {','.join(sorted(fails))}"
     print(line)
     if len(sys.argv) > 2:
-        prev = load(sys.argv[2])["queries"]
+        prev_full = load(sys.argv[2])
+        prev = prev_full["queries"]
         common = {k: (prev[k], q[k]) for k in q if k in prev and prev[k] > 0}
         ratios = {k: b / a for k, (a, b) in common.items()}
         med = statistics.median(ratios.values())
         print(f"vs prev: {len(common)} common queries, "
               f"median per-query ratio {med:.2f}")
+        # host-speed attribution (VERDICT r11 task #8): when both artifacts
+        # carry the fixed single-core workload unit, the unit ratio IS the
+        # host-speed ratio, so dividing it out of the per-query ratios
+        # separates host drift from plan drift mechanically
+        if ("host_single_core_unit_ms" in cur
+                and "host_single_core_unit_ms" in prev_full):
+            hr = (cur["host_single_core_unit_ms"]
+                  / prev_full["host_single_core_unit_ms"])
+            print(f"host unit ratio (now/prev): {hr:.3f}; host-normalized "
+                  f"median per-query ratio {med / hr:.2f}")
         moved = sorted(common.items(), key=lambda kv: kv[1][1] - kv[1][0])
         print("biggest wins:")
         for k, (a, b) in moved[:5]:
