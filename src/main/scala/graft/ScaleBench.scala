@@ -61,7 +61,13 @@ object ScaleBench {
     // round-9 wave #5: Katz centrality — three walk-count join+agg
     // rounds over the K x'd edge artifact (copies are disconnected, so
     // walk counts stay copy-local and work must scale ~linearly)
-    "q411_katz")
+    "q411_katz",
+    // round-12 (VERDICT r11 task #4): the newly-barriered rank-stat
+    // family — each operator eagerly materializes its count table and
+    // midrank join (localCheckpoint); the ×K rows prove the barrier
+    // materialization cost stays ~linear instead of multiplying
+    "q308_kruskal_wallis", "q373_conover_squared_ranks",
+    "q414_mood_median", "q416_dunn_posthoc")
 
   /** K offset/perturbed copies of the four input tables the risk
     * queries read. Copy 0 gets the same transformation as every other

@@ -55,7 +55,14 @@ object Graph {
     // shuffled the edge list three times to build the same rows. The
     // cached layout's outputPartitioning satisfies every iteration's
     // join requirement, so only the |nodes|-sized rank side moves each
-    // round — the edge side never re-shuffles
+    // round — the edge side never re-shuffles.
+    // Duplication/skew tradeoff (r12, see [[weightedSssp]]): repartition-
+    // before-dedup ships the RAW stream (no map-side partial aggregation)
+    // and concentrates hub sources on single reduce tasks — correct here
+    // only because the callers' edge expressions measure ~1.0×
+    // duplication (600k raw → 587k distinct on the trade graph) with
+    // ~16k-key src domains; a duplication-heavy or hub-skewed input
+    // should dedup FIRST and pay the extra distinct-sized exchange.
     val ewd = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .repartition(col("__src"))
@@ -139,7 +146,10 @@ object Graph {
     // in-partition — hash(src) clusters (src, dst) too), and the dst
     // layout and node set derive from the CACHED src layout instead of
     // re-running the scan + dedup map side per consumer (the previous
-    // shape paid the full upstream build three times: eSrc, eDst, nodes)
+    // shape paid the full upstream build three times: eSrc, eDst, nodes) Duplication
+    // tradeoff (r12): this ships the raw stream — right at this input
+    // family's measured ~1.0× duplication; dedup-first ([[weightedSssp]])
+    // wins on duplication-heavy inputs.
     val eSrc = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .repartition(col("__src"))
       .dropDuplicates("__src", "__dst")
@@ -404,7 +414,10 @@ object Graph {
       seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
     // one exchange, not two (r11): partition on the expansion key first,
-    // dedup in-partition (hash(src) clusters (src, dst) too)
+    // dedup in-partition (hash(src) clusters (src, dst) too) Duplication
+    // tradeoff (r12): this ships the raw stream — right at this input
+    // family's measured ~1.0× duplication; dedup-first ([[weightedSssp]])
+    // wins on duplication-heavy inputs.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .repartition(col("__src"))
       .dropDuplicates("__src", "__dst")
@@ -598,7 +611,10 @@ object Graph {
     // one exchange, not two (r11): symmetrize the raw edges map-side and
     // dedup AFTER the expansion-key shuffle (hash(src) clusters
     // (src, dst) too) — canonicalize-distinct-then-explode paid a second
-    // data-sized exchange to arrive at the same symmetric edge set
+    // data-sized exchange to arrive at the same symmetric edge set Duplication
+    // tradeoff (r12): this ships the raw stream — right at this input
+    // family's measured ~1.0× duplication; dedup-first ([[weightedSssp]])
+    // wins on duplication-heavy inputs.
     val sym = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -703,7 +719,10 @@ object Graph {
       dstCol: String, tsCol: String, seeds: DataFrame, seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
-    // one exchange, not two (r11): hash(src) clusters (src, dst, t) too
+    // one exchange, not two (r11): hash(src) clusters (src, dst, t) too Duplication
+    // tradeoff (r12): this ships the raw stream — right at this input
+    // family's measured ~1.0× duplication; dedup-first ([[weightedSssp]])
+    // wins on duplication-heavy inputs.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(tsCol).cast("long").as("__t"))
       .repartition(col("__src"))
@@ -761,14 +780,25 @@ object Graph {
       weightCol: String, seeds: DataFrame, seedCol: String,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
-    // one exchange, not two (r11): partitioning on __src first satisfies
-    // the (src, dst) clustering the lightest-edge aggregate needs, and
-    // leaves the cached layout keyed for the per-round relax join
+    // aggregate BEFORE the wire, then repartition the aggregated set to
+    // the per-round join layout (r12). The r11 one-exchange form
+    // (repartition(__src) first, keep-lightest in-partition) shipped the
+    // RAW upstream through the exchange: repartition-before-aggregate
+    // drops Spark's map-side partial aggregation, so a duplication-heavy
+    // edge expression (q253's nation lanes: 600k join rows → 625 distinct
+    // edges over 25 src keys) moved 1000× more bytes than needed AND
+    // concentrated them on hash(25 keys) reduce tasks — measured 1.83 →
+    // 2.86 s cross-round. This form's first exchange carries the
+    // map-side-collapsed partial aggregates and the second only |E|
+    // distinct edges. Tradeoff (same for every builder in this file): on
+    // a LOW-duplication input the extra |E|-sized exchange is pure cost
+    // — there the one-exchange form wins; pick by the input's
+    // duplication ratio (here: sssp callers feed aggregated-lane graphs).
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(weightCol).cast("decimal(28,2)").as("__w"))
-      .repartition(col("__src"))
       .groupBy(col("__src"), col("__dst")) // parallel edges: keep lightest
       .agg(min(col("__w")).as("__w"))
+      .repartition(col("__src"))
       .cache()
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(java.math.BigDecimal.ZERO).cast("decimal(28,2)"))
@@ -839,7 +869,10 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
     // one exchange, not two (r11): partition on the per-round join key
-    // first, dedup in-partition (hash(src) clusters (src, dst) too)
+    // first, dedup in-partition (hash(src) clusters (src, dst) too) Duplication
+    // tradeoff (r12): this ships the raw stream — right at this input
+    // family's measured ~1.0× duplication; dedup-first ([[weightedSssp]])
+    // wins on duplication-heavy inputs.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .repartition(col("__src"))
       .dropDuplicates("__src", "__dst")

@@ -79,7 +79,12 @@ object Hypothesis {
     val srn = cum.groupBy(col(groupCol)).agg(
       count(lit(1)).as("__kk"),
       max_by(col("__cum"), col("__treat")).as("__srn"))
-    val j = perGroup.join(srn, groupCol)
+    // explicit broadcast (r12): both sides are ≤|groups|-row aggregates,
+    // but they descend from barrier leaves whose size statistics are
+    // gone (ExistingRDD defaults to "huge"), so the planner chose a
+    // sort-merge join on answer-sized inputs — at scale that is two
+    // needless exchanges of k-row tables
+    val j = perGroup.join(broadcast(srn), groupCol)
     val n = col("__n").cast("double")
     val h = lit(12.0) / (n * (n + 1.0)) * col("__srn") - lit(3.0) * (n + 1.0)
     // Σ rows (t²−1) = Σ runs t³−t; correction C = 1 − Σ(t³−t)/(n³−n)
@@ -822,25 +827,34 @@ object Hypothesis {
     * Returns `(groupCol, n, k, median, chi2, df)`. */
   def moodMedianTest(df: DataFrame, groupCol: String, treatCol: String,
       valueCol: String): DataFrame = {
-    // barrier (r11): rows feeds the spine, the per-group sizes and the
-    // cell-count join — unmaterialized, each re-ran the caller's
-    // (often multi-join) upstream
-    val rows = df.filter(col(valueCol).isNotNull)
+    // barrier the FIRST AGGREGATE, not the raw projection (r12, the
+    // kruskalWallis byTreat discipline): all three consumers — the
+    // (g, x) spine, the per-group sizes, and the cell-count join — fold
+    // out of per-(g, treat, value) counts, so the materialized artifact
+    // is aggregate-sized (distinct triples) instead of input-sized, and
+    // its construction shuffle gets map-side partial aggregation. The
+    // r11 form localCheckpointed the full input projection: an
+    // input-sized executor-memory/disk footprint at scale for the same
+    // downstream reads.
+    val byTx = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), col(treatCol).as("__t"),
         col(valueCol).cast("long").as("__x"))
+      .groupBy(col("__g"), col("__t"), col("__x"))
+      .agg(count(lit(1)).as("__ct"))
       .barrier()
-    val spine = rows.groupBy(col("__g"), col("__x"))
-      .agg(count(lit(1)).as("__ties"))
+    val spine = byTx.groupBy(col("__g"), col("__x"))
+      .agg(sum(col("__ct")).as("__ties"))
     val ranked = Scale.groupedPrefixSum(spine, Seq("__g"), "__x",
       "__ties", "__cum")
-    val nPer = rows.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val nPer = byTx.groupBy(col("__g")).agg(sum(col("__ct")).as("__n"))
     val med = ranked.join(broadcast(nPer), "__g")
       .filter(col("__cum") >= floor((col("__n") + 1) / 2).cast("long"))
       .groupBy(col("__g")).agg(min(col("__x")).as("__med"))
-    val counts = rows.join(broadcast(med), "__g")
+    val counts = byTx.join(broadcast(med), "__g")
       .groupBy(col("__g"), col("__t")).agg(
-        count(lit(1)).as("__nt"),
-        sum((col("__x") > col("__med")).cast("long")).as("__a"))
+        sum(col("__ct")).as("__nt"),
+        sum(when(col("__x") > col("__med"), col("__ct"))
+          .otherwise(lit(0L))).as("__a"))
     val tot = counts.groupBy(col("__g")).agg(
       sum(col("__nt")).as("__n"), sum(col("__a")).as("__ab"),
       count(lit(1)).as("k"))
@@ -859,7 +873,9 @@ object Hypothesis {
         max(col("__n")).as("n"), max(col("k")).as("k"),
         max(col("__ab")).as("__abm"),
         max_by(col("__c2"), col("__t")).as("__chi2"))
-      .join(med.select(col("__g"), col("__med")), "__g")
+      // broadcast (r12): med is a ≤|groups|-row aggregate behind a
+      // barrier leaf with no size stats — the planner sort-merged it
+      .join(broadcast(med.select(col("__g"), col("__med"))), "__g")
       .filter(col("k") > 1 && col("__abm") > 0 && col("__abm") < col("n"))
       .select(col("__g").as(groupCol), col("n"), col("k"),
         col("__med").as("median"), round(col("__chi2"), 6).as("chi2"),

@@ -107,15 +107,20 @@ object Round48 {
       val resid = ev.join(prof, Seq("event_type", "dow"))
         .withColumn("__r", round($"value" - $"__mean", 6))
         .barrier()
-      val med = Quantiles.exactQuantiles(resid, Seq("event_type"),
+      // broadcast med/mad (r12): both are one-row-per-event-type
+      // quantile outputs behind barrier/collect machinery with no size
+      // stats, so the planner sort-merge-joined them against the
+      // data-sized residual frame — two needless exchanges of the big
+      // side for answer-sized probe tables
+      val med = broadcast(Quantiles.exactQuantiles(resid, Seq("event_type"),
           "__r", Seq(0.5))
-        .select($"event_type", round($"p50", 6).as("__med"))
+        .select($"event_type", round($"p50", 6).as("__med")))
       val withMed = resid.join(med, "event_type")
         .withColumn("__ad", round(abs($"__r" - $"__med"), 6))
         .barrier()
-      val mad = Quantiles.exactQuantiles(withMed, Seq("event_type"),
+      val mad = broadcast(Quantiles.exactQuantiles(withMed, Seq("event_type"),
           "__ad", Seq(0.5))
-        .select($"event_type", round($"p50", 6).as("__mad"))
+        .select($"event_type", round($"p50", 6).as("__mad")))
       withMed.join(mad, "event_type")
         .filter($"__mad" > 0 &&
           abs($"__r" - $"__med") > lit(3.0) * lit(1.4826) * $"__mad")

@@ -649,6 +649,46 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q308: INTERIOR barrier plans stay cartesian-free, dims broadcast") {
+    // The eager barriers turn the final plan into ExistingRDD stubs, so
+    // the test above cannot see the rank-pool build anymore (r11 advice).
+    // Capture every execution — the two barrier materializations plus the
+    // final action — via a QueryExecutionListener and assert the strong
+    // properties on the INTERIOR trees, where the caller's dimension
+    // joins and the midrank join actually run.
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("q308_kruskal_wallis")(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      // the execution-listener bus is async — wait for the three
+      // executions (byTreat barrier, ranked barrier, final save)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (captured.size() < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    val plans = captured.asScala.toList
+    assert(plans.size >= 3,
+      s"expected 2 barrier materializations + the final action, got ${plans.size}")
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        s"interior plan went quadratic:\n$p")
+    }
+    assert(plans.exists(_.contains("BroadcastHashJoin")),
+      "the dimension joins inside the byTreat barrier must broadcast")
+  }
+
   test("q324: JT grid fan-out stays cartesian-free and rides the grouped scan") {
     // the deliberate crossJoin(broadcast(groups)) — a 5-row build side
     // fanning the value spine — now materializes INSIDE
